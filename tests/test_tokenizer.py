@@ -1,0 +1,102 @@
+"""Tokenizer tests: format roundtrip + greedy-merge semantics (llama2.ts:305-344)."""
+
+import pytest
+
+from tpu_llama.io.tokenizer import BOS, Tokenizer, make_byte_tokenizer
+
+
+def _reference_bpe_encode(text, vocab, vocab_scores):
+    """Direct transliteration of the reference algorithm with O(V) scans
+    (llama2.ts:305-344) — the slow oracle the fast encoder must match."""
+    tokens = []
+    for ch in text:  # ASCII-only in tests, so charAt == code point
+        tid = vocab.index(ch)  # throws ValueError like the reference throws
+        tokens.append(tid)
+    while True:
+        best_score, best_id, best_idx = -1e10, -1, -1
+        for i in range(len(tokens) - 1):
+            merged = vocab[tokens[i]] + vocab[tokens[i + 1]]
+            try:
+                tid = vocab.index(merged)  # FIRST occurrence, like indexOf
+            except ValueError:
+                continue
+            if vocab_scores[tid] > best_score:
+                best_score, best_id, best_idx = vocab_scores[tid], tid, i
+        if best_idx == -1:
+            break
+        tokens[best_idx : best_idx + 2] = [best_id]
+    return tokens
+
+
+def test_encode_matches_reference_algorithm(tiny_tokenizer):
+    for text in ["Once upon a time", "on", "o", "time after time", "aaa bbb", ""]:
+        got = tiny_tokenizer.encode(text)
+        want = _reference_bpe_encode(text, tiny_tokenizer.vocab, tiny_tokenizer.scores)
+        assert got == want, text
+
+
+def test_merge_priority_order(tiny_tokenizer):
+    """'Once' (-3.5) only forms after 'on'/'ce' — but as 'On'+'ce' has score
+    of 'Once'; verify greedy highest-score-first merging happens."""
+    toks = tiny_tokenizer.encode("once")
+    # 'on'(-1) merges first, then 'ce'(-2); 'once' itself not in vocab
+    v = tiny_tokenizer.vocab
+    assert [v[t] for t in toks] == ["on", "ce"]
+
+
+def test_tie_goes_to_first_pair():
+    tok = make_byte_tokenizer([("ab", -1.0), ("cd", -1.0)])
+    toks = tok.encode("abcd")
+    # equal scores: 'ab' at earlier position merges first; both end merged
+    assert [tok.vocab[t] for t in toks] == ["ab", "cd"]
+
+
+def test_duplicate_vocab_entries_resolve_to_first_index():
+    """indexOf semantics: duplicate strings map to the lowest id.  All bytes
+    0x80-0xFF decode to U+FFFD so the byte table is full of duplicates."""
+    tok = make_byte_tokenizer([])
+    rep = "�"
+    assert tok.vocab[3 + 0x80] == rep
+    assert tok.encode(rep) == [3 + 0x80]  # first of the duplicate entries
+
+
+def test_unknown_char_raises(tiny_tokenizer):
+    with pytest.raises(ValueError, match="not found in vocab"):
+        # remove control char 0x07 from a fresh tokenizer? simpler: use a
+        # character genuinely absent — astral surrogate half
+        tiny_tokenizer.encode("\U0001F600")  # splits to surrogates, not in vocab
+
+
+def test_decode_bos_space_strip(tiny_tokenizer):
+    """llama2.ts:502 — leading space stripped only right after BOS."""
+    sp = tiny_tokenizer.vocab.index(" a")
+    assert tiny_tokenizer.decode_token(sp, prev_token=BOS) == "a"
+    assert tiny_tokenizer.decode_token(sp, prev_token=5) == " a"
+
+
+def test_roundtrip_save_load(tmp_path, tiny_tokenizer):
+    path = tmp_path / "tokenizer.bin"
+    tiny_tokenizer.save(path)
+    loaded = Tokenizer.load(path, vocab_size=tiny_tokenizer.vocab_size)
+    assert loaded.vocab == tiny_tokenizer.vocab
+    # scores survive as f32
+    import numpy as np
+    np.testing.assert_allclose(loaded.scores, np.float32(tiny_tokenizer.scores))
+    assert loaded.encode("Once upon a time") == tiny_tokenizer.encode("Once upon a time")
+
+
+def test_reference_tokenizer_bin_if_present():
+    """If the real llama2.c tokenizer.bin is mounted, parse and sanity-check it."""
+    import os
+    path = "/root/reference/tokenizer.bin"
+    if not os.path.exists(path):
+        pytest.skip("reference tokenizer.bin not available")
+    tok = Tokenizer.load(path, vocab_size=32000)
+    assert tok.vocab_size == 32000
+    assert tok.vocab[1] == "\n<s>\n"
+    assert tok.vocab[2] == "\n</s>\n"
+    # SURVEY §2.3: tokens 3..258 are raw bytes 0x00..0xFF
+    assert tok.vocab[3 + ord("A")] == "A"
+    ids = tok.encode("Once upon a time")
+    assert len(ids) > 0
+    assert tok.decode(ids).lstrip() == "Once upon a time"
