@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark runner — prints ONE JSON line with the headline metric.
+
+Headline: decode tokens/sec/chip on the Llama-2 7B shape (BASELINE.json).
+The reference's published 7B number is 0.16 tok/s (fp32, laptop CPU,
+/root/reference/README.md:11); ``vs_baseline`` is the ratio against that.
+
+Weights are synthetic (no checkpoints ship in this environment) — decode
+throughput is content-independent.  Falls back to smaller shapes if the
+flagship doesn't fit on the available device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_7B_TOKS = 0.16  # reference README.md:11
+
+
+def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512):
+    from tpu_llama.models import KVCache, forward_decode, random_params
+    from tpu_llama.models.llama import quantize_params
+
+    params = random_params(config, dtype=dtype, seed=0)
+    if quant == "int8":
+        params = jax.block_until_ready(quantize_params(params))
+    cache = KVCache.create(config, batch=batch, dtype=dtype)
+    jax.block_until_ready(params.tok_emb)
+
+    tokens = jnp.zeros((batch,), jnp.int32)
+
+    step = jax.jit(
+        lambda p, c, t, pos: forward_decode(p, c, t, pos, config, precision="default"),
+        donate_argnums=(1,),
+    )
+
+    # Warm the cache region to a realistic decode position.
+    pos0 = seq_fill
+    pos = jnp.full((batch,), pos0, jnp.int32)
+    logits, cache = step(params, cache, tokens, pos)  # compile
+    jax.block_until_ready(logits)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        logits, cache = step(params, cache, tokens, pos + 1 + i)
+        next_t = jnp.argmax(logits, -1).astype(jnp.int32)
+        tokens = next_t
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--config", default="7b", choices=["7b", "110m", "15m"])
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--quant", default=None, choices=[None, "int8"])
+    args = ap.parse_args()
+
+    from tpu_llama.config import LLAMA2_7B, STORIES15M, STORIES110M
+
+    configs = {"7b": LLAMA2_7B, "110m": STORIES110M, "15m": STORIES15M}
+    dtype = jnp.dtype(args.dtype)
+
+    name = args.config
+    config = configs[name]
+    try:
+        toks = bench_decode(config, args.batch, args.steps, dtype, quant=args.quant)
+    except Exception as e:  # OOM etc. — fall back, report honestly
+        print(f"bench {name} failed ({type(e).__name__}: {e}); falling back to 110m",
+              file=sys.stderr)
+        name = "110m"
+        config = configs[name]
+        toks = bench_decode(config, args.batch, args.steps, dtype, quant=args.quant)
+
+    qtag = f"_{args.quant}" if args.quant else ""
+    vs = toks / BASELINE_7B_TOKS if name == "7b" else float("nan")
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec_{name}_{args.dtype}{qtag}_b{args.batch}",
+        "value": round(toks, 3),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""JAX model parity tests against the float64 oracle.
+
+The oracle (tests/test_oracle.py validates it independently) is the golden
+reference; the jitted batched model must agree with it to fp32 tolerance and,
+critically, produce identical argmax decisions (the actual compatibility
+contract) on every step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_llama.compat.oracle import OracleState, oracle_forward
+from tpu_llama.models import KVCache, forward_decode, forward_prefill, params_from_raw
+
+
+def oracle_logits_for_sequence(weights, tokens):
+    c = weights.config
+    s = OracleState.create(c)
+    return np.stack(
+        [oracle_forward(t, p, c, s, weights).copy() for p, t in enumerate(tokens)]
+    )
+
+
+@pytest.mark.parametrize("weights_fixture", ["tiny_weights", "tiny_gqa_weights"])
+def test_decode_matches_oracle(request, weights_fixture):
+    w = request.getfixturevalue(weights_fixture)
+    c = w.config
+    tokens = [1, 5, 17, 300, 42, 7, 123]
+    want = oracle_logits_for_sequence(w, tokens)
+
+    params = params_from_raw(w)
+    cache = KVCache.create(c, batch=1)
+    for p, t in enumerate(tokens):
+        logits, cache = forward_decode(
+            params, cache,
+            jnp.array([t], jnp.int32), jnp.array([p], jnp.int32), c,
+        )
+        got = np.asarray(logits[0])
+        np.testing.assert_allclose(got, want[p], rtol=2e-4, atol=2e-5,
+                                   err_msg=f"pos={p}")
+        assert int(np.argmax(got)) == int(np.argmax(want[p])), f"argmax@{p}"
+
+
+def test_prefill_matches_decode(tiny_weights):
+    """Batched prefill logits must equal sequential decode logits."""
+    c = tiny_weights.config
+    tokens = [1, 5, 17, 300, 42, 7]
+    params = params_from_raw(tiny_weights)
+
+    cache = KVCache.create(c, batch=1)
+    dec = []
+    for p, t in enumerate(tokens):
+        logits, cache = forward_decode(
+            params, cache, jnp.array([t], jnp.int32), jnp.array([p], jnp.int32), c)
+        dec.append(np.asarray(logits[0]))
+
+    cache2 = KVCache.create(c, batch=1)
+    pre, cache2 = forward_prefill(
+        params, cache2,
+        jnp.array([tokens], jnp.int32),
+        start_pos=jnp.array([0], jnp.int32),
+        lengths=jnp.array([len(tokens)], jnp.int32),
+        config=c,
+    )
+    np.testing.assert_allclose(np.asarray(pre[0]), np.stack(dec),
+                               rtol=1e-4, atol=1e-5)
+    # caches agree on the written region
+    np.testing.assert_allclose(
+        np.asarray(cache.k[:, :, :, : len(tokens)]),
+        np.asarray(cache2.k[:, :, :, : len(tokens)]), rtol=1e-5, atol=1e-6)
+
+
+def test_prefill_then_decode_continuation(tiny_weights):
+    """prefill(prompt) then decode must equal pure sequential decode."""
+    c = tiny_weights.config
+    prompt = [1, 5, 17, 300]
+    extra = [42, 7]
+    params = params_from_raw(tiny_weights)
+
+    want = oracle_logits_for_sequence(tiny_weights, prompt + extra)
+
+    cache = KVCache.create(c, batch=1)
+    _, cache = forward_prefill(
+        params, cache, jnp.array([prompt], jnp.int32),
+        jnp.array([0], jnp.int32), jnp.array([len(prompt)], jnp.int32), c)
+    for i, t in enumerate(extra):
+        p = len(prompt) + i
+        logits, cache = forward_decode(
+            params, cache, jnp.array([t], jnp.int32), jnp.array([p], jnp.int32), c)
+        np.testing.assert_allclose(np.asarray(logits[0]), want[p],
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_batched_rows_independent(tiny_weights):
+    """Rows of a batch must not leak into each other, including with
+    different positions per row (continuous batching)."""
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+
+    # row 0: sequence [1, 5]; row 1: sequence [9, 250, 33]
+    cache = KVCache.create(c, batch=2)
+    logits, cache = forward_decode(
+        params, cache, jnp.array([1, 9], jnp.int32), jnp.array([0, 0], jnp.int32), c)
+    logits, cache = forward_decode(
+        params, cache, jnp.array([5, 250], jnp.int32), jnp.array([1, 1], jnp.int32), c)
+    logits, cache = forward_decode(
+        params, cache, jnp.array([5, 33], jnp.int32), jnp.array([1, 2], jnp.int32), c)
+    # compare row 1 against a batch-1 run of the same sequence
+    cache1 = KVCache.create(c, batch=1)
+    for p, t in enumerate([9, 250, 33]):
+        solo, cache1 = forward_decode(
+            params, cache1, jnp.array([t], jnp.int32), jnp.array([p], jnp.int32), c)
+    np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(solo[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_prefill_padding_is_harmless(tiny_weights):
+    """Padded prefill rows produce the same logits/caches as exact-length."""
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    prompt = [1, 5, 17]
+
+    cache_a = KVCache.create(c, batch=1)
+    la, cache_a = forward_prefill(
+        params, cache_a, jnp.array([prompt], jnp.int32),
+        jnp.array([0], jnp.int32), jnp.array([3], jnp.int32), c)
+
+    padded = prompt + [0, 0, 0]
+    cache_b = KVCache.create(c, batch=1)
+    lb, cache_b = forward_prefill(
+        params, cache_b, jnp.array([padded], jnp.int32),
+        jnp.array([0], jnp.int32), jnp.array([3], jnp.int32), c)
+
+    np.testing.assert_allclose(np.asarray(la[0]), np.asarray(lb[0, :3]),
+                               rtol=1e-5, atol=1e-6)
+    # continuing decode after padded prefill matches oracle
+    want = oracle_logits_for_sequence(tiny_weights, prompt + [42])
+    logits, _ = forward_decode(
+        params, cache_b, jnp.array([42], jnp.int32), jnp.array([3], jnp.int32), c)
+    np.testing.assert_allclose(np.asarray(logits[0]), want[3], rtol=2e-4, atol=2e-5)
+
+
+def test_decode_jit_cache_stable(tiny_weights):
+    """Repeated decode calls at different pos must not retrace (static parts
+    are config/precision only)."""
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    cache = KVCache.create(c, batch=2)
+    fn = forward_decode
+    n0 = fn._cache_size() if hasattr(fn, "_cache_size") else None
+    for p in range(4):
+        _, cache = fn(params, cache, jnp.array([1, 2], jnp.int32),
+                      jnp.full((2,), p, jnp.int32), c)
+    if n0 is not None:
+        assert fn._cache_size() <= (n0 or 0) + 1

@@ -1,0 +1,95 @@
+"""INT8 quantization + fused dequant-matmul kernel tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_llama.ops import QuantTensor, dequantize, pick_group_size, q8_matmul, quantize_q8
+
+
+def test_pick_group_size():
+    assert pick_group_size(4096) == 64   # 8g=512 divides -> no padding
+    assert pick_group_size(11008) == 32  # 256 | 11008 -> no padding
+    assert pick_group_size(768) == 32    # 256 | 768
+    assert pick_group_size(288) == 16    # min-padding fallback (288 -> 384)
+    assert pick_group_size(48) == 16     # 48 -> 128
+
+
+def test_quantize_pads_unaligned_dims():
+    w = np.ones((288, 8), np.float32)
+    t = quantize_q8(w)  # g=16, align=128 -> in 384; out -> 128
+    assert t.q.shape == (384, 128)
+    assert (t.logical_in, t.logical_out) == (288, 8)
+    assert t.shape == (288, 8)
+    # padding groups carry zero scale
+    assert np.all(np.asarray(t.s)[288 // 16:] == 0)
+    assert np.all(np.asarray(t.s)[:, 8:] == 0)
+    np.testing.assert_allclose(np.asarray(dequantize(t)), w, atol=0.01)
+
+
+def test_quantize_roundtrip_accuracy(rng_np):
+    w = rng_np.standard_normal((256, 128)).astype(np.float32) * 0.1
+    t = quantize_q8(w, 32)  # align 256 -> no padding
+    assert t.q.dtype == jnp.int8
+    assert t.s.shape == (8, 128)
+    back = np.asarray(dequantize(t))
+    # symmetric int8 groupwise: worst-case rel error ~ 1/127 per group absmax
+    rel = np.abs(back - w) / (np.abs(w).max() + 1e-9)
+    assert rel.max() < 0.01
+    # theoretical floor for gaussian weights, g=64: absmax≈2.5σ, step/√12 ≈ 0.006σ
+    rms = np.sqrt(np.mean((back - w) ** 2)) / np.sqrt(np.mean(w**2))
+    assert rms < 0.008
+
+
+def test_quantize_exact_values():
+    # Integer weights in groups whose absmax is exactly 127 quantize exactly
+    pattern = np.concatenate([np.arange(-7, 8), [127]])  # 16 values incl. ±127-max
+    w = np.tile(pattern, 8)[:, None].astype(np.float32)  # (128, 1)
+    t = quantize_q8(w, 16)  # align 128 -> no padding
+    back = np.asarray(dequantize(t))
+    np.testing.assert_array_equal(back, w)
+
+
+def test_zero_group_handled():
+    w = np.zeros((64, 8), np.float32)
+    t = quantize_q8(w, 32)
+    assert np.all(np.asarray(t.q) == 0)
+    assert np.all(np.asarray(t.s) == 0)
+    np.testing.assert_array_equal(np.asarray(dequantize(t)), w)
+
+
+def test_stacked_layers_quantize(rng_np):
+    w = rng_np.standard_normal((3, 256, 128)).astype(np.float32)
+    t = quantize_q8(w, 32)  # align 256, out 128 -> no padding
+    assert t.q.shape == (3, 256, 128)
+    assert t.s.shape == (3, 8, 128)
+    back = np.asarray(dequantize(t))
+    assert np.sqrt(np.mean((back - w) ** 2)) < 0.02
+
+
+@pytest.mark.parametrize("B,IN,OUT,g", [
+    (1, 256, 128, 64),
+    (8, 512, 256, 64),
+    (3, 288, 320, 32),     # stories15M-ish non-aligned dims
+    (16, 128, 512, 32),
+    (2, 48, 128, 16),      # tiny config dims
+])
+def test_q8_matmul_matches_dequant_reference(rng_np, B, IN, OUT, g):
+    x = rng_np.standard_normal((B, IN)).astype(np.float32)
+    w = rng_np.standard_normal((IN, OUT)).astype(np.float32) * 0.05
+    t = quantize_q8(w, g)
+    want = x @ np.asarray(dequantize(t))  # f32 reference on dequantized weights
+    got = np.asarray(q8_matmul(jnp.asarray(x), t))
+    # kernel computes in bf16*bf16->f32; tolerance accounts for bf16 mantissa
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
+
+
+def test_q8_matmul_batched_lead_dims(rng_np):
+    x = rng_np.standard_normal((2, 4, 128)).astype(np.float32)
+    w = rng_np.standard_normal((128, 64)).astype(np.float32)
+    t = quantize_q8(w, 32)
+    got = np.asarray(q8_matmul(jnp.asarray(x), t))
+    want = x.reshape(-1, 128) @ np.asarray(dequantize(t))
+    np.testing.assert_allclose(got.reshape(-1, 64), want, rtol=2e-2,
+                               atol=2e-2 * np.abs(want).max())
+    assert got.shape == (2, 4, 64)

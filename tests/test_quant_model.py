@@ -1,0 +1,57 @@
+"""End-to-end INT8 weight-only model tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llama.models import KVCache, forward_decode, forward_prefill, params_from_raw
+from tpu_llama.models.llama import quantize_params
+
+
+def test_quantized_decode_close_to_fp32(tiny_weights):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    qparams = quantize_params(params)
+
+    tokens = [1, 5, 17, 300, 42]
+    cache_f = KVCache.create(c, batch=1)
+    cache_q = KVCache.create(c, batch=1)
+    agree = 0
+    for p, t in enumerate(tokens):
+        tt, pp = jnp.array([t], jnp.int32), jnp.array([p], jnp.int32)
+        lf, cache_f = forward_decode(params, cache_f, tt, pp, c)
+        lq, cache_q = forward_decode(qparams, cache_q, tt, pp, c)
+        lf, lq = np.asarray(lf[0]), np.asarray(lq[0])
+        # INT8 weight-only should track fp32 logits closely
+        denom = np.abs(lf).max() + 1e-9
+        assert np.abs(lq - lf).max() / denom < 0.08, f"pos {p}"
+        agree += int(np.argmax(lq) == np.argmax(lf))
+    assert agree >= len(tokens) - 1  # argmax agreement nearly always
+
+
+def test_quantized_prefill_matches_decode(tiny_weights):
+    c = tiny_weights.config
+    qparams = quantize_params(params_from_raw(tiny_weights))
+    tokens = [1, 5, 17, 300]
+
+    cache_a = KVCache.create(c, batch=1)
+    dec = []
+    for p, t in enumerate(tokens):
+        logits, cache_a = forward_decode(
+            qparams, cache_a, jnp.array([t], jnp.int32), jnp.array([p], jnp.int32), c)
+        dec.append(np.asarray(logits[0]))
+
+    cache_b = KVCache.create(c, batch=1)
+    pre, _ = forward_prefill(
+        qparams, cache_b, jnp.array([tokens], jnp.int32),
+        jnp.array([0], jnp.int32), jnp.array([4], jnp.int32), c)
+    np.testing.assert_allclose(np.asarray(pre[0]), np.stack(dec), rtol=3e-2, atol=3e-2)
+
+
+def test_quantized_memory_is_int8(tiny_weights):
+    qparams = quantize_params(params_from_raw(tiny_weights))
+    assert qparams.layers.wq.q.dtype == jnp.int8
+    assert qparams.wcls.q.dtype == jnp.int8
+    # ~4x smaller than fp32 (scales add a small overhead)
+    fp_bytes = np.prod(qparams.layers.wq.q.shape) * 4
+    q_bytes = np.prod(qparams.layers.wq.q.shape) + np.prod(qparams.layers.wq.s.shape) * 4
+    assert q_bytes < fp_bytes / 3

@@ -1,0 +1,126 @@
+"""Engine + continuous-batching scheduler tests."""
+
+import numpy as np
+import pytest
+
+from tpu_llama.compat.generate import generate_compat
+from tpu_llama.compat.oracle import OracleState, oracle_forward
+from tpu_llama.models import params_from_raw
+from tpu_llama.runtime import ContinuousBatcher, Engine, Request
+
+
+@pytest.fixture()
+def engine(tiny_weights):
+    return Engine(
+        params_from_raw(tiny_weights), tiny_weights.config,
+        max_batch=4, precision="highest",
+    )
+
+
+def oracle_tokens(weights, tokenizer, prompt, steps, temperature=0.0, topp=1.0, seed=1):
+    c = weights.config
+    state = OracleState.create(c)
+    res = generate_compat(
+        lambda t, p: oracle_forward(t, p, c, state, weights),
+        tokenizer, prompt=prompt, steps=steps,
+        temperature=temperature, topp=topp, seed=seed, seq_len=c.seq_len,
+    )
+    return res.tokens
+
+
+def test_single_request_matches_oracle_greedy(engine, tiny_weights, tiny_tokenizer):
+    prompt = "Once upon a time"
+    want = oracle_tokens(tiny_weights, tiny_tokenizer, prompt, steps=24)
+
+    batcher = ContinuousBatcher(engine)
+    ptoks = tiny_tokenizer.encode(prompt)
+    req = Request(prompt_tokens=ptoks, steps=24, temperature=0.0, seed=1)
+    batcher.submit(req)
+    batcher.run()
+
+    # scheduler's out_tokens excludes the teacher-forced prompt echo
+    want_generated = want[len(ptoks):]
+    assert req.out_tokens == want_generated
+    assert req.done
+    assert req.ttft > 0
+
+
+def test_empty_prompt(engine):
+    batcher = ContinuousBatcher(engine)
+    req = Request(prompt_tokens=[], steps=8, temperature=0.0, seed=1)
+    batcher.submit(req)
+    batcher.run()
+    assert req.done
+    assert len(req.out_tokens) <= 8
+
+
+def test_multi_request_matches_solo(engine, tiny_weights, tiny_tokenizer):
+    prompts = ["Once upon a time", "On", "time time"]
+    solos = []
+    for p in prompts:
+        e = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                   max_batch=4, precision="highest")
+        b = ContinuousBatcher(e)
+        r = Request(prompt_tokens=tiny_tokenizer.encode(p), steps=20,
+                    temperature=0.0, seed=1)
+        b.submit(r)
+        b.run()
+        solos.append(r.out_tokens)
+
+    batcher = ContinuousBatcher(engine)
+    reqs = [Request(prompt_tokens=tiny_tokenizer.encode(p), steps=20,
+                    temperature=0.0, seed=1) for p in prompts]
+    for r in reqs:
+        batcher.submit(r)
+    batcher.run()
+    for r, solo, p in zip(reqs, solos, prompts):
+        assert r.out_tokens == solo, p
+
+
+def test_slot_reuse_more_requests_than_slots(tiny_weights, tiny_tokenizer):
+    engine = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                    max_batch=2, precision="highest")
+    batcher = ContinuousBatcher(engine)
+    reqs = [Request(prompt_tokens=tiny_tokenizer.encode("On"), steps=10 + i,
+                    temperature=0.0, seed=1) for i in range(5)]
+    for r in reqs:
+        batcher.submit(r)
+    batcher.run()
+    assert all(r.done for r in reqs)
+    assert len(batcher.finished) == 5
+    # same prompt, same greedy sampling, overlapping steps -> shared prefix
+    for r in reqs[1:]:
+        n = min(len(r.out_tokens), len(reqs[0].out_tokens))
+        assert r.out_tokens[:n] == reqs[0].out_tokens[:n]
+
+
+def test_sampled_deterministic_and_rng_isolated(engine, tiny_weights, tiny_tokenizer):
+    """Sampled requests in one batch must each consume their own RNG stream."""
+    batcher = ContinuousBatcher(engine)
+    reqs = [Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=16,
+                    temperature=0.9, topp=0.9, seed=7) for _ in range(3)]
+    for r in reqs:
+        batcher.submit(r)
+    batcher.run()
+    # identical seed+prompt -> identical tokens even when batched together
+    assert reqs[0].out_tokens == reqs[1].out_tokens == reqs[2].out_tokens
+
+    engine.reset()
+    b2 = ContinuousBatcher(engine)
+    r2 = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=16,
+                 temperature=0.9, topp=0.9, seed=7)
+    b2.submit(r2)
+    b2.run()
+    assert r2.out_tokens == reqs[0].out_tokens
+
+
+def test_budget_counts_prompt_positions(engine, tiny_tokenizer):
+    """steps is the reference's total-forwards budget: prompt + generated."""
+    ptoks = tiny_tokenizer.encode("Once upon a time")
+    req = Request(prompt_tokens=ptoks, steps=len(ptoks) + 3, temperature=0.0, seed=1)
+    batcher = ContinuousBatcher(engine)
+    batcher.submit(req)
+    batcher.run()
+    # forwards: prefill len+1, then budget = steps-(len+1) = 2 decode ticks,
+    # each emitting one token; plus the prefill's sampled token = 3 emitted
+    assert len(req.out_tokens) <= 3

@@ -1,0 +1,413 @@
+"""Batched, jitted, shardable Llama-2 forward pass — the TPU-native core.
+
+This is NOT a translation of the reference's scalar loop (llama2.ts:205-303).
+The reference's formulation — one token, one position, jagged per-layer
+``Float32Array[]``, per-head Python-style loops — becomes:
+
+* weights as stacked ``[n_layers, ...]`` arrays in ``(in, out)`` orientation
+  so every projection is ``x @ W`` on the MXU,
+* one ``jax.lax.scan`` over layers inside a single jitted function,
+* a batched head-major ``[L, B, KVH, S, hd]`` KV cache updated functionally (donated by
+  the caller for in-place XLA buffers),
+* attention as masked batched einsums (a Pallas flash kernel slots in via
+  ``tpu_llama.ops``),
+* GQA-native shapes (``n_kv_heads`` real; v0 checkpoints degenerate to MHA).
+
+Numerical contract: computations are f32 with ``precision=HIGHEST`` in compat
+mode, eps placement identical to the reference (1e-5 inside the rsqrt,
+llama2.ts:176), RoPE driven by the checkpoint's precomputed tables
+(llama2.ts:125-126, 224-235).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llama.config import ModelConfig
+from tpu_llama.io.checkpoint import RawWeights
+from tpu_llama.ops.matmul import q8_matmul
+from tpu_llama.ops.quant import QuantTensor, quantize_q8
+
+
+def _dataclass_pytree(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_dataclass_pytree
+@dataclasses.dataclass
+class LayerParams:
+    """Per-layer weights, stacked on axis 0 over layers, (in, out) layout."""
+
+    rms_att: jax.Array  # [L, D]
+    wq: jax.Array  # [L, D, D]
+    wk: jax.Array  # [L, D, KVD]
+    wv: jax.Array  # [L, D, KVD]
+    wo: jax.Array  # [L, D, D]
+    rms_ffn: jax.Array  # [L, D]
+    w1: jax.Array  # [L, D, H]   (gate)
+    w2: jax.Array  # [L, H, D]   (down)
+    w3: jax.Array  # [L, D, H]   (up)
+
+
+@_dataclass_pytree
+@dataclasses.dataclass
+class LlamaParams:
+    tok_emb: jax.Array  # [V, D]
+    layers: LayerParams
+    rms_final: jax.Array  # [D]
+    wcls: jax.Array  # [D, V]
+    rope_cos: jax.Array  # [S, hd/2] — checkpoint's freq_cis_real
+    rope_sin: jax.Array  # [S, hd/2] — checkpoint's freq_cis_imag
+
+
+@_dataclass_pytree
+@dataclasses.dataclass
+class KVCache:
+    """Dense KV cache, **head-major**: [L, B, KVH, S, hd].
+
+    Generalizes the reference's fp32 ``key_cache/value_cache``
+    (llama2.ts:160-161) to batched + GQA + arbitrary dtype.  Head-major
+    layout keeps each (batch, head) slice a contiguous [S, hd] block — the
+    shape the flash-decode Pallas kernel streams through the MXU — and puts
+    the TP-sharded axis (heads) ahead of the sequence axis.
+    """
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(
+        cls, config: ModelConfig, batch: int, dtype=jnp.float32, seq_len: int | None = None
+    ) -> "KVCache":
+        S = seq_len or config.seq_len
+        shape = (config.n_layers, batch, config.n_kv_heads, S, config.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def seq_len(self) -> int:
+        return self.k.shape[3]
+
+
+def params_from_raw(raw: RawWeights, dtype=jnp.float32, device_put=True) -> LlamaParams:
+    """Convert on-disk (out, in) fp32 tensors to the stacked (in, out) layout."""
+    c = raw.config
+
+    def t(x, transpose_axes=None):
+        arr = np.asarray(x)
+        if transpose_axes is not None:
+            arr = arr.transpose(transpose_axes)
+        out = jnp.asarray(arr, dtype=dtype)
+        return out
+
+    layers = LayerParams(
+        rms_att=t(raw.rms_att),
+        wq=t(raw.wq, (0, 2, 1)),
+        wk=t(raw.wk, (0, 2, 1)),
+        wv=t(raw.wv, (0, 2, 1)),
+        wo=t(raw.wo, (0, 2, 1)),
+        rms_ffn=t(raw.rms_ffn),
+        w1=t(raw.w1, (0, 2, 1)),
+        w2=t(raw.w2, (0, 2, 1)),
+        w3=t(raw.w3, (0, 2, 1)),
+    )
+    return LlamaParams(
+        tok_emb=t(raw.token_embedding),
+        layers=layers,
+        rms_final=t(raw.rms_final),
+        wcls=t(raw.wcls, (1, 0)),
+        # RoPE tables stay f32 regardless of weight dtype (tiny, precision-critical)
+        rope_cos=jnp.asarray(np.asarray(raw.freq_cis_real), jnp.float32),
+        rope_sin=jnp.asarray(np.asarray(raw.freq_cis_imag), jnp.float32),
+    )
+
+
+def random_params(
+    config: ModelConfig, dtype=jnp.bfloat16, seed: int = 0, scale: float = 0.02
+) -> LlamaParams:
+    """Device-side random parameters (for benchmarks / synthetic models).
+
+    Generates directly on the default device in the target dtype — no host
+    roundtrip, so a 7B model materializes in seconds within HBM limits.
+    """
+    c = config
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 16))
+
+    def t(*shape):
+        return jax.random.normal(next(keys), shape, dtype=dtype) * scale
+
+    hd2 = c.head_dim // 2
+    inv_freq = 1.0 / (
+        10000.0 ** (np.arange(0, hd2, dtype=np.float64) * 2 / c.head_dim)
+    )
+    angles = np.arange(c.seq_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    L, D, H, KVD, V = c.n_layers, c.dim, c.hidden_dim, c.kv_dim, c.vocab_size
+    return LlamaParams(
+        tok_emb=t(V, D),
+        layers=LayerParams(
+            rms_att=jnp.ones((L, D), dtype),
+            wq=t(L, D, D),
+            wk=t(L, D, KVD),
+            wv=t(L, D, KVD),
+            wo=t(L, D, D),
+            rms_ffn=jnp.ones((L, D), dtype),
+            w1=t(L, D, H),
+            w2=t(L, H, D),
+            w3=t(L, D, H),
+        ),
+        rms_final=jnp.ones((D,), dtype),
+        wcls=t(D, V),
+        rope_cos=jnp.asarray(np.cos(angles), jnp.float32),
+        rope_sin=jnp.asarray(np.sin(angles), jnp.float32),
+    )
+
+
+def quantize_params(
+    params: LlamaParams, group_size: int | None = None, quantize_wcls: bool = True
+) -> LlamaParams:
+    """Weight-only INT8 (Q8_0-style groupwise) conversion of the seven matmul
+    families (+ classifier).  Norm weights, embeddings, and RoPE tables stay
+    floating point (tiny and/or gather-only)."""
+
+    def q(w):
+        return quantize_q8(w, group_size)
+
+    lp = params.layers
+    return LlamaParams(
+        tok_emb=params.tok_emb,
+        layers=LayerParams(
+            rms_att=lp.rms_att,
+            wq=q(lp.wq), wk=q(lp.wk), wv=q(lp.wv), wo=q(lp.wo),
+            rms_ffn=lp.rms_ffn,
+            w1=q(lp.w1), w2=q(lp.w2), w3=q(lp.w3),
+        ),
+        rms_final=params.rms_final,
+        wcls=q(params.wcls) if quantize_wcls else params.wcls,
+        rope_cos=params.rope_cos,
+        rope_sin=params.rope_sin,
+    )
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+_NEG_INF = jnp.float32(-1e30)
+
+
+def matmul_any(a: jax.Array, w, precision) -> jax.Array:
+    """x @ W for either a dense jax.Array or an INT8 QuantTensor (fused
+    dequant+matmul Pallas kernel)."""
+    if isinstance(w, QuantTensor):
+        return q8_matmul(a, w, out_dtype=a.dtype)
+    return jnp.dot(a, w, precision=precision)
+
+
+def rmsnorm(x: jax.Array, weight: jax.Array) -> jax.Array:
+    """RMS norm with the reference's eps placement: w * x / sqrt(1e-5 + mean(x²))
+    (llama2.ts:172-179)."""
+    x32 = x.astype(jnp.float32)
+    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(1e-5 + ms)).astype(x.dtype) * weight
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate interleaved (even, odd) pairs.
+
+    x: [..., n_heads, hd]; cos/sin: broadcastable to [..., hd/2].  Matches the
+    reference's full-dim interleaved rotation (llama2.ts:224-235): pair
+    (2j, 2j+1) of every head rotates by angle index j.
+    """
+    shape = x.shape
+    dtype = x.dtype
+    x = x.reshape(*shape[:-1], shape[-1] // 2, 2)
+    x0, x1 = x[..., 0], x[..., 1]
+    cos = cos[..., None, :]  # broadcast over heads axis
+    sin = sin[..., None, :]
+    r0 = x0 * cos - x1 * sin  # promotes to f32 (tables are f32)
+    r1 = x0 * sin + x1 * cos
+    return jnp.stack([r0, r1], axis=-1).reshape(shape).astype(dtype)
+
+
+def _attention_decode(
+    q: jax.Array,  # [B, NH, hd]
+    k_cache: jax.Array,  # [B, KVH, S, hd]
+    v_cache: jax.Array,  # [B, KVH, S, hd]
+    pos: jax.Array,  # [B] current position (attends to cache[0..pos])
+    config: ModelConfig,
+    precision,
+) -> jax.Array:
+    B, S = k_cache.shape[0], k_cache.shape[2]
+    hd, kvh, g = config.head_dim, config.n_kv_heads, config.group_size
+    qg = q.reshape(B, kvh, g, hd)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    # scores [B, KVH, G, S]
+    scores = jnp.einsum("bkgh,bksh->bkgs", qg.astype(jnp.float32), kf,
+                        precision=precision) / jnp.sqrt(jnp.float32(hd))
+    s_idx = jnp.arange(S)[None, None, None, :]
+    mask = s_idx <= pos[:, None, None, None]
+    scores = jnp.where(mask, scores, _NEG_INF)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgs,bksh->bkgh", att, vf, precision=precision)
+    return out.reshape(B, config.dim).astype(q.dtype)
+
+
+def _attention_prefill(
+    q: jax.Array,  # [B, T, NH, hd]
+    k_cache: jax.Array,  # [B, KVH, S, hd] (already containing this chunk)
+    v_cache: jax.Array,
+    q_pos: jax.Array,  # [B, T] absolute position of each query
+    config: ModelConfig,
+    precision,
+) -> jax.Array:
+    B, T = q.shape[0], q.shape[1]
+    S = k_cache.shape[2]
+    hd, kvh, g = config.head_dim, config.n_kv_heads, config.group_size
+    qg = q.reshape(B, T, kvh, g, hd)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("btkgh,bksh->bkgts", qg.astype(jnp.float32), kf,
+                        precision=precision) / jnp.sqrt(jnp.float32(hd))
+    s_idx = jnp.arange(S)[None, None, None, None, :]  # [1,1,1,1,S]
+    mask = s_idx <= q_pos[:, None, None, :, None]  # causal vs absolute positions
+    scores = jnp.where(mask, scores, _NEG_INF)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksh->btkgh", att, vf, precision=precision)
+    return out.reshape(B, T, config.dim).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward passes
+# ---------------------------------------------------------------------------
+
+
+def _layer_names():
+    return [f.name for f in dataclasses.fields(LayerParams)]
+
+
+@partial(jax.jit, static_argnames=("config", "precision"))
+def forward_decode(
+    params: LlamaParams,
+    cache: KVCache,
+    tokens: jax.Array,  # [B] int32
+    pos: jax.Array,  # [B] int32 — per-sequence positions (continuous batching)
+    config: ModelConfig,
+    precision: str = "highest",
+):
+    """One decode step for a batch. Returns (logits [B, V], new cache)."""
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    B = tokens.shape[0]
+    x = params.tok_emb[tokens]  # [B, D]
+    cos = params.rope_cos[pos]  # [B, hd/2]
+    sin = params.rope_sin[pos]
+
+    batch_idx = jnp.arange(B)
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    def layer_step(x, scanned):
+        lp, k_cache, v_cache = scanned  # per-layer slices
+        h = rmsnorm(x, lp.rms_att)
+        q = mm(h, lp.wq).reshape(B, config.n_heads, config.head_dim)
+        k = mm(h, lp.wk).reshape(B, config.n_kv_heads, config.head_dim)
+        v = mm(h, lp.wv).reshape(B, config.n_kv_heads, config.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # scatter [B, KVH, hd] at per-row position: indices broadcast to [B, KVH]
+        b_ix = batch_idx[:, None]
+        h_ix = jnp.arange(config.n_kv_heads)[None, :]
+        k_cache = k_cache.at[b_ix, h_ix, pos[:, None]].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[b_ix, h_ix, pos[:, None]].set(v.astype(v_cache.dtype))
+        att = _attention_decode(q, k_cache, v_cache, pos, config, prec)
+        x = x + mm(att, lp.wo)
+        h = rmsnorm(x, lp.rms_ffn)
+        gate = mm(h, lp.w1)
+        up = mm(h, lp.w3)
+        x = x + mm(jax.nn.silu(gate) * up, lp.w2)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_step, x, (params.layers, cache.k, cache.v)
+    )
+    x = rmsnorm(x, params.rms_final)
+    logits = matmul_any(x, params.wcls, prec)
+    return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v)
+
+
+@partial(jax.jit, static_argnames=("config", "precision"))
+def forward_prefill(
+    params: LlamaParams,
+    cache: KVCache,
+    tokens: jax.Array,  # [B, T] int32
+    start_pos: jax.Array,  # [B] int32 — write offset into the cache
+    lengths: jax.Array,  # [B] int32 — valid token count per row
+    config: ModelConfig,
+    precision: str = "highest",
+):
+    """Batched causal prefill. Returns (logits [B, T, V], new cache).
+
+    The reference has no batched prefill — it teacher-forces prompt tokens
+    through the sequential decode loop (llama2.ts:471-474, SURVEY §3.3).
+    This runs the whole prompt in one jitted pass; positions beyond
+    ``lengths`` are masked out of the cache via position clamping.
+    """
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    B, T = tokens.shape
+    S = cache.seq_len
+    x = params.tok_emb[tokens]  # [B, T, D]
+    q_pos = start_pos[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    # Padding positions (t >= lengths[b]) write garbage k/v at their own
+    # slots — harmless: no valid query in this pass attends past its own
+    # position, and subsequent decode steps overwrite slot `pos` before
+    # attending to it (decode mask is s <= pos).  Clamp only to stay in
+    # bounds when a caller overflows the cache.
+    write_pos = jnp.clip(q_pos, 0, S - 1)
+    cos = params.rope_cos[write_pos]  # [B, T, hd/2]
+    sin = params.rope_sin[write_pos]
+    del lengths  # shape bookkeeping is the caller's job; masking uses q_pos
+
+    batch_idx = jnp.arange(B)
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    def layer_step(x, scanned):
+        lp, k_cache, v_cache = scanned
+        h = rmsnorm(x, lp.rms_att)
+        q = mm(h, lp.wq).reshape(B, T, config.n_heads, config.head_dim)
+        k = mm(h, lp.wk).reshape(B, T, config.n_kv_heads, config.head_dim)
+        v = mm(h, lp.wv).reshape(B, T, config.n_kv_heads, config.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # [B, T, KVH, hd] -> head-major [B, KVH, T, hd], scatter at [B, 1, T]
+        kt = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
+        vt = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        b_ix = batch_idx[:, None, None]  # [B,1,1]
+        h_ix = jnp.arange(config.n_kv_heads)[None, :, None]  # [1,KVH,1]
+        p_ix = write_pos[:, None, :]  # [B,1,T]
+        k_cache = k_cache.at[b_ix, h_ix, p_ix].set(kt)
+        v_cache = v_cache.at[b_ix, h_ix, p_ix].set(vt)
+        att = _attention_prefill(q, k_cache, v_cache, q_pos, config, prec)
+        x = x + mm(att, lp.wo)
+        h = rmsnorm(x, lp.rms_ffn)
+        x = x + mm(jax.nn.silu(mm(h, lp.w1)) * mm(h, lp.w3), lp.w2)
+        return x, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_step, x, (params.layers, cache.k, cache.v)
+    )
+    x = rmsnorm(x, params.rms_final)
+    logits = matmul_any(x, params.wcls, prec)
+    return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v)

@@ -1,0 +1,141 @@
+"""Group-wise weight-only INT8 quantization (Q8_0-style).
+
+The reference is pure fp32 (llama2.ts has no quantization); INT8 weights are
+the BASELINE.json north-star extension: per-group symmetric absmax scaling,
+groups of ``g`` consecutive weights along the **contraction** dimension —
+the same grouping llama2.c's Q8_0 uses along a row of W(d, n), transposed to
+our ``(in, out)`` layout where the contraction is axis -2.
+
+A ``QuantTensor`` is a pytree; model code treats it as a drop-in weight
+(`tpu_llama.models` dispatches matmuls on its type).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dataclass_pytree(cls, meta=()):
+    fields = [f.name for f in dataclasses.fields(cls) if f.name not in meta]
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=fields, meta_fields=list(meta)
+    )
+
+
+@dataclasses.dataclass
+class QuantTensor:
+    """INT8 values + per-group scales.
+
+    ``q``: int8, shape [..., in, out] — both dims may be zero-padded to
+    kernel-friendly multiples (in: max(8g, 128); out: 128); ``logical_in`` /
+    ``logical_out`` are the un-padded sizes.
+    ``s``: f32, shape [..., in // g, out] — symmetric absmax scale per group
+    of ``g`` consecutive elements along the contraction (in) axis.  Padding
+    groups/columns have scale 0 (contribute nothing).
+    """
+
+    q: jax.Array
+    s: jax.Array
+    logical_in: int  # static metadata (pytree aux)
+    logical_out: int
+
+    @property
+    def group_size(self) -> int:
+        return self.q.shape[-2] // self.s.shape[-2]
+
+    @property
+    def shape(self):
+        return (*self.q.shape[:-2], self.logical_in, self.logical_out)
+
+    @property
+    def in_features(self) -> int:
+        return self.logical_in
+
+    @property
+    def padded_in(self) -> int:
+        return self.q.shape[-2]
+
+    @property
+    def out_features(self) -> int:
+        return self.logical_out
+
+    @property
+    def padded_out(self) -> int:
+        return self.q.shape[-1]
+
+
+_dataclass_pytree(QuantTensor, meta=("logical_in", "logical_out"))
+
+
+def kernel_alignment(g: int) -> int:
+    """The fused kernel tiles scales in sublane chunks of >=8 rows and data in
+    lane chunks of >=128 — the in-dim must be a multiple of max(8g, 128)."""
+    return max(8 * g, 128)
+
+
+def pick_group_size(in_features: int, preferred: int = 64) -> int:
+    """Largest group <= preferred whose kernel alignment divides in_features
+    (no padding); otherwise the group minimizing padding (ties -> larger g)."""
+    candidates = [g for g in (64, 32, 16) if g <= max(preferred, 16)]
+    for g in candidates:
+        if in_features % kernel_alignment(g) == 0:
+            return g
+
+    def padding(g):
+        a = kernel_alignment(g)
+        return -(-in_features // a) * a - in_features
+
+    return min(candidates, key=padding)
+
+
+def quantize_q8(w, group_size: int | None = None) -> QuantTensor:
+    """Quantize [..., in, out] fp weights to per-group symmetric INT8.
+
+    scale = absmax / 127 per group; q = round(w / scale) clipped to ±127.
+    Round-to-nearest-even (jnp.rint); zero-scale groups map to q=0, s=0.
+    The in-dim is zero-padded to the kernel alignment when needed (whole
+    zero groups; recorded in ``logical_in``).
+    """
+    w = jnp.asarray(w)
+    in_f, out_f = w.shape[-2:]
+    g = group_size or pick_group_size(in_f)
+    align = kernel_alignment(g)
+    padded_in = -(-in_f // align) * align
+    padded_out = -(-out_f // 128) * 128
+    if (padded_in, padded_out) != (in_f, out_f):
+        pad = [(0, 0)] * (w.ndim - 2) + [
+            (0, padded_in - in_f), (0, padded_out - out_f)]
+        w = jnp.pad(w, pad)
+    lead = w.shape[:-2]
+    wg = w.astype(jnp.float32).reshape(*lead, padded_in // g, g, padded_out)
+    absmax = jnp.max(jnp.abs(wg), axis=-2)  # [..., in/g, out]
+    s = absmax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q = jnp.clip(jnp.rint(wg * inv[..., None, :]), -127, 127).astype(jnp.int8)
+    return QuantTensor(
+        q=q.reshape(*lead, padded_in, padded_out), s=s,
+        logical_in=in_f, logical_out=out_f,
+    )
+
+
+def dequantize(t: QuantTensor, dtype=jnp.float32) -> jax.Array:
+    g = t.group_size
+    lead = t.q.shape[:-2]
+    in_f, out_f = t.q.shape[-2:]
+    qg = t.q.reshape(*lead, in_f // g, g, out_f).astype(jnp.float32)
+    w = qg * t.s[..., None, :]
+    w = w.reshape(*lead, in_f, out_f)
+    w = w[..., : t.logical_in, : t.logical_out]
+    return w.astype(dtype)
+
+
+def quantization_error(w, group_size: int | None = None) -> float:
+    """Relative RMS error of a quantize->dequantize roundtrip (diagnostics)."""
+    t = quantize_q8(w, group_size)
+    back = dequantize(t)
+    w = jnp.asarray(w, jnp.float32)
+    return float(jnp.sqrt(jnp.mean((w - back) ** 2) / (jnp.mean(w**2) + 1e-20)))

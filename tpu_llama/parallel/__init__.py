@@ -1,0 +1,7 @@
+from tpu_llama.parallel.mesh import MeshConfig, make_mesh  # noqa: F401
+from tpu_llama.parallel.sharding import (  # noqa: F401
+    cache_pspec,
+    params_pspecs,
+    shard_cache,
+    shard_params,
+)

@@ -1,0 +1,76 @@
+"""PartitionSpecs for the Llama parameter families and KV cache.
+
+Tensor-parallel layout for the seven matmul families (SURVEY §2.4):
+
+* ``wq/wk/wv``  [L, D, out]  — column-sharded: attention heads split over
+  ``model`` (out = heads*hd).
+* ``wo``        [L, D, D]    — row-sharded on the heads (input) dim; the
+  matmul's partial sums reduce over ``model`` (XLA inserts the psum /
+  reduce-scatter under GSPMD).
+* ``w1/w3``     [L, D, H]    — column-sharded over the FFN hidden dim.
+* ``w2``        [L, H, D]    — row-sharded over the FFN hidden dim.
+* ``wcls``      [D, V]       — vocab-sharded logits (sharded argmax/top-k
+  composes; all-gather only when full logits are pulled to host).
+* ``tok_emb``   [V, D]       — vocab-sharded (gather inserts collectives).
+* norms / RoPE tables        — replicated (tiny).
+* KV cache [L, B, KVH, S, hd] — batch over ``data``, kv heads over ``model``
+  (the reference's single fp32 cache, llama2.ts:160-161, generalized).
+
+These specs feed plain ``jax.jit`` via ``NamedSharding`` (GSPMD chooses the
+collectives); `tpu_llama.parallel.tp_decode` hand-schedules the overlap
+variant with ``shard_map`` where needed.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from tpu_llama.models.llama import KVCache, LayerParams, LlamaParams
+from tpu_llama.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def params_pspecs() -> LlamaParams:
+    """A LlamaParams-shaped pytree of PartitionSpecs."""
+    return LlamaParams(
+        tok_emb=P(MODEL_AXIS, None),
+        layers=LayerParams(
+            rms_att=P(),
+            wq=P(None, None, MODEL_AXIS),
+            wk=P(None, None, MODEL_AXIS),
+            wv=P(None, None, MODEL_AXIS),
+            wo=P(None, MODEL_AXIS, None),
+            rms_ffn=P(),
+            w1=P(None, None, MODEL_AXIS),
+            w2=P(None, MODEL_AXIS, None),
+            w3=P(None, None, MODEL_AXIS),
+        ),
+        rms_final=P(),
+        wcls=P(None, MODEL_AXIS),
+        rope_cos=P(),
+        rope_sin=P(),
+    )
+
+
+def cache_pspec() -> KVCache:
+    spec = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    return KVCache(k=spec, v=spec)
+
+
+def _put(tree, specs, mesh: Mesh):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    return _put(params, params_pspecs(), mesh)
+
+
+def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    return _put(cache, cache_pspec(), mesh)
+
+
+def logits_pspec() -> P:
+    return P(DATA_AXIS, MODEL_AXIS)

@@ -1,0 +1,156 @@
+"""Inference engine: jitted prefill/decode over a slot-based KV cache.
+
+The reference's "engine" is a sequential single-request loop
+(llama2.ts:460-511).  This engine is built for continuous batching from the
+start (SURVEY §2.4 "DP / continuous batching"):
+
+* the KV cache has ``max_batch`` slots; requests occupy slots independently
+  with their own positions;
+* admission runs a *compact* batched prefill (only the new requests, prompt
+  length bucketed to limit recompiles) and scatters the resulting KV block
+  into the slot cache;
+* decode always runs the full slot batch in one jitted step — inactive slots
+  compute garbage that is never read (their writes land at their parked
+  position and are overwritten by the next admission's prefill);
+* the decode step donates the cache, so XLA updates it in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llama.config import ModelConfig
+from tpu_llama.models import KVCache, forward_decode, forward_prefill
+from tpu_llama.models.llama import LlamaParams
+
+
+@partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
+def _prefill_into_slots(
+    params: LlamaParams,
+    cache: KVCache,
+    tokens: jax.Array,  # [Bp, T] int32 (fresh prompts, start at pos 0)
+    lengths: jax.Array,  # [Bp]
+    slots: jax.Array,  # [Bp] slot indices into the cache batch dim
+    config: ModelConfig,
+    precision: str = "default",
+):
+    """Compact prefill + scatter into slot cache.
+
+    Returns (next-token logits [Bp, V], updated cache).  Garbage K/V at
+    padding positions is safe: sequential decode overwrites position ``pos``
+    before any query attends to it (mask is ``s <= pos``).
+    """
+    Bp, T = tokens.shape
+    small = KVCache(
+        k=jnp.zeros((config.n_layers, Bp, config.n_kv_heads, T, config.head_dim),
+                    cache.k.dtype),
+        v=jnp.zeros((config.n_layers, Bp, config.n_kv_heads, T, config.head_dim),
+                    cache.v.dtype),
+    )
+    logits, small = forward_prefill(
+        params, small, tokens,
+        start_pos=jnp.zeros((Bp,), jnp.int32),
+        lengths=lengths, config=config, precision=precision,
+    )
+    k = cache.k.at[:, slots, :, :T].set(small.k)
+    v = cache.v.at[:, slots, :, :T].set(small.v)
+    last = jnp.take_along_axis(
+        logits, (lengths - 1)[:, None, None], axis=1
+    )[:, 0]  # [Bp, V]
+    return last, logits, KVCache(k=k, v=v)
+
+
+@partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
+def _decode_step(
+    params: LlamaParams,
+    cache: KVCache,
+    tokens: jax.Array,  # [B]
+    pos: jax.Array,  # [B]
+    config: ModelConfig,
+    precision: str = "default",
+):
+    return forward_decode(params, cache, tokens, pos, config, precision=precision)
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    """Owns params + slot cache; exposes batched prefill/decode with numpy
+    in/out at the host boundary."""
+
+    def __init__(
+        self,
+        params: LlamaParams,
+        config: ModelConfig,
+        max_batch: int = 8,
+        kv_dtype=jnp.float32,
+        precision: str = "default",
+        seq_len: int | None = None,
+    ):
+        self.params = params
+        self.config = config
+        self.max_batch = max_batch
+        self.precision = precision
+        self.seq_len = seq_len or config.seq_len
+        self.cache = KVCache.create(config, max_batch, dtype=kv_dtype,
+                                    seq_len=self.seq_len)
+
+    def prefill(self, prompts: Sequence[Sequence[int]], slots: Sequence[int]):
+        """Prefill fresh prompts into slots. Returns next-token logits [n, V]."""
+        assert len(prompts) == len(slots) and prompts
+        lengths = np.array([len(p) for p in prompts], np.int32)
+        assert lengths.min() >= 1, "prompts must be non-empty (include BOS)"
+        T = _bucket(int(lengths.max()))
+        toks = np.zeros((len(prompts), T), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, : len(p)] = p
+        last, _, self.cache = _prefill_into_slots(
+            self.params, self.cache,
+            jnp.asarray(toks), jnp.asarray(lengths),
+            jnp.asarray(np.asarray(slots, np.int32)),
+            self.config, self.precision,
+        )
+        return np.asarray(last)
+
+    def prefill_with_all_logits(self, prompt: Sequence[int], slot: int):
+        """Single-row prefill returning logits at EVERY prompt position
+        (needed for teacher-forced compat generation and ppl eval)."""
+        lengths = np.array([len(prompt)], np.int32)
+        T = _bucket(int(lengths[0]))
+        toks = np.zeros((1, T), np.int32)
+        toks[0, : len(prompt)] = prompt
+        last, full, self.cache = _prefill_into_slots(
+            self.params, self.cache, jnp.asarray(toks), jnp.asarray(lengths),
+            jnp.asarray([slot], np.int32), self.config, self.precision,
+        )
+        return np.asarray(full)[0, : len(prompt)]
+
+    def decode(self, tokens: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        """One decode step over ALL slots. tokens/pos: [max_batch]."""
+        logits, self.cache = _decode_step(
+            self.params, self.cache,
+            jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
+            self.config, self.precision,
+        )
+        return np.asarray(logits)
+
+    def decode_device(self, tokens: jax.Array, pos: jax.Array):
+        """Device-resident decode step (no host transfer) for tight loops."""
+        logits, self.cache = _decode_step(
+            self.params, self.cache, tokens, pos, self.config, self.precision
+        )
+        return logits
+
+    def reset(self):
+        self.cache = jax.tree.map(lambda x: jnp.zeros_like(x), self.cache)

@@ -1,0 +1,203 @@
+"""Continuous-batching scheduler.
+
+The reference runs exactly one request, sequentially (llama2.ts:460-511).
+This scheduler generalizes that loop to many concurrent requests multiplexed
+over the engine's KV-cache slots, with in-flight join/leave (SURVEY §2.4
+"DP / continuous batching"):
+
+* requests queue, then admit into free slots via batched compact prefill;
+* every step decodes ALL active slots in one jitted call;
+* sampling is host-side per-request with each request's own xorshift64*
+  stream and the reference's exact sampler semantics — a single-request run
+  through this scheduler reproduces the reference token stream;
+* a request retires on BOS (llama2.ts:499) or its step budget; its slot is
+  immediately reusable.
+
+Generation semantics per request mirror the reference state machine: the fed
+sequence is [BOS] + prompt, steps count total positions (clamped to seq_len,
+llama2.ts:439), temp-0 argmax / multinomial / top-p selection per step
+(llama2.ts:476-494).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from collections import deque
+from typing import Callable
+
+import numpy as np
+
+from tpu_llama.compat.rng import Xorshift64Star
+from tpu_llama.compat.sampling import argmax, sample, sample_topp
+from tpu_llama.io.tokenizer import BOS
+from tpu_llama.runtime.engine import Engine
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_tokens: list[int]  # WITHOUT the leading BOS (added internally)
+    steps: int = 256  # total positions incl. prompt (reference -n semantics)
+    temperature: float = 1.0
+    topp: float = 1.0
+    seed: int = 1
+    on_token: Callable[[int], None] | None = None
+
+    # filled by the scheduler
+    id: int = -1
+    out_tokens: list[int] = dataclasses.field(default_factory=list)
+    submit_time: float = 0.0
+    first_token_time: float = 0.0
+    finish_time: float = 0.0
+    done: bool = False
+
+    @property
+    def ttft(self) -> float:
+        return self.first_token_time - self.submit_time if self.first_token_time else 0.0
+
+
+@dataclasses.dataclass
+class _Active:
+    req: Request
+    rng: Xorshift64Star
+    last_token: int  # token to feed next
+    pos: int  # position to feed it at
+    budget: int  # remaining forward steps
+
+
+def _scale_softmax_f32(logits: np.ndarray, temperature: float) -> np.ndarray:
+    # Reference logit pipeline: f32-stored division + softmax (llama2.ts:481-485).
+    scaled = (logits.astype(np.float64) / temperature).astype(np.float32)
+    m = np.max(scaled)
+    e = np.exp(scaled.astype(np.float64) - np.float64(m)).astype(np.float32)
+    return (e.astype(np.float64) / float(np.sum(e.astype(np.float64)))).astype(np.float32)
+
+
+def _select_token(logits: np.ndarray, req: Request, rng: Xorshift64Star) -> int:
+    if req.temperature == 0.0:
+        return argmax(logits)
+    probs = _scale_softmax_f32(logits, req.temperature)
+    if req.topp <= 0 or req.topp >= 1:
+        return sample(probs, rng)
+    return sample_topp(probs, req.topp, rng)
+
+
+class ContinuousBatcher:
+    def __init__(self, engine: Engine, seq_len: int | None = None):
+        self.engine = engine
+        self.seq_len = seq_len or engine.seq_len
+        self.queue: deque[Request] = deque()
+        self.slots: list[_Active | None] = [None] * engine.max_batch
+        self._ids = itertools.count()
+        self.finished: list[Request] = []
+
+    # ---- public API ----
+    def submit(self, req: Request) -> int:
+        req.id = next(self._ids)
+        req.submit_time = time.time()
+        self.queue.append(req)
+        return req.id
+
+    @property
+    def n_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    @property
+    def idle(self) -> bool:
+        return not self.queue and self.n_active == 0
+
+    def run(self) -> list[Request]:
+        """Drive until everything queued has finished."""
+        while not self.idle:
+            self.step()
+        return self.finished
+
+    # ---- one scheduler tick ----
+    def step(self) -> None:
+        self._admit()
+        self._decode_tick()
+
+    def _admit(self) -> None:
+        free = [i for i, s in enumerate(self.slots) if s is None]
+        if not free or not self.queue:
+            return
+        batch: list[tuple[int, Request]] = []
+        while free and self.queue:
+            batch.append((free.pop(0), self.queue.popleft()))
+
+        prompts, slot_ids = [], []
+        actives: list[_Active] = []
+        for slot, req in batch:
+            steps = req.steps
+            if steps <= 0 or steps > self.seq_len:
+                steps = self.seq_len  # llama2.ts:439
+            seq = [BOS] + list(req.prompt_tokens)
+            # The reference forwards prompt tokens one by one, consuming the
+            # step budget (llama2.ts:465-474).  Prefill covers positions
+            # 0..len(seq)-1; clamp the prefill itself to the budget.
+            n_forward = min(len(seq), steps)
+            prompts.append(seq[:n_forward])
+            slot_ids.append(slot)
+            actives.append(
+                _Active(
+                    req=req,
+                    rng=Xorshift64Star(req.seed),
+                    last_token=seq[n_forward - 1],
+                    pos=n_forward - 1,
+                    budget=steps - n_forward,
+                )
+            )
+
+        last_logits = self.engine.prefill(prompts, slot_ids)
+
+        for (slot, req), active, logits in zip(batch, actives, last_logits):
+            self.slots[slot] = active
+            # Remaining prompt tokens that didn't fit the budget are NOT
+            # teacher-forced further (the reference would keep forcing until
+            # steps ran out and emit nothing new — n_forward==steps means done).
+            if active.budget <= 0:
+                self._retire(slot)
+                continue
+            nxt = _select_token(logits, req, active.rng)
+            self._emit(slot, nxt)
+
+    def _decode_tick(self) -> None:
+        active_slots = [i for i, s in enumerate(self.slots) if s is not None]
+        if not active_slots:
+            return
+        B = self.engine.max_batch
+        tokens = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int32)
+        for i in active_slots:
+            a = self.slots[i]
+            tokens[i] = a.last_token
+            pos[i] = a.pos + 1
+        logits = self.engine.decode(tokens, pos)
+        for i in active_slots:
+            a = self.slots[i]
+            a.pos += 1
+            a.budget -= 1
+            nxt = _select_token(logits[i], a.req, a.rng)
+            self._emit(i, nxt)
+
+    def _emit(self, slot: int, token: int) -> None:
+        a = self.slots[slot]
+        if token == BOS:  # llama2.ts:499
+            self._retire(slot)
+            return
+        if not a.req.first_token_time:
+            a.req.first_token_time = time.time()
+        a.req.out_tokens.append(token)
+        if a.req.on_token is not None:
+            a.req.on_token(token)
+        a.last_token = token
+        if a.budget <= 0 or a.pos + 1 >= self.seq_len:
+            self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        a = self.slots[slot]
+        a.req.done = True
+        a.req.finish_time = time.time()
+        self.finished.append(a.req)
+        self.slots[slot] = None
