@@ -1,0 +1,89 @@
+"""Flash decode-attention kernel tests vs a numpy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_llama.ops.attention import flash_decode_attention, quantize_kv
+
+
+def ref_attention(q, k, v, pos):
+    """Straightforward fp64 GQA decode attention. q:[B,KVH,G,hd], k/v:[B,KVH,S,hd]."""
+    B, KVH, G, hd = q.shape
+    S = k.shape[2]
+    out = np.zeros_like(q, dtype=np.float64)
+    for b in range(B):
+        for h in range(KVH):
+            keys = k[b, h, : pos[b] + 1].astype(np.float64)
+            vals = v[b, h, : pos[b] + 1].astype(np.float64)
+            for g in range(G):
+                s = keys @ q[b, h, g].astype(np.float64) / np.sqrt(hd)
+                e = np.exp(s - s.max())
+                out[b, h, g] = (e / e.sum()) @ vals
+    return out
+
+
+@pytest.mark.parametrize("B,KVH,G,S,hd", [
+    (1, 4, 1, 64, 48),     # MHA tiny, odd hd
+    (2, 2, 2, 64, 64),     # GQA
+    (3, 1, 8, 128, 128),   # heavy GQA
+])
+def test_flash_matches_reference_fp32(rng_np, B, KVH, G, S, hd):
+    q = rng_np.standard_normal((B, KVH, G, hd)).astype(np.float32)
+    k = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    v = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    pos = rng_np.integers(0, S, size=B).astype(np.int32)
+
+    got = np.asarray(flash_decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos)))
+    want = ref_attention(q, k, v, pos)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_ignores_garbage_beyond_pos(rng_np):
+    B, KVH, G, S, hd = 2, 2, 1, 64, 64
+    q = rng_np.standard_normal((B, KVH, G, hd)).astype(np.float32)
+    k = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    v = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    pos = np.array([5, 20], np.int32)
+
+    base = np.asarray(flash_decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos)))
+    # poison everything beyond pos
+    k2, v2 = k.copy(), v.copy()
+    for b in range(B):
+        k2[b, :, pos[b] + 1:] = 1e9
+        v2[b, :, pos[b] + 1:] = -1e9
+    poisoned = np.asarray(flash_decode_attention(
+        jnp.asarray(q), jnp.asarray(k2), jnp.asarray(v2), jnp.asarray(pos)))
+    np.testing.assert_array_equal(base, poisoned)
+
+
+def test_flash_int8_close_to_fp(rng_np):
+    B, KVH, G, S, hd = 2, 3, 2, 128, 64
+    q = rng_np.standard_normal((B, KVH, G, hd)).astype(np.float32)
+    k = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    v = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    pos = np.full(B, S - 1, np.int32)
+
+    kq, ks = quantize_kv(jnp.asarray(k))
+    vq, vs = quantize_kv(jnp.asarray(v))
+
+    got = np.asarray(flash_decode_attention(
+        jnp.asarray(q), kq, vq, jnp.asarray(pos), k_scale=ks, v_scale=vs))
+    want = ref_attention(k=np.asarray(kq).astype(np.float32) * np.asarray(ks)[..., None],
+                         v=np.asarray(vq).astype(np.float32) * np.asarray(vs)[..., None],
+                         q=q, pos=pos)
+    # int8 path computes in bf16 — tolerance covers bf16 rounding
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_quantize_kv_roundtrip(rng_np):
+    x = rng_np.standard_normal((4, 2, 16, 64)).astype(np.float32)
+    q, s = quantize_kv(jnp.asarray(x))
+    back = np.asarray(q).astype(np.float32) * np.asarray(s)[..., None]
+    assert np.abs(back - x).max() <= np.abs(x).max() / 127 * 0.51 + 1e-6
+    # zero rows stay zero with zero scale
+    x0 = np.zeros((1, 1, 2, 8), np.float32)
+    q0, s0 = quantize_kv(jnp.asarray(x0))
+    assert np.all(np.asarray(q0) == 0) and np.all(np.asarray(s0) == 0)

@@ -124,3 +124,35 @@ def test_budget_counts_prompt_positions(engine, tiny_tokenizer):
     # forwards: prefill len+1, then budget = steps-(len+1) = 2 decode ticks,
     # each emitting one token; plus the prefill's sampled token = 3 emitted
     assert len(req.out_tokens) <= 3
+
+
+def test_device_sampling_greedy_matches_host(engine, tiny_weights, tiny_tokenizer):
+    """temp-0 device sampling must produce the same tokens as host argmax."""
+    ptoks = tiny_tokenizer.encode("Once upon a time")
+    from tpu_llama.models import params_from_raw
+    e2 = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                max_batch=4, precision="highest")
+
+    outs = []
+    for eng, dev in ((engine, False), (e2, True)):
+        b = ContinuousBatcher(eng)
+        r = Request(prompt_tokens=ptoks, steps=24, temperature=0.0, seed=1,
+                    device_sampling=dev)
+        b.submit(r)
+        b.run()
+        outs.append(r.out_tokens)
+    assert outs[0] == outs[1]
+
+
+def test_device_sampling_deterministic(engine, tiny_tokenizer):
+    outs = []
+    for _ in range(2):
+        engine.reset()
+        b = ContinuousBatcher(engine)
+        r = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=16,
+                    temperature=0.9, topp=0.9, seed=5, device_sampling=True)
+        b.submit(r)
+        b.run()
+        outs.append(r.out_tokens)
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0

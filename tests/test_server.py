@@ -1,0 +1,87 @@
+"""HTTP serving front-end tests (in-process, ephemeral port)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from tpu_llama.models import params_from_raw
+from tpu_llama.runtime import Engine
+from tpu_llama.runtime.server import LlamaServer
+
+
+@pytest.fixture()
+def server(tiny_weights, tiny_tokenizer):
+    engine = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                    max_batch=2, precision="highest")
+    srv = LlamaServer(engine, tiny_tokenizer, port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    status, body = _get(server.port, "/healthz")
+    assert status == 200 and body["ok"] is True
+
+
+def test_generate_deterministic(server):
+    payload = dict(prompt="Once upon a time", steps=16, temperature=0.0, seed=1)
+    s1, r1 = _post(server.port, "/generate", payload)
+    s2, r2 = _post(server.port, "/generate", payload)
+    assert s1 == s2 == 200
+    assert r1["tokens"] == r2["tokens"]
+    assert r1["n_tokens"] == len(r1["tokens"])
+    assert r1["ttft_s"] >= 0
+
+
+def test_concurrent_requests(server):
+    results = {}
+
+    def call(i):
+        results[i] = _post(server.port, "/generate",
+                           dict(prompt="On", steps=12, temperature=0.0, seed=1))
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    toks = [results[i][1]["tokens"] for i in range(4)]
+    assert all(t == toks[0] for t in toks)  # same request -> same answer
+
+
+def test_metrics_endpoint(server):
+    _post(server.port, "/generate", dict(prompt="On", steps=8, temperature=0.0))
+    status, body = _get(server.port, "/metrics")
+    assert status == 200
+    assert body["n_requests"] >= 1
+    assert body["tokens_per_sec"] >= 0
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=b'{"steps": "NaN-ish"}',
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -50,6 +50,7 @@ class Tokenizer:
             raise ValueError("vocab/scores length mismatch")
         self.vocab = list(vocab)
         self.scores = [float(s) for s in scores]
+        self._native = None  # lazy native encoder; False = unavailable
         # string -> FIRST index, mirroring Array.prototype.indexOf
         self._index: dict[str, int] = {}
         for i, tok in enumerate(self.vocab):
@@ -86,6 +87,32 @@ class Tokenizer:
 
     # ---- encode (llama2.ts:305-344 semantics) ----
     def encode(self, text: str, bos: bool = False, eos: bool = False) -> list[int]:
+        native = self._get_native()
+        if native is not None:
+            tokens = native.encode(text)
+            if bos:
+                tokens.insert(0, BOS)
+            if eos:
+                tokens.append(EOS)
+            return tokens
+        return self._encode_py(text, bos=bos, eos=eos)
+
+    def _get_native(self):
+        """Native C++ encoder (native/bpe.cpp via ctypes), lazily built;
+        exact same semantics as _encode_py (tests assert equality)."""
+        if self._native is False:
+            return None
+        if self._native is None:
+            try:
+                from tpu_llama.io.fast_bpe import NativeBpe
+
+                self._native = NativeBpe(self.vocab, self.scores)
+            except Exception:
+                self._native = False
+                return None
+        return self._native
+
+    def _encode_py(self, text: str, bos: bool = False, eos: bool = False) -> list[int]:
         tokens: list[int] = []
         for ch in _utf16_units(text):
             tid = self._index.get(ch)

@@ -31,6 +31,7 @@ import numpy as np
 
 from tpu_llama.config import ModelConfig
 from tpu_llama.io.checkpoint import RawWeights
+from tpu_llama.ops.attention import flash_decode_attention, quantize_kv
 from tpu_llama.ops.matmul import q8_matmul
 from tpu_llama.ops.quant import QuantTensor, quantize_q8
 
@@ -97,6 +98,49 @@ class KVCache:
     @property
     def seq_len(self) -> int:
         return self.k.shape[3]
+
+
+@_dataclass_pytree
+@dataclasses.dataclass
+class QuantKVCache:
+    """INT8 KV cache: values [L, B, KVH, S, hd] + per-(token, head) scales
+    [L, B, KVH, S] (symmetric absmax over hd).  Halves (vs bf16) or quarters
+    (vs f32) the HBM traffic that bounds decode; dequant happens inside the
+    flash-attention kernel via score/probability column scaling
+    (tpu_llama.ops.attention)."""
+
+    k: jax.Array  # int8
+    v: jax.Array  # int8
+    ks: jax.Array  # f32 [L, B, KVH, S]
+    vs: jax.Array  # f32
+
+    @classmethod
+    def create(
+        cls, config: ModelConfig, batch: int, seq_len: int | None = None, dtype=None
+    ) -> "QuantKVCache":
+        S = seq_len or config.seq_len
+        shape = (config.n_layers, batch, config.n_kv_heads, S, config.head_dim)
+        sshape = shape[:-1]
+        return cls(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            ks=jnp.zeros(sshape, jnp.float32), vs=jnp.zeros(sshape, jnp.float32),
+        )
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def seq_len(self) -> int:
+        return self.k.shape[3]
+
+
+def make_kv_cache(config: ModelConfig, batch: int, kv_dtype="float32",
+                  seq_len: int | None = None):
+    """kv_dtype: 'float32' | 'bfloat16' | 'int8'."""
+    if kv_dtype in ("int8", jnp.int8):
+        return QuantKVCache.create(config, batch, seq_len=seq_len)
+    return KVCache.create(config, batch, dtype=jnp.dtype(kv_dtype), seq_len=seq_len)
 
 
 def params_from_raw(raw: RawWeights, dtype=jnp.float32, device_put=True) -> LlamaParams:
@@ -292,11 +336,47 @@ def _attention_prefill(
 # ---------------------------------------------------------------------------
 
 
-def _layer_names():
-    return [f.name for f in dataclasses.fields(LayerParams)]
+def _write_decode(cache_l, k, v, pos, config: ModelConfig):
+    """Write one decoded token's K/V into a per-layer cache slice.
+
+    cache_l: KVCache or QuantKVCache with per-layer arrays [B, KVH, S, hd].
+    k/v: [B, KVH, hd] fp.
+    """
+    B = k.shape[0]
+    b_ix = jnp.arange(B)[:, None]
+    h_ix = jnp.arange(config.n_kv_heads)[None, :]
+    p_ix = pos[:, None]
+    if isinstance(cache_l, QuantKVCache):
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        return QuantKVCache(
+            k=cache_l.k.at[b_ix, h_ix, p_ix].set(kq),
+            v=cache_l.v.at[b_ix, h_ix, p_ix].set(vq),
+            ks=cache_l.ks.at[b_ix, h_ix, p_ix].set(ks),
+            vs=cache_l.vs.at[b_ix, h_ix, p_ix].set(vs),
+        )
+    return KVCache(
+        k=cache_l.k.at[b_ix, h_ix, p_ix].set(k.astype(cache_l.k.dtype)),
+        v=cache_l.v.at[b_ix, h_ix, p_ix].set(v.astype(cache_l.v.dtype)),
+    )
 
 
-@partial(jax.jit, static_argnames=("config", "precision"))
+def _attend_decode(cache_l, q, pos, config: ModelConfig, prec, attn: str):
+    """Dispatch decode attention: flash Pallas kernel or XLA einsum."""
+    B = q.shape[0]
+    qg = q.reshape(B, config.n_kv_heads, config.group_size, config.head_dim)
+    if isinstance(cache_l, QuantKVCache):
+        out = flash_decode_attention(
+            qg, cache_l.k, cache_l.v, pos, cache_l.ks, cache_l.vs
+        )
+        return out.reshape(B, config.dim).astype(q.dtype)
+    if attn == "flash":
+        out = flash_decode_attention(qg, cache_l.k, cache_l.v, pos)
+        return out.reshape(B, config.dim).astype(q.dtype)
+    return _attention_decode(q, cache_l.k, cache_l.v, pos, config, prec)
+
+
+@partial(jax.jit, static_argnames=("config", "precision", "attn"))
 def forward_decode(
     params: LlamaParams,
     cache: KVCache,
@@ -304,46 +384,41 @@ def forward_decode(
     pos: jax.Array,  # [B] int32 — per-sequence positions (continuous batching)
     config: ModelConfig,
     precision: str = "highest",
+    attn: str = "auto",  # "auto" | "flash" | "xla" (int8 caches always flash)
 ):
     """One decode step for a batch. Returns (logits [B, V], new cache)."""
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    if attn == "auto":
+        attn = "flash" if jax.default_backend() == "tpu" else "xla"
     B = tokens.shape[0]
     x = params.tok_emb[tokens]  # [B, D]
     cos = params.rope_cos[pos]  # [B, hd/2]
     sin = params.rope_sin[pos]
 
-    batch_idx = jnp.arange(B)
-
     def mm(a, w):
         return matmul_any(a, w, prec)
 
     def layer_step(x, scanned):
-        lp, k_cache, v_cache = scanned  # per-layer slices
+        lp, cache_l = scanned  # per-layer slices
         h = rmsnorm(x, lp.rms_att)
         q = mm(h, lp.wq).reshape(B, config.n_heads, config.head_dim)
         k = mm(h, lp.wk).reshape(B, config.n_kv_heads, config.head_dim)
         v = mm(h, lp.wv).reshape(B, config.n_kv_heads, config.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        # scatter [B, KVH, hd] at per-row position: indices broadcast to [B, KVH]
-        b_ix = batch_idx[:, None]
-        h_ix = jnp.arange(config.n_kv_heads)[None, :]
-        k_cache = k_cache.at[b_ix, h_ix, pos[:, None]].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[b_ix, h_ix, pos[:, None]].set(v.astype(v_cache.dtype))
-        att = _attention_decode(q, k_cache, v_cache, pos, config, prec)
+        cache_l = _write_decode(cache_l, k, v, pos, config)
+        att = _attend_decode(cache_l, q, pos, config, prec, attn)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
         gate = mm(h, lp.w1)
         up = mm(h, lp.w3)
         x = x + mm(jax.nn.silu(gate) * up, lp.w2)
-        return x, (k_cache, v_cache)
+        return x, cache_l
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer_step, x, (params.layers, cache.k, cache.v)
-    )
+    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
     x = rmsnorm(x, params.rms_final)
     logits = matmul_any(x, params.wcls, prec)
-    return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v)
+    return logits.astype(jnp.float32), new_cache
 
 
 @partial(jax.jit, static_argnames=("config", "precision"))
@@ -384,7 +459,7 @@ def forward_prefill(
         return matmul_any(a, w, prec)
 
     def layer_step(x, scanned):
-        lp, k_cache, v_cache = scanned
+        lp, cache_l = scanned
         h = rmsnorm(x, lp.rms_att)
         q = mm(h, lp.wq).reshape(B, T, config.n_heads, config.head_dim)
         k = mm(h, lp.wk).reshape(B, T, config.n_kv_heads, config.head_dim)
@@ -392,22 +467,36 @@ def forward_prefill(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         # [B, T, KVH, hd] -> head-major [B, KVH, T, hd], scatter at [B, 1, T]
-        kt = k.transpose(0, 2, 1, 3).astype(k_cache.dtype)
-        vt = v.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
         b_ix = batch_idx[:, None, None]  # [B,1,1]
         h_ix = jnp.arange(config.n_kv_heads)[None, :, None]  # [1,KVH,1]
         p_ix = write_pos[:, None, :]  # [B,1,T]
-        k_cache = k_cache.at[b_ix, h_ix, p_ix].set(kt)
-        v_cache = v_cache.at[b_ix, h_ix, p_ix].set(vt)
-        att = _attention_prefill(q, k_cache, v_cache, q_pos, config, prec)
+        if isinstance(cache_l, QuantKVCache):
+            kq, ks = quantize_kv(kt)
+            vq, vs = quantize_kv(vt)
+            cache_l = QuantKVCache(
+                k=cache_l.k.at[b_ix, h_ix, p_ix].set(kq),
+                v=cache_l.v.at[b_ix, h_ix, p_ix].set(vq),
+                ks=cache_l.ks.at[b_ix, h_ix, p_ix].set(ks),
+                vs=cache_l.vs.at[b_ix, h_ix, p_ix].set(vs),
+            )
+            # prefill is compute-bound; dequantize for the XLA einsum path
+            kf = cache_l.k.astype(jnp.float32) * cache_l.ks[..., None]
+            vf = cache_l.v.astype(jnp.float32) * cache_l.vs[..., None]
+        else:
+            cache_l = KVCache(
+                k=cache_l.k.at[b_ix, h_ix, p_ix].set(kt.astype(cache_l.k.dtype)),
+                v=cache_l.v.at[b_ix, h_ix, p_ix].set(vt.astype(cache_l.v.dtype)),
+            )
+            kf, vf = cache_l.k, cache_l.v
+        att = _attention_prefill(q, kf, vf, q_pos, config, prec)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
         x = x + mm(jax.nn.silu(mm(h, lp.w1)) * mm(h, lp.w3), lp.w2)
-        return x, (k_cache, v_cache)
+        return x, cache_l
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer_step, x, (params.layers, cache.k, cache.v)
-    )
+    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
     x = rmsnorm(x, params.rms_final)
     logits = matmul_any(x, params.wcls, prec)
-    return logits.astype(jnp.float32), KVCache(k=new_k, v=new_v)
+    return logits.astype(jnp.float32), new_cache

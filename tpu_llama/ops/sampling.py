@@ -31,37 +31,43 @@ def greedy(logits: jax.Array) -> jax.Array:
 def sample(
     logits: jax.Array,  # [B, V] f32
     key: jax.Array,
-    temperature: jax.Array | float = 1.0,
-    topp: jax.Array | float = 1.0,
+    temperature: jax.Array | float = 1.0,  # scalar or [B]
+    topp: jax.Array | float = 1.0,  # scalar or [B]
 ) -> jax.Array:
-    """Batched temperature / top-p sampling -> [B] int32.
+    """Batched temperature / top-p sampling -> [B] int32; per-row params.
 
-    temperature <= 0 degenerates to greedy.  topp outside (0, 1) disables the
-    nucleus filter (llama2.ts:487 semantics).
+    temperature <= 0 degenerates to greedy for that row.  topp outside
+    (0, 1) disables the nucleus filter (llama2.ts:487 semantics).
     """
     B, V = logits.shape
-    temperature = jnp.asarray(temperature, jnp.float32)
-    topp = jnp.asarray(topp, jnp.float32)
+    temperature = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (B,))
+    topp = jnp.broadcast_to(jnp.asarray(topp, jnp.float32), (B,))
 
-    def sampled(_):
-        scaled = logits / jnp.maximum(temperature, 1e-6)
-        probs = jax.nn.softmax(scaled, axis=-1)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    probs = jax.nn.softmax(scaled, axis=-1)
 
-        # nucleus mask in sorted space
-        sort_idx = jnp.argsort(-probs, axis=-1, stable=True)
-        sorted_p = jnp.take_along_axis(probs, sort_idx, axis=-1)
-        csum = jnp.cumsum(sorted_p, axis=-1)
-        # keep the smallest prefix whose cumsum exceeds topp (inclusive)
-        keep_sorted = (csum - sorted_p) < topp
-        use_topp = (topp > 0) & (topp < 1)
-        keep_sorted = keep_sorted | jnp.logical_not(use_topp)
-        filtered_sorted = jnp.where(keep_sorted, sorted_p, 0.0)
-        gumbel = -jnp.log(-jnp.log(
-            jax.random.uniform(key, (B, V), minval=1e-20, maxval=1.0)))
-        choice_sorted = jnp.argmax(
-            jnp.log(jnp.maximum(filtered_sorted, 1e-38)) + gumbel, axis=-1)
-        return jnp.take_along_axis(
-            sort_idx, choice_sorted[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    # nucleus mask in sorted space
+    sort_idx = jnp.argsort(-probs, axis=-1, stable=True)
+    sorted_p = jnp.take_along_axis(probs, sort_idx, axis=-1)
+    csum = jnp.cumsum(sorted_p, axis=-1)
+    # keep the smallest prefix whose cumsum exceeds topp (inclusive)
+    keep_sorted = (csum - sorted_p) < topp[:, None]
+    use_topp = (topp > 0) & (topp < 1)
+    keep_sorted = keep_sorted | jnp.logical_not(use_topp)[:, None]
+    filtered_sorted = jnp.where(keep_sorted, sorted_p, 0.0)
+    if getattr(key, "ndim", 0) == 1 and key.shape[0] == B and jnp.issubdtype(
+            key.dtype, jax.dtypes.prng_key):
+        # per-row typed keys -> independent per-request streams
+        u = jax.vmap(
+            lambda k: jax.random.uniform(k, (V,), minval=1e-20, maxval=1.0)
+        )(key)
+    else:
+        u = jax.random.uniform(key, (B, V), minval=1e-20, maxval=1.0)
+    gumbel = -jnp.log(-jnp.log(u))
+    choice_sorted = jnp.argmax(
+        jnp.log(jnp.maximum(filtered_sorted, 1e-38)) + gumbel, axis=-1)
+    sampled_tok = jnp.take_along_axis(
+        sort_idx, choice_sorted[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
-    return jax.lax.cond(temperature <= 0.0,
-                        lambda _: greedy(logits), sampled, operand=None)
+    return jnp.where(temperature <= 0.0, greedy(logits), sampled_tok)

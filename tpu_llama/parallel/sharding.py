@@ -27,13 +27,19 @@ import jax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from tpu_llama.models.llama import KVCache, LayerParams, LlamaParams
+from tpu_llama.models.llama import KVCache, LayerParams, LlamaParams, QuantKVCache
+from tpu_llama.ops.quant import QuantTensor
 from tpu_llama.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def params_pspecs() -> LlamaParams:
-    """A LlamaParams-shaped pytree of PartitionSpecs."""
-    return LlamaParams(
+def params_pspecs(params: LlamaParams | None = None) -> LlamaParams:
+    """A LlamaParams-shaped pytree of PartitionSpecs.
+
+    When ``params`` is given, weight fields that are INT8 ``QuantTensor``s get
+    matching specs for values AND scales — both shard on the same axes (the
+    scale tensor's in/g and out dims follow the value tensor's in and out).
+    """
+    specs = LlamaParams(
         tok_emb=P(MODEL_AXIS, None),
         layers=LayerParams(
             rms_att=P(),
@@ -51,10 +57,27 @@ def params_pspecs() -> LlamaParams:
         rope_cos=P(),
         rope_sin=P(),
     )
+    if params is None:
+        return specs
+
+    def expand(spec, value):
+        if isinstance(value, QuantTensor):
+            return QuantTensor(q=spec, s=spec,
+                               logical_in=value.logical_in,
+                               logical_out=value.logical_out)
+        return spec
+
+    return jax.tree.map(
+        expand, specs, params,
+        is_leaf=lambda x: isinstance(x, P),
+    )
 
 
-def cache_pspec() -> KVCache:
+def cache_pspec(cache=None):
     spec = P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    if isinstance(cache, QuantKVCache):
+        sspec = P(None, DATA_AXIS, MODEL_AXIS, None)
+        return QuantKVCache(k=spec, v=spec, ks=sspec, vs=sspec)
     return KVCache(k=spec, v=spec)
 
 
@@ -65,11 +88,11 @@ def _put(tree, specs, mesh: Mesh):
 
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
-    return _put(params, params_pspecs(), mesh)
+    return _put(params, params_pspecs(params), mesh)
 
 
-def shard_cache(cache: KVCache, mesh: Mesh) -> KVCache:
-    return _put(cache, cache_pspec(), mesh)
+def shard_cache(cache, mesh: Mesh):
+    return _put(cache, cache_pspec(cache), mesh)
 
 
 def logits_pspec() -> P:

@@ -27,7 +27,7 @@ import numpy as np
 
 from tpu_llama.config import ModelConfig
 from tpu_llama.models import KVCache, forward_decode, forward_prefill
-from tpu_llama.models.llama import LlamaParams
+from tpu_llama.models.llama import LlamaParams, QuantKVCache, make_kv_cache
 
 
 @partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
@@ -47,23 +47,29 @@ def _prefill_into_slots(
     before any query attends to it (mask is ``s <= pos``).
     """
     Bp, T = tokens.shape
-    small = KVCache(
-        k=jnp.zeros((config.n_layers, Bp, config.n_kv_heads, T, config.head_dim),
-                    cache.k.dtype),
-        v=jnp.zeros((config.n_layers, Bp, config.n_kv_heads, T, config.head_dim),
-                    cache.v.dtype),
-    )
+    kv_dtype = "int8" if isinstance(cache, QuantKVCache) else cache.k.dtype
+    small = make_kv_cache(config, Bp, kv_dtype=kv_dtype, seq_len=T)
     logits, small = forward_prefill(
         params, small, tokens,
         start_pos=jnp.zeros((Bp,), jnp.int32),
         lengths=lengths, config=config, precision=precision,
     )
-    k = cache.k.at[:, slots, :, :T].set(small.k)
-    v = cache.v.at[:, slots, :, :T].set(small.v)
+    if isinstance(cache, QuantKVCache):
+        cache = QuantKVCache(
+            k=cache.k.at[:, slots, :, :T].set(small.k),
+            v=cache.v.at[:, slots, :, :T].set(small.v),
+            ks=cache.ks.at[:, slots, :, :T].set(small.ks),
+            vs=cache.vs.at[:, slots, :, :T].set(small.vs),
+        )
+    else:
+        cache = KVCache(
+            k=cache.k.at[:, slots, :, :T].set(small.k),
+            v=cache.v.at[:, slots, :, :T].set(small.v),
+        )
     last = jnp.take_along_axis(
         logits, (lengths - 1)[:, None, None], axis=1
     )[:, 0]  # [Bp, V]
-    return last, logits, KVCache(k=k, v=v)
+    return last, logits, cache
 
 
 @partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
@@ -76,6 +82,28 @@ def _decode_step(
     precision: str = "default",
 ):
     return forward_decode(params, cache, tokens, pos, config, precision=precision)
+
+
+@partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
+def _decode_sample_step(
+    params: LlamaParams,
+    cache: KVCache,
+    tokens: jax.Array,  # [B]
+    pos: jax.Array,  # [B]
+    temps: jax.Array,  # [B]
+    topps: jax.Array,  # [B]
+    keys: jax.Array,  # [B] typed PRNG keys
+    config: ModelConfig,
+    precision: str = "default",
+):
+    """Fused decode + on-device sampling: only [B] int32 tokens leave the
+    device (the perf path — no 32k-logit transfer per step)."""
+    from tpu_llama.ops.sampling import sample
+
+    logits, cache = forward_decode(params, cache, tokens, pos, config,
+                                   precision=precision)
+    next_tokens = sample(logits, keys, temps, topps)
+    return next_tokens, cache
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -103,8 +131,8 @@ class Engine:
         self.max_batch = max_batch
         self.precision = precision
         self.seq_len = seq_len or config.seq_len
-        self.cache = KVCache.create(config, max_batch, dtype=kv_dtype,
-                                    seq_len=self.seq_len)
+        self.cache = make_kv_cache(config, max_batch, kv_dtype=kv_dtype,
+                                   seq_len=self.seq_len)
 
     def prefill(self, prompts: Sequence[Sequence[int]], slots: Sequence[int]):
         """Prefill fresh prompts into slots. Returns next-token logits [n, V]."""
@@ -151,6 +179,16 @@ class Engine:
             self.params, self.cache, tokens, pos, self.config, self.precision
         )
         return logits
+
+    def decode_sample(self, tokens, pos, temps, topps, keys) -> np.ndarray:
+        """Decode + on-device per-slot sampling; returns [max_batch] int32."""
+        next_tokens, self.cache = _decode_sample_step(
+            self.params, self.cache,
+            jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
+            jnp.asarray(temps, jnp.float32), jnp.asarray(topps, jnp.float32),
+            keys, self.config, self.precision,
+        )
+        return np.asarray(next_tokens)
 
     def reset(self):
         self.cache = jax.tree.map(lambda x: jnp.zeros_like(x), self.cache)

@@ -43,6 +43,9 @@ class Request:
     topp: float = 1.0
     seed: int = 1
     on_token: Callable[[int], None] | None = None
+    # True -> sample on device (jax.random streams; fast path, NOT
+    # xorshift64*-compatible).  False -> host compat sampling.
+    device_sampling: bool = False
 
     # filled by the scheduler
     id: int = -1
@@ -173,6 +176,33 @@ class ContinuousBatcher:
             a = self.slots[i]
             tokens[i] = a.last_token
             pos[i] = a.pos + 1
+
+        if all(self.slots[i].req.device_sampling for i in active_slots):
+            # perf path: decode + sample on device, only tokens come back
+            import jax
+            import jax.numpy as jnp
+
+            temps = np.zeros(B, np.float32)
+            topps = np.ones(B, np.float32)
+            key_list = []
+            for i in range(B):
+                a = self.slots[i]
+                if a is not None:
+                    temps[i] = a.req.temperature
+                    topps[i] = a.req.topp
+                    key_list.append(jax.random.fold_in(
+                        jax.random.key(a.req.seed), a.pos + 1))
+                else:
+                    key_list.append(jax.random.key(0))
+            next_tokens = self.engine.decode_sample(
+                tokens, pos, temps, topps, jnp.stack(key_list))
+            for i in active_slots:
+                a = self.slots[i]
+                a.pos += 1
+                a.budget -= 1
+                self._emit(i, int(next_tokens[i]))
+            return
+
         logits = self.engine.decode(tokens, pos)
         for i in active_slots:
             a = self.slots[i]

@@ -1,0 +1,162 @@
+"""Minimal HTTP serving front end over the continuous batcher.
+
+The reference has no server (single CLI process, llama2.ts:399).  This is
+the serving-path API (SURVEY §5.5): a threaded JSON HTTP server feeding one
+scheduler thread that owns the engine (JAX dispatch stays single-threaded;
+HTTP threads only enqueue and wait).
+
+    POST /generate  {"prompt": str, "steps": int, "temperature": float,
+                     "topp": float, "seed": int}
+        -> {"text": str, "tokens": [int], "ttft_s": float, "n_tokens": int}
+    GET  /healthz   -> {"ok": true, "active": int, "queued": int}
+    GET  /metrics   -> ServingReport JSON over all finished requests
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from tpu_llama.io.tokenizer import BOS, Tokenizer
+from tpu_llama.runtime.engine import Engine
+from tpu_llama.runtime.metrics import summarize
+from tpu_llama.runtime.scheduler import ContinuousBatcher, Request
+
+
+class LlamaServer:
+    def __init__(self, engine: Engine, tokenizer: Tokenizer,
+                 host: str = "127.0.0.1", port: int = 8000):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.batcher = ContinuousBatcher(engine)
+        self._submit_q: "queue.Queue[tuple[Request, threading.Event]]" = queue.Queue()
+        self._events: dict[int, threading.Event] = {}
+        self._stop = threading.Event()
+        self._loop_thread = threading.Thread(target=self._loop, daemon=True)
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+
+    # ---- lifecycle ----
+    def start(self):
+        self._loop_thread.start()
+        self._http_thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._httpd.shutdown()
+        self._loop_thread.join(timeout=10)
+
+    # ---- scheduler thread (sole owner of the engine) ----
+    def _loop(self):
+        while not self._stop.is_set():
+            moved = False
+            try:
+                while True:
+                    req, ev = self._submit_q.get_nowait()
+                    rid = self.batcher.submit(req)
+                    self._events[rid] = ev
+                    moved = True
+            except queue.Empty:
+                pass
+            if self.batcher.idle:
+                if not moved:
+                    self._stop.wait(0.005)
+                continue
+            self.batcher.step()
+            for req in self.batcher.finished:
+                ev = self._events.pop(req.id, None)
+                if ev is not None:
+                    ev.set()
+
+    # ---- request handling ----
+    def generate(self, prompt: str, steps: int = 256, temperature: float = 1.0,
+                 topp: float = 1.0, seed: int = 1, timeout: float = 600.0):
+        ptoks = self.tokenizer.encode(prompt) if prompt else []
+        req = Request(prompt_tokens=ptoks, steps=steps,
+                      temperature=temperature, topp=topp, seed=seed)
+        ev = threading.Event()
+        self._submit_q.put((req, ev))
+        if not ev.wait(timeout):
+            raise TimeoutError("generation timed out")
+        prev = ptoks[-1] if ptoks else BOS
+        text = self.tokenizer.decode(req.out_tokens, prev_token=prev)
+        return {
+            "text": text,
+            "tokens": req.out_tokens,
+            "n_tokens": len(req.out_tokens),
+            "ttft_s": req.ttft,
+        }
+
+    def _make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {
+                        "ok": True,
+                        "active": server_self.batcher.n_active,
+                        "queued": len(server_self.batcher.queue),
+                    })
+                elif self.path == "/metrics":
+                    rep = summarize(server_self.batcher.finished)
+                    self._send(200, json.loads(rep.json_line()))
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    out = server_self.generate(
+                        prompt=body.get("prompt", ""),
+                        steps=int(body.get("steps", 256)),
+                        temperature=float(body.get("temperature", 1.0)),
+                        topp=float(body.get("topp", 1.0)),
+                        seed=int(body.get("seed", 1)),
+                    )
+                    self._send(200, out)
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 — surface as 500
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+
+def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
+          port: int = 8000, max_batch: int = 8, quant: str | None = None,
+          kv_dtype: str = "float32"):
+    """Blocking entry point: tpu-llama-serve."""
+    from tpu_llama.io import Tokenizer, load_checkpoint
+    from tpu_llama.models import params_from_raw, quantize_params
+
+    raw = load_checkpoint(checkpoint)
+    tok = Tokenizer.load(tokenizer_path, vocab_size=raw.config.vocab_size)
+    params = params_from_raw(raw)
+    if quant == "int8":
+        params = quantize_params(params)
+    engine = Engine(params, raw.config, max_batch=max_batch, kv_dtype=kv_dtype)
+    srv = LlamaServer(engine, tok, port=port).start()
+    print(f"serving on :{srv.port} (config={raw.config})")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.stop()
