@@ -24,35 +24,31 @@ import numpy as np
 BASELINE_7B_TOKS = 0.16  # reference README.md:11
 
 
-def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512):
-    from tpu_llama.models import KVCache, forward_decode, random_params
-    from tpu_llama.models.llama import quantize_params
+def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
+                 kv_dtype=None, attn="auto"):
+    """Decode throughput via the fused on-device greedy loop (one dispatch
+    per `steps` tokens — measures the chip, not host/relay latency)."""
+    from tpu_llama.models import make_kv_cache, random_params
+    from tpu_llama.models.llama import greedy_decode_loop, quantize_params
 
     params = random_params(config, dtype=dtype, seed=0)
     if quant == "int8":
         params = jax.block_until_ready(quantize_params(params))
-    cache = KVCache.create(config, batch=batch, dtype=dtype)
+    kv = kv_dtype or dtype
+    cache = make_kv_cache(config, batch=batch, kv_dtype=kv)
     jax.block_until_ready(params.tok_emb)
 
     tokens = jnp.zeros((batch,), jnp.int32)
+    pos = jnp.full((batch,), seq_fill, jnp.int32)
 
-    step = jax.jit(
-        lambda p, c, t, pos: forward_decode(p, c, t, pos, config, precision="default"),
-        donate_argnums=(1,),
-    )
-
-    # Warm the cache region to a realistic decode position.
-    pos0 = seq_fill
-    pos = jnp.full((batch,), pos0, jnp.int32)
-    logits, cache = step(params, cache, tokens, pos)  # compile
-    jax.block_until_ready(logits)
+    out, cache = greedy_decode_loop(params, cache, tokens, pos, steps, config,
+                                    attn=attn)
+    jax.block_until_ready(out)  # compile + warm
 
     t0 = time.perf_counter()
-    for i in range(steps):
-        logits, cache = step(params, cache, tokens, pos + 1 + i)
-        next_t = jnp.argmax(logits, -1).astype(jnp.int32)
-        tokens = next_t
-    jax.block_until_ready(logits)
+    out, cache = greedy_decode_loop(
+        params, cache, tokens, pos + steps, steps, config, attn=attn)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return batch * steps / dt
 
@@ -64,6 +60,7 @@ def main():
     ap.add_argument("--config", default="7b", choices=["7b", "110m", "15m"])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quant", default=None, choices=[None, "int8"])
+    ap.add_argument("--attn", default="auto", choices=["auto", "flash", "xla"])
     args = ap.parse_args()
 
     from tpu_llama.config import LLAMA2_7B, STORIES15M, STORIES110M
@@ -74,13 +71,15 @@ def main():
     name = args.config
     config = configs[name]
     try:
-        toks = bench_decode(config, args.batch, args.steps, dtype, quant=args.quant)
+        toks = bench_decode(config, args.batch, args.steps, dtype,
+                            quant=args.quant, attn=args.attn)
     except Exception as e:  # OOM etc. — fall back, report honestly
         print(f"bench {name} failed ({type(e).__name__}: {e}); falling back to 110m",
               file=sys.stderr)
         name = "110m"
         config = configs[name]
-        toks = bench_decode(config, args.batch, args.steps, dtype, quant=args.quant)
+        toks = bench_decode(config, args.batch, args.steps, dtype,
+                            quant=args.quant, attn=args.attn)
 
     qtag = f"_{args.quant}" if args.quant else ""
     vs = toks / BASELINE_7B_TOKS if name == "7b" else float("nan")

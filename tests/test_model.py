@@ -155,3 +155,29 @@ def test_decode_jit_cache_stable(tiny_weights):
                       jnp.full((2,), p, jnp.int32), c)
     if n0 is not None:
         assert fn._cache_size() <= (n0 or 0) + 1
+
+
+def test_greedy_decode_loop_matches_sequential(tiny_weights):
+    from tpu_llama.models.llama import greedy_decode_loop
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+
+    cache = KVCache.create(c, batch=2)
+    first = jnp.array([5, 9], jnp.int32)
+    out, _ = greedy_decode_loop(
+        params, cache, first, jnp.zeros(2, jnp.int32), 6, c,
+        precision="highest")
+    assert out.shape == (2, 6)
+
+    # sequential reference
+    cache2 = KVCache.create(c, batch=2)
+    toks = first
+    seq = []
+    for p in range(6):
+        logits, cache2 = forward_decode(
+            params, cache2, toks, jnp.full((2,), p, jnp.int32), c,
+            precision="highest")
+        toks = jnp.argmax(logits, -1).astype(jnp.int32)
+        seq.append(np.asarray(toks))
+    np.testing.assert_array_equal(np.asarray(out), np.stack(seq, 1))

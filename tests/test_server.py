@@ -85,3 +85,39 @@ def test_bad_request(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_server_journal_and_recovery(tmp_path, tiny_weights, tiny_tokenizer):
+    """Server journals requests; a restarted server re-serves unfinished ones."""
+    import json as _json
+    from tpu_llama.models import params_from_raw
+
+    log_path = tmp_path / "reqlog.jsonl"
+    engine = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                    max_batch=2, precision="highest")
+    srv = LlamaServer(engine, tiny_tokenizer, port=0,
+                      request_log=str(log_path), watchdog_s=30).start()
+    _post(srv.port, "/generate",
+          dict(prompt="Once", steps=10, temperature=0.0, seed=1))
+    srv.stop()
+    lines = [_json.loads(l) for l in log_path.read_text().splitlines()]
+    assert {l["type"] for l in lines} == {"submit", "done"}
+
+    # simulate a crash: append a submit with no done, restart the server
+    with open(log_path, "a") as f:
+        f.write(_json.dumps({"type": "submit", "id": 999,
+                             "prompt_tokens": tiny_tokenizer.encode("On"),
+                             "steps": 8, "temperature": 0.0, "topp": 1.0,
+                             "seed": 1}) + "\n")
+    engine.reset()
+    srv2 = LlamaServer(engine, tiny_tokenizer, port=0,
+                       request_log=str(log_path)).start()
+    import time as _t
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if len(srv2.batcher.finished) >= 1:
+            break
+        _t.sleep(0.05)
+    srv2.stop()
+    assert len(srv2.batcher.finished) >= 1  # the crashed request was re-served
+    assert srv2.batcher.finished[0].out_tokens

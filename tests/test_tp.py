@@ -1,0 +1,109 @@
+"""Explicit shard_map TP decode vs single-device reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_llama.models import (
+    forward_decode,
+    make_kv_cache,
+    params_from_raw,
+    quantize_params,
+)
+from tpu_llama.parallel import MeshConfig, make_mesh, shard_cache, shard_params
+from tpu_llama.parallel.tp import tp_forward_decode
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (1, 4), (2, 2)])
+def test_tp_decode_matches_single_device(tiny_weights, eight_devices, dp, tp):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B = 2 * dp
+
+    toks = jnp.arange(B, dtype=jnp.int32) + 5
+    ref = []
+    cache = make_kv_cache(c, B)
+    for p in range(3):
+        logits, cache = forward_decode(params, cache, toks + p,
+                                       jnp.full((B,), p, jnp.int32), c,
+                                       precision="highest")
+        ref.append(np.asarray(logits))
+
+    mesh = make_mesh(MeshConfig(dp, tp))
+    sp = shard_params(params, mesh)
+    sc = shard_cache(make_kv_cache(c, B), mesh)
+    got = []
+    for p in range(3):
+        logits, sc = tp_forward_decode(sp, sc, toks + p,
+                                       jnp.full((B,), p, jnp.int32), c, mesh,
+                                       precision="highest")
+        got.append(np.asarray(logits))
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=1e-5, atol=1e-5)
+
+
+def test_tp_decode_int8_weights(eight_devices):
+    # alignment-clean config: no quantization padding (like real Llama dims)
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+
+    # local (per-shard) in-dims must stay kernel-aligned too: dim/tp >= 128
+    c = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=2,
+                    n_kv_heads=2, vocab_size=256, seq_len=32)
+    w = make_random_weights(c, seed=3)
+    qparams = quantize_params(params_from_raw(w), group_size=16)
+    B = 2
+
+    toks = jnp.array([5, 9], jnp.int32)
+    cache = make_kv_cache(c, B)
+    ref, _ = forward_decode(qparams, cache, toks, jnp.zeros(B, jnp.int32), c,
+                            precision="highest")
+
+    mesh = make_mesh(MeshConfig(1, 2))
+    sp = shard_params(qparams, mesh)
+    sc = shard_cache(make_kv_cache(c, B), mesh)
+    got, _ = tp_forward_decode(sp, sc, toks, jnp.zeros(B, jnp.int32), c, mesh,
+                               precision="highest")
+    # int8 kernel partial sums split across shards round differently in bf16
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=1e-2)
+    assert np.array_equal(np.argmax(np.asarray(got), -1),
+                          np.argmax(np.asarray(ref), -1))
+
+
+def test_tp_rejects_padded_quant(tiny_weights, eight_devices):
+    c = tiny_weights.config  # dim 48 -> quantization pads
+    qparams = quantize_params(params_from_raw(tiny_weights))
+    mesh = make_mesh(MeshConfig(1, 2))
+    sp = shard_params(qparams, mesh)
+    sc = shard_cache(make_kv_cache(c, 2), mesh)
+    with pytest.raises(ValueError, match="padding-free"):
+        tp_forward_decode(sp, sc, jnp.array([5, 9], jnp.int32),
+                          jnp.zeros(2, jnp.int32), c, mesh)
+
+
+def test_tp_decode_int8_kv(tiny_weights, eight_devices):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B = 2
+    toks = jnp.array([5, 9], jnp.int32)
+    ref, _ = forward_decode(params, make_kv_cache(c, B, "int8"), toks,
+                            jnp.zeros(B, jnp.int32), c, precision="highest")
+
+    mesh = make_mesh(MeshConfig(1, 2))
+    sp = shard_params(params, mesh)
+    sc = shard_cache(make_kv_cache(c, B, "int8"), mesh)
+    got, sc2 = tp_forward_decode(sp, sc, toks, jnp.zeros(B, jnp.int32), c,
+                                 mesh, precision="highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    assert sc2.k.dtype == jnp.int8

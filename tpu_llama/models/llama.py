@@ -421,6 +421,38 @@ def forward_decode(
     return logits.astype(jnp.float32), new_cache
 
 
+@partial(jax.jit, static_argnames=("config", "steps", "precision", "attn"),
+         donate_argnums=(1,))
+def greedy_decode_loop(
+    params: LlamaParams,
+    cache,
+    tokens: jax.Array,  # [B] int32 — first token to feed
+    pos: jax.Array,  # [B] int32 — position of that token
+    steps: int,
+    config: ModelConfig,
+    precision: str = "default",
+    attn: str = "auto",
+):
+    """``steps`` greedy decode steps fused into one jitted lax.scan.
+
+    The whole loop is a single XLA program: the sampled token feeds back on
+    device, so per-step host dispatch (the dominant cost on remote/relay TPU
+    setups and a real cost everywhere) is amortized away.  Returns
+    (tokens [B, steps], final cache).
+    """
+
+    def body(carry, _):
+        toks, cache, p = carry
+        logits, cache = forward_decode(params, cache, toks, p, config,
+                                       precision=precision, attn=attn)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache, p + 1), nxt
+
+    (_, cache, _), out = jax.lax.scan(
+        body, (tokens, cache, pos), length=steps)
+    return out.T, cache  # [B, steps]
+
+
 @partial(jax.jit, static_argnames=("config", "precision"))
 def forward_prefill(
     params: LlamaParams,

@@ -126,4 +126,7 @@ def q8_matmul(
         ),
         interpret=_interpret(),
     )(xb, w.q, w.s)
-    return out[:B, : w.logical_out].reshape(*lead, w.logical_out)
+    # logical_out metadata is global; under shard_map the local shard of an
+    # unpadded tensor is smaller than it — effective out is their min.
+    eff_out = min(w.logical_out, OUT)
+    return out[:B, :eff_out].reshape(*lead, eff_out)

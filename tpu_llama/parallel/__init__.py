@@ -5,3 +5,4 @@ from tpu_llama.parallel.sharding import (  # noqa: F401
     shard_cache,
     shard_params,
 )
+from tpu_llama.parallel.tp import tp_forward_decode  # noqa: F401

@@ -27,18 +27,30 @@ from tpu_llama.runtime.scheduler import ContinuousBatcher, Request
 
 class LlamaServer:
     def __init__(self, engine: Engine, tokenizer: Tokenizer,
-                 host: str = "127.0.0.1", port: int = 8000):
+                 host: str = "127.0.0.1", port: int = 8000,
+                 request_log: str | None = None,
+                 watchdog_s: float | None = None):
+        from tpu_llama.runtime.health import RequestLog, Watchdog
+
         self.engine = engine
         self.tokenizer = tokenizer
         self.batcher = ContinuousBatcher(engine)
         self._submit_q: "queue.Queue[tuple[Request, threading.Event]]" = queue.Queue()
         self._events: dict[int, threading.Event] = {}
         self._stop = threading.Event()
+        self._log = RequestLog(request_log) if request_log else None
+        self._watchdog = Watchdog(watchdog_s).start() if watchdog_s else None
         self._loop_thread = threading.Thread(target=self._loop, daemon=True)
         self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.port = self._httpd.server_address[1]
         self._http_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True)
+
+        if request_log:
+            # crash recovery: re-serve journaled-but-unfinished requests
+            for req in RequestLog.replay_incomplete(request_log):
+                rid = self.batcher.submit(req)
+                self._log.log_submit(req)  # re-journal under the new id
 
     # ---- lifecycle ----
     def start(self):
@@ -59,16 +71,24 @@ class LlamaServer:
                 while True:
                     req, ev = self._submit_q.get_nowait()
                     rid = self.batcher.submit(req)
+                    if self._log:
+                        self._log.log_submit(req)
                     self._events[rid] = ev
                     moved = True
             except queue.Empty:
                 pass
+            if self._watchdog:
+                self._watchdog.beat(active=not self.batcher.idle)
             if self.batcher.idle:
                 if not moved:
                     self._stop.wait(0.005)
                 continue
             self.batcher.step()
-            for req in self.batcher.finished:
+            newly = self.batcher.finished[getattr(self, "_n_done", 0):]
+            self._n_done = len(self.batcher.finished)
+            for req in newly:
+                if self._log:
+                    self._log.log_done(req)
                 ev = self._events.pop(req.id, None)
                 if ev is not None:
                     ev.set()
