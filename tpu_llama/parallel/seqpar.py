@@ -1,0 +1,273 @@
+"""Sequence-parallel (context-parallel) decode — the long-context escape
+hatch (SURVEY §5.7).
+
+The reference hard-caps context at ``seq_len`` because its KV cache is one
+host buffer (llama2.ts:160-161, clamp :439).  Here the cache's SEQUENCE axis
+is sharded over the ``model`` mesh axis: each chip owns a contiguous chunk of
+positions, so aggregate context scales with chip count.
+
+Decode attention over a sequence-sharded cache needs no ring: each shard
+computes flash-style partials (running max ``m``, normalizer ``l``,
+weighted-value accumulator ``acc``) over its local chunk, and the partials
+merge with one pmax + two psums — the distributed log-sum-exp trick.  The
+K/V write lands only on the owning shard (out-of-range scatter indices are
+dropped).
+
+Weights are replicated in this mode (pure SP); combining SP with TP is a 3-D
+mesh composition left for the multi-host round.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from tpu_llama.config import ModelConfig
+from tpu_llama.models.llama import (
+    KVCache,
+    LlamaParams,
+    apply_rope,
+    matmul_any,
+    rmsnorm,
+)
+from tpu_llama.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _partial_attention(q, k_chunk, v_chunk, pos, offset, config, prec):
+    """Flash-style partials over one local chunk.
+
+    q: [B, KVH, G, hd]; k/v_chunk: [B, KVH, Sc, hd]; mask: global index
+    (offset + s) <= pos.  Returns (m [B,KVH,G], l [B,KVH,G], acc [B,KVH,G,hd]).
+    """
+    B, kvh, g, hd = q.shape
+    Sc = k_chunk.shape[2]
+    kf = k_chunk.astype(jnp.float32)
+    vf = v_chunk.astype(jnp.float32)
+    scores = jnp.einsum("bkgh,bksh->bkgs", q.astype(jnp.float32), kf,
+                        precision=prec) / jnp.sqrt(jnp.float32(hd))
+    s_idx = offset + jnp.arange(Sc)[None, None, None, :]
+    mask = s_idx <= pos[:, None, None, None]
+    scores = jnp.where(mask, scores, -1e30)
+    m = jnp.max(scores, axis=-1)  # [B,KVH,G]
+    e = jnp.exp(scores - m[..., None])
+    e = jnp.where(mask, e, 0.0)  # all-masked chunks contribute exact zeros
+    l = jnp.sum(e, axis=-1)
+    acc = jnp.einsum("bkgs,bksh->bkgh", e, vf, precision=prec)
+    return m, l, acc
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "precision"))
+def sp_forward_decode(
+    params: LlamaParams,  # replicated
+    cache: KVCache,  # sequence-sharded: P(None, data, None, MODEL, None)
+    tokens: jax.Array,  # [B]
+    pos: jax.Array,  # [B] — may exceed config.seq_len / n_shards per chip
+    config: ModelConfig,
+    mesh: Mesh,
+    precision: str = "default",
+):
+    """Sequence-parallel decode step. Returns (logits [B, V], cache)."""
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    sp = mesh.shape[MODEL_AXIS]
+    S_global = cache.seq_len
+    assert S_global % sp == 0
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    def step(params, cache, tokens, pos):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        Sc = cache.k.shape[3]  # local chunk
+        offset = shard * Sc
+        B = tokens.shape[0]
+        x = params.tok_emb[tokens]
+        cos = params.rope_cos[pos]
+        sin = params.rope_sin[pos]
+        b_ix = jnp.arange(B)[:, None]
+        h_ix = jnp.arange(config.n_kv_heads)[None, :]
+
+        def layer_step(x, scanned):
+            lp, cache_l = scanned
+            h = rmsnorm(x, lp.rms_att)
+            q = mm(h, lp.wq).reshape(B, config.n_heads, config.head_dim)
+            k = mm(h, lp.wk).reshape(B, config.n_kv_heads, config.head_dim)
+            v = mm(h, lp.wv).reshape(B, config.n_kv_heads, config.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            # write only on the owning shard: OOB indices are dropped
+            local_pos = pos - offset
+            write_idx = jnp.where(
+                (local_pos >= 0) & (local_pos < Sc), local_pos, Sc)
+            kc = cache_l.k.at[b_ix, h_ix, write_idx[:, None]].set(
+                k.astype(cache_l.k.dtype), mode="drop")
+            vc = cache_l.v.at[b_ix, h_ix, write_idx[:, None]].set(
+                v.astype(cache_l.v.dtype), mode="drop")
+            cache_l = KVCache(k=kc, v=vc)
+
+            qg = q.reshape(B, config.n_kv_heads, config.group_size,
+                           config.head_dim)
+            m, l, acc = _partial_attention(qg, kc, vc, pos, offset, config, prec)
+            # distributed log-sum-exp merge: one pmax + two psums
+            m_g = jax.lax.pmax(m, MODEL_AXIS)
+            scale = jnp.exp(m - m_g)
+            l_g = jax.lax.psum(l * scale, MODEL_AXIS)
+            acc_g = jax.lax.psum(acc * scale[..., None], MODEL_AXIS)
+            att = (acc_g / jnp.maximum(l_g, 1e-30)[..., None]).reshape(
+                B, config.dim).astype(x.dtype)
+            x = x + mm(att, lp.wo)
+            h = rmsnorm(x, lp.rms_ffn)
+            x = x + mm(jax.nn.silu(mm(h, lp.w1)) * mm(h, lp.w3), lp.w2)
+            return x, cache_l
+
+        x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
+        x = rmsnorm(x, params.rms_final)
+        logits = mm(x, params.wcls)
+        return logits.astype(jnp.float32), new_cache
+
+    cspec = KVCache(k=P(None, DATA_AXIS, None, MODEL_AXIS, None),
+                    v=P(None, DATA_AXIS, None, MODEL_AXIS, None))
+    pspec = jax.tree.map(lambda _: P(), params)
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(pspec, cspec, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None), cspec),
+        check_vma=False,
+    )(params, cache, tokens, pos)
+
+
+def shard_cache_seq(cache: KVCache, mesh: Mesh) -> KVCache:
+    from jax.sharding import NamedSharding
+
+    spec = P(None, DATA_AXIS, None, MODEL_AXIS, None)
+    return KVCache(
+        k=jax.device_put(cache.k, NamedSharding(mesh, spec)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, spec)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ring-attention prefill: queries AND K/V sequence-sharded; K/V chunks rotate
+# around the ring (ppermute) while each shard's queries accumulate online
+# softmax partials — prefill memory is O(chunk), not O(seq) (SURVEY §5.7).
+# ---------------------------------------------------------------------------
+
+
+def _ring_attention(q, k_loc, v_loc, my_shard, sp, q_offset, config, prec):
+    """q: [B, Tc, KVH, G, hd]; k/v_loc: [B, KVH, Tc, hd] (this shard's chunk).
+
+    Returns [B, Tc, dim].  Causality via global indices: key position
+    (chunk_offset + s) attends iff <= query position (q_offset + t).
+    """
+    B, Tc = q.shape[0], q.shape[1]
+    hd = config.head_dim
+    kvh, g = config.n_kv_heads, config.group_size
+    qf = q.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+
+    m = jnp.full((B, Tc, kvh, g), -1e30, jnp.float32)
+    l = jnp.zeros((B, Tc, kvh, g), jnp.float32)
+    acc = jnp.zeros((B, Tc, kvh, g, hd), jnp.float32)
+    k_cur, v_cur = k_loc.astype(jnp.float32), v_loc.astype(jnp.float32)
+
+    t_idx = q_offset + jnp.arange(Tc)  # [Tc] global query positions
+
+    for i in range(sp):
+        src_shard = jnp.mod(my_shard - i, sp)  # whose chunk we hold now
+        k_off = src_shard * Tc
+        scores = jnp.einsum("btkgh,bksh->btkgs", qf, k_cur, precision=prec)
+        s_idx = k_off + jnp.arange(Tc)  # [Tc] global key positions
+        mask = s_idx[None, None, None, None, :] <= t_idx[None, :, None, None, None]
+        scores = jnp.where(mask, scores, -1e30)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+        e = jnp.where(mask, jnp.exp(scores - m_new[..., None]), 0.0)
+        correction = jnp.exp(m - m_new)
+        l = l * correction + jnp.sum(e, axis=-1)
+        acc = acc * correction[..., None] + jnp.einsum(
+            "btkgs,bksh->btkgh", e, v_cur, precision=prec)
+        m = m_new
+        if i + 1 < sp:
+            perm = [(j, (j + 1) % sp) for j in range(sp)]
+            k_cur = jax.lax.ppermute(k_cur, MODEL_AXIS, perm)
+            v_cur = jax.lax.ppermute(v_cur, MODEL_AXIS, perm)
+
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.reshape(B, Tc, config.dim)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "precision"))
+def sp_forward_prefill(
+    params: LlamaParams,  # replicated
+    cache: KVCache,  # sequence-sharded, seq_len == T (or larger, T-aligned)
+    tokens: jax.Array,  # [B, T] — T divisible by the model-axis size
+    config: ModelConfig,
+    mesh: Mesh,
+    precision: str = "default",
+):
+    """Ring-attention prefill from position 0.  Returns (logits [B,T,V], cache).
+
+    Each shard embeds and projects only its sequence chunk; K/V chunks rotate
+    over ICI while queries stay resident — per-chip memory is O(T / n_chips).
+    """
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    sp = mesh.shape[MODEL_AXIS]
+    B, T = tokens.shape
+    assert T % sp == 0 and cache.seq_len == T, "v1: cache sized exactly to T"
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    def step(params, cache, tokens):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        Tc = tokens.shape[1]  # local chunk of queries
+        q_offset = shard * Tc
+        x = params.tok_emb[tokens]  # [B, Tc, D]
+        q_pos = q_offset + jnp.arange(Tc)[None, :]  # [1, Tc] -> broadcast B
+        cos = params.rope_cos[q_pos]
+        sin = params.rope_sin[q_pos]
+        b_ix = jnp.arange(B)[:, None, None]
+        h_ix = jnp.arange(config.n_kv_heads)[None, :, None]
+
+        def layer_step(x, scanned):
+            lp, cache_l = scanned
+            h = rmsnorm(x, lp.rms_att)
+            q = mm(h, lp.wq).reshape(B, Tc, config.n_heads, config.head_dim)
+            k = mm(h, lp.wk).reshape(B, Tc, config.n_kv_heads, config.head_dim)
+            v = mm(h, lp.wv).reshape(B, Tc, config.n_kv_heads, config.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            kt = k.transpose(0, 2, 1, 3)  # [B, KVH, Tc, hd]
+            vt = v.transpose(0, 2, 1, 3)
+            # this shard's chunk of the cache starts at local index 0
+            kc = cache_l.k.at[b_ix, h_ix, jnp.arange(Tc)[None, None, :]].set(
+                kt.astype(cache_l.k.dtype))
+            vc = cache_l.v.at[b_ix, h_ix, jnp.arange(Tc)[None, None, :]].set(
+                vt.astype(cache_l.v.dtype))
+            cache_l = KVCache(k=kc, v=vc)
+            qg = q.reshape(B, Tc, config.n_kv_heads, config.group_size,
+                           config.head_dim)
+            att = _ring_attention(qg, kt, vt, shard, sp, q_offset, config,
+                                  prec).astype(x.dtype)
+            x = x + mm(att, lp.wo)
+            h = rmsnorm(x, lp.rms_ffn)
+            x = x + mm(jax.nn.silu(mm(h, lp.w1)) * mm(h, lp.w3), lp.w2)
+            return x, cache_l
+
+        x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
+        x = rmsnorm(x, params.rms_final)
+        logits = mm(x, params.wcls)
+        return logits.astype(jnp.float32), new_cache
+
+    cspec = KVCache(k=P(None, DATA_AXIS, None, MODEL_AXIS, None),
+                    v=P(None, DATA_AXIS, None, MODEL_AXIS, None))
+    pspec = jax.tree.map(lambda _: P(), params)
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(pspec, cspec, P(DATA_AXIS, MODEL_AXIS)),
+        out_specs=(P(DATA_AXIS, MODEL_AXIS, None), cspec),
+        check_vma=False,
+    )(params, cache, tokens)

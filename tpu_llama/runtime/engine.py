@@ -192,3 +192,29 @@ class Engine:
 
     def reset(self):
         self.cache = jax.tree.map(lambda x: jnp.zeros_like(x), self.cache)
+
+    # ---- KV snapshot / prefix reuse (SURVEY §5.4c, capability extension) ----
+    def snapshot_slot(self, slot: int, length: int) -> dict:
+        """Copy one slot's KV prefix (positions [0, length)) to host arrays —
+        reusable across requests sharing a prompt prefix, or persistable."""
+        snap = {"length": int(length)}
+        for name in ("k", "v", "ks", "vs"):
+            arr = getattr(self.cache, name, None)
+            if arr is None:
+                continue
+            piece = arr[:, slot, :, :length] if arr.ndim == 5 else arr[:, slot, :, :length]
+            snap[name] = np.asarray(piece)
+        return snap
+
+    def restore_slot(self, slot: int, snap: dict) -> None:
+        """Write a snapshot back into a slot; the caller then decodes from
+        pos == snap['length'] without re-running prefill."""
+        length = snap["length"]
+        updates = {}
+        for name in ("k", "v", "ks", "vs"):
+            arr = getattr(self.cache, name, None)
+            if arr is None:
+                continue
+            updates[name] = arr.at[:, slot, :, :length].set(
+                jnp.asarray(snap[name], arr.dtype))
+        self.cache = dataclasses.replace(self.cache, **updates)

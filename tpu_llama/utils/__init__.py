@@ -1,0 +1,2 @@
+from tpu_llama.utils.profiling import profile_trace  # noqa: F401
+from tpu_llama.utils.engine_config import EngineConfig  # noqa: F401
