@@ -1,0 +1,88 @@
+"""Pipeline-parallel stage execution vs single-device reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_llama.models import forward_decode, forward_prefill, make_kv_cache, params_from_raw
+from tpu_llama.parallel.pipeline import PipelineRunner, split_stages
+
+
+@pytest.fixture(scope="module")
+def devices():
+    if len(jax.devices()) < 3:
+        pytest.skip("needs >=3 devices")
+    return jax.devices()
+
+
+def test_split_stages_shapes(tiny_weights):
+    params = params_from_raw(tiny_weights)
+    stages = split_stages(params, 3)
+    assert [s.n_layers for s, _ in stages] == [1, 1, 1]
+    assert stages[0][0].first and stages[-1][0].last
+    # middle stages carry token-embedding/classifier stubs only
+    assert stages[1][1].tok_emb.shape[0] == 1
+    assert stages[1][1].wcls.shape[1] == 1
+
+
+@pytest.mark.parametrize("n_stages", [2, 3])
+def test_pipeline_decode_matches(tiny_weights, devices, n_stages):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B = 2
+    runner = PipelineRunner(params, c, n_stages=n_stages, batch=B,
+                            precision="highest")
+
+    cache = make_kv_cache(c, B)
+    toks = np.array([5, 9], np.int32)
+    for p in range(4):
+        pos = np.full(B, p, np.int32)
+        ref, cache = forward_decode(params, cache, jnp.asarray(toks),
+                                    jnp.asarray(pos), c, precision="highest")
+        got = runner.decode(toks, pos)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6,
+                                   err_msg=f"pos={p}")
+        toks = np.argmax(np.asarray(ref), -1).astype(np.int32)
+
+
+@pytest.mark.parametrize("n_micro", [1, 2])
+def test_pipeline_prefill_matches(tiny_weights, devices, n_micro):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T = 4, 8
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(2, c.vocab_size, (B, T)).astype(np.int32)
+    lengths = np.full(B, T, np.int32)
+
+    cache = make_kv_cache(c, B)
+    ref, _ = forward_prefill(params, cache, jnp.asarray(tokens),
+                             jnp.zeros(B, jnp.int32), jnp.asarray(lengths), c,
+                             precision="highest")
+    ref_last = np.asarray(ref)[np.arange(B), lengths - 1]
+
+    runner = PipelineRunner(params, c, n_stages=2, batch=B, precision="highest")
+    got = runner.prefill(tokens, lengths, n_micro=n_micro)
+    np.testing.assert_allclose(got, ref_last, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_prefill_then_decode(tiny_weights, devices):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T = 2, 6
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(2, c.vocab_size, (B, T)).astype(np.int32)
+    lengths = np.full(B, T, np.int32)
+
+    runner = PipelineRunner(params, c, n_stages=2, batch=B, precision="highest")
+    last = runner.prefill(tokens, lengths)
+    nxt = np.argmax(last, -1).astype(np.int32)
+    got = runner.decode(nxt, np.full(B, T, np.int32))
+
+    cache = make_kv_cache(c, B)
+    _, cache = forward_prefill(params, cache, jnp.asarray(tokens),
+                               jnp.zeros(B, jnp.int32), jnp.asarray(lengths),
+                               c, precision="highest")
+    ref, _ = forward_decode(params, cache, jnp.asarray(nxt),
+                            jnp.full((B,), T, jnp.int32), c, precision="highest")
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)

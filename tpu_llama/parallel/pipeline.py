@@ -1,0 +1,243 @@
+"""Pipeline parallelism: layer stages across device groups (SURVEY §2.4 PP).
+
+The reference's layer loop (llama2.ts:215) becomes contiguous layer *stages*
+placed on different devices/hosts — the 70B-across-hosts configuration where
+tensor parallelism alone runs out of ICI (each stage can still be TP'd over
+its own submesh; v1 places one stage per device).
+
+Host-driven schedule: JAX's async dispatch pipelines the stages naturally —
+submitting microbatch j+1 to stage 0 does not wait for microbatch j to clear
+stage n-1, so prefill microbatches overlap across stages (1F inference
+schedule; no bubbles beyond fill/drain).
+
+Stage 0 owns the embedding; the last stage owns the final norm + classifier;
+every stage owns the KV cache slice for its own layers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_llama.config import ModelConfig
+from tpu_llama.models.llama import (
+    KVCache,
+    LayerParams,
+    LlamaParams,
+    apply_rope,
+    make_kv_cache,
+    matmul_any,
+    rmsnorm,
+)
+
+
+def _slice_layers(lp: LayerParams, lo: int, hi: int) -> LayerParams:
+    return jax.tree.map(lambda x: x[lo:hi], lp)
+
+
+@dataclasses.dataclass
+class StageSpec:
+    first: bool
+    last: bool
+    n_layers: int
+
+
+def split_stages(params: LlamaParams, n_stages: int):
+    """Split stacked params into per-stage LlamaParams-like pytrees."""
+    L = params.layers.rms_att.shape[0]
+    bounds = np.linspace(0, L, n_stages + 1).astype(int)
+    stages = []
+    for i in range(n_stages):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        stages.append((
+            StageSpec(first=(i == 0), last=(i == n_stages - 1),
+                      n_layers=hi - lo),
+            LlamaParams(
+                tok_emb=params.tok_emb if i == 0 else params.tok_emb[:1],
+                layers=_slice_layers(params.layers, lo, hi),
+                rms_final=params.rms_final,
+                wcls=params.wcls if i == n_stages - 1 else params.wcls[:, :1],
+                rope_cos=params.rope_cos,
+                rope_sin=params.rope_sin,
+            ),
+        ))
+    return stages
+
+
+@partial(jax.jit, static_argnames=("config", "first", "last", "precision"),
+         donate_argnums=(1,))
+def _stage_decode(
+    params: LlamaParams,
+    cache,  # this stage's KV cache (n_layers_stage deep)
+    x_or_tokens: jax.Array,  # [B] int32 if first else [B, D] activations
+    pos: jax.Array,
+    config: ModelConfig,
+    first: bool,
+    last: bool,
+    precision: str = "default",
+):
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    x = params.tok_emb[x_or_tokens] if first else x_or_tokens
+    B = x.shape[0]
+    cos = params.rope_cos[pos]
+    sin = params.rope_sin[pos]
+    b_ix = jnp.arange(B)[:, None]
+    h_ix = jnp.arange(config.n_kv_heads)[None, :]
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    def layer_step(x, scanned):
+        lp, cache_l = scanned
+        h = rmsnorm(x, lp.rms_att)
+        q = mm(h, lp.wq).reshape(B, config.n_heads, config.head_dim)
+        k = mm(h, lp.wk).reshape(B, config.n_kv_heads, config.head_dim)
+        v = mm(h, lp.wv).reshape(B, config.n_kv_heads, config.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        from tpu_llama.models.llama import _attend_decode, _write_decode
+
+        cache_l = _write_decode(cache_l, k, v, pos, config)
+        att = _attend_decode(cache_l, q, pos, config, prec, "xla")
+        x = x + mm(att, lp.wo)
+        h = rmsnorm(x, lp.rms_ffn)
+        x = x + mm(jax.nn.silu(mm(h, lp.w1)) * mm(h, lp.w3), lp.w2)
+        return x, cache_l
+
+    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
+    if last:
+        x = rmsnorm(x, params.rms_final)
+        out = matmul_any(x, params.wcls, prec).astype(jnp.float32)
+    else:
+        out = x
+    return out, new_cache
+
+
+@partial(jax.jit, static_argnames=("config", "first", "last", "precision",
+                                   "micro_offset"), donate_argnums=(1,))
+def _stage_prefill(
+    params: LlamaParams,
+    cache,  # stage cache, full batch rows
+    x_or_tokens: jax.Array,  # [mb, T] ids if first else [mb, T, D]
+    lengths: jax.Array,  # [mb]
+    config: ModelConfig,
+    first: bool,
+    last: bool,
+    precision: str = "default",
+    micro_offset: int = 0,
+):
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    x = params.tok_emb[x_or_tokens] if first else x_or_tokens
+    mb, T = x.shape[0], x.shape[1]
+    S = cache.seq_len
+    q_pos = jnp.broadcast_to(jnp.arange(T)[None, :], (mb, T))
+    write_pos = jnp.clip(q_pos, 0, S - 1)
+    cos = params.rope_cos[write_pos]
+    sin = params.rope_sin[write_pos]
+    b_ix = jnp.arange(mb)[:, None, None]
+    h_ix = jnp.arange(config.n_kv_heads)[None, :, None]
+    p_ix = write_pos[:, None, :]
+    rows = micro_offset + jnp.arange(mb)
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    from tpu_llama.models.llama import _attention_prefill
+
+    def layer_step(x, scanned):
+        lp, cache_l = scanned  # cache_l: full-batch rows for this layer
+        h = rmsnorm(x, lp.rms_att)
+        q = mm(h, lp.wq).reshape(mb, T, config.n_heads, config.head_dim)
+        k = mm(h, lp.wk).reshape(mb, T, config.n_kv_heads, config.head_dim)
+        v = mm(h, lp.wv).reshape(mb, T, config.n_kv_heads, config.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        # scatter this microbatch's rows into the stage cache
+        krows = cache_l.k[rows]
+        vrows = cache_l.v[rows]
+        krows = krows.at[b_ix, h_ix, p_ix].set(kt.astype(krows.dtype))
+        vrows = vrows.at[b_ix, h_ix, p_ix].set(vt.astype(vrows.dtype))
+        att = _attention_prefill(q, krows, vrows, q_pos, config, prec)
+        cache_l = KVCache(k=cache_l.k.at[rows].set(krows),
+                          v=cache_l.v.at[rows].set(vrows))
+        x = x + mm(att, lp.wo)
+        h = rmsnorm(x, lp.rms_ffn)
+        x = x + mm(jax.nn.silu(mm(h, lp.w1)) * mm(h, lp.w3), lp.w2)
+        return x, cache_l
+
+    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
+    if last:
+        x = rmsnorm(x, params.rms_final)
+        out = matmul_any(x, params.wcls, prec).astype(jnp.float32)
+    else:
+        out = x
+    return out, new_cache
+
+
+class PipelineRunner:
+    """Host-orchestrated inference pipeline over explicit device placements."""
+
+    def __init__(self, params: LlamaParams, config: ModelConfig,
+                 n_stages: int, batch: int, devices=None,
+                 kv_dtype="float32", precision: str = "default",
+                 seq_len: int | None = None):
+        devices = devices or jax.devices()[:n_stages]
+        assert len(devices) >= n_stages
+        self.config = config
+        self.precision = precision
+        self.stages = []
+        for (spec, sparams), dev in zip(split_stages(params, n_stages), devices):
+            sparams = jax.device_put(sparams, dev)
+            scfg = dataclasses.replace(config, n_layers=spec.n_layers)
+            cache = jax.device_put(
+                make_kv_cache(scfg, batch, kv_dtype=kv_dtype, seq_len=seq_len),
+                dev)
+            self.stages.append({"spec": spec, "params": sparams,
+                                "cache": cache, "device": dev, "config": scfg})
+
+    def decode(self, tokens: np.ndarray, pos: np.ndarray) -> np.ndarray:
+        """One decode step through all stages. [B] -> logits [B, V]."""
+        x = jnp.asarray(tokens, jnp.int32)
+        posd = jnp.asarray(pos, jnp.int32)
+        for st in self.stages:
+            x = jax.device_put(x, st["device"])
+            p = jax.device_put(posd, st["device"])
+            x, st["cache"] = _stage_decode(
+                st["params"], st["cache"], x, p, st["config"],
+                st["spec"].first, st["spec"].last, self.precision)
+        return np.asarray(x)
+
+    def prefill(self, tokens: np.ndarray, lengths: np.ndarray,
+                n_micro: int = 1) -> np.ndarray:
+        """Pipelined prefill: the batch splits into ``n_micro`` microbatches;
+        JAX async dispatch overlaps microbatch j on stage i with j-1 on
+        stage i+1 (fill/drain bubbles only).  Returns last-position logits
+        [B, V]."""
+        B, T = tokens.shape
+        assert B % n_micro == 0
+        mb = B // n_micro
+        pending = []
+        for j in range(n_micro):
+            sl = slice(j * mb, (j + 1) * mb)
+            x = jnp.asarray(tokens[sl], jnp.int32)
+            ln = jnp.asarray(lengths[sl], jnp.int32)
+            for st in self.stages:
+                xd = jax.device_put(x, st["device"])
+                lnd = jax.device_put(ln, st["device"])
+                xd, st["cache"] = _stage_prefill(
+                    st["params"], st["cache"], xd, lnd, st["config"],
+                    st["spec"].first, st["spec"].last, self.precision,
+                    micro_offset=j * mb)
+                x = xd  # flows to next stage; dispatch is async
+            pending.append((x, ln))
+        outs = []
+        for x, ln in pending:
+            full = np.asarray(x)  # [mb, T, V] at last stage
+            outs.append(full[np.arange(len(full)), np.asarray(ln) - 1])
+        return np.concatenate(outs, axis=0)

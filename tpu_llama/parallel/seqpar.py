@@ -222,21 +222,21 @@ def sp_forward_prefill(
 
     def step(params, cache, tokens):
         shard = jax.lax.axis_index(MODEL_AXIS)
-        Tc = tokens.shape[1]  # local chunk of queries
+        Bl, Tc = tokens.shape  # data-local batch, sequence-local chunk
         q_offset = shard * Tc
-        x = params.tok_emb[tokens]  # [B, Tc, D]
-        q_pos = q_offset + jnp.arange(Tc)[None, :]  # [1, Tc] -> broadcast B
+        x = params.tok_emb[tokens]  # [Bl, Tc, D]
+        q_pos = q_offset + jnp.arange(Tc)[None, :]  # [1, Tc] -> broadcast Bl
         cos = params.rope_cos[q_pos]
         sin = params.rope_sin[q_pos]
-        b_ix = jnp.arange(B)[:, None, None]
+        b_ix = jnp.arange(Bl)[:, None, None]
         h_ix = jnp.arange(config.n_kv_heads)[None, :, None]
 
         def layer_step(x, scanned):
             lp, cache_l = scanned
             h = rmsnorm(x, lp.rms_att)
-            q = mm(h, lp.wq).reshape(B, Tc, config.n_heads, config.head_dim)
-            k = mm(h, lp.wk).reshape(B, Tc, config.n_kv_heads, config.head_dim)
-            v = mm(h, lp.wv).reshape(B, Tc, config.n_kv_heads, config.head_dim)
+            q = mm(h, lp.wq).reshape(Bl, Tc, config.n_heads, config.head_dim)
+            k = mm(h, lp.wk).reshape(Bl, Tc, config.n_kv_heads, config.head_dim)
+            v = mm(h, lp.wv).reshape(Bl, Tc, config.n_kv_heads, config.head_dim)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             kt = k.transpose(0, 2, 1, 3)  # [B, KVH, Tc, hd]
@@ -247,7 +247,7 @@ def sp_forward_prefill(
             vc = cache_l.v.at[b_ix, h_ix, jnp.arange(Tc)[None, None, :]].set(
                 vt.astype(cache_l.v.dtype))
             cache_l = KVCache(k=kc, v=vc)
-            qg = q.reshape(B, Tc, config.n_kv_heads, config.group_size,
+            qg = q.reshape(Bl, Tc, config.n_kv_heads, config.group_size,
                            config.head_dim)
             att = _ring_attention(qg, kt, vt, shard, sp, q_offset, config,
                                   prec).astype(x.dtype)
