@@ -77,3 +77,40 @@ def test_kv_snapshot_prefix_reuse(tiny_weights):
     logits_b = engine2.decode(np.array([0, 42], np.int32),
                               np.array([0, len(prompt)], np.int32))[1]
     np.testing.assert_allclose(logits_a, logits_b, rtol=1e-5, atol=1e-6)
+
+
+def test_debug_mode_catches_nan():
+    import jax.numpy as jnp
+    import pytest
+    from tpu_llama.utils.debug import debug_mode
+
+    with debug_mode(nans=True):
+        with pytest.raises(FloatingPointError):
+            import jax
+            jax.jit(lambda x: jnp.log(x))(jnp.array([-1.0])).block_until_ready()
+
+
+def test_donation_guard(tiny_weights):
+    import jax.numpy as jnp
+    from tpu_llama.models import make_kv_cache, params_from_raw
+    from tpu_llama.runtime.engine import _decode_step
+    from tpu_llama.utils.debug import assert_not_donated
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    cache = make_kv_cache(c, 1)
+    _, new_cache = _decode_step(params, cache,
+                                jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), c)
+    import pytest
+    with pytest.raises(AssertionError, match="donated"):
+        assert_not_donated(cache.k, "old cache")  # cache was donated
+    assert_not_donated(new_cache.k, "new cache")  # fine
+
+
+def test_logits_fingerprint_stable():
+    import numpy as np
+    from tpu_llama.utils.debug import logits_fingerprint
+
+    a = np.arange(12, dtype=np.float32)
+    assert logits_fingerprint(a) == logits_fingerprint(a.copy())
+    assert logits_fingerprint(a) != logits_fingerprint(a + 1)
