@@ -34,6 +34,8 @@ def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
     params = random_params(config, dtype=dtype, seed=0)
     if quant == "int8":
         params = jax.block_until_ready(quantize_params(params))
+    elif quant == "w8a8":
+        params = jax.block_until_ready(quantize_params(params, mode="w8a8"))
     kv = kv_dtype or dtype
     cache = make_kv_cache(config, batch=batch, kv_dtype=kv)
     jax.block_until_ready(params.tok_emb)
@@ -59,8 +61,10 @@ def main():
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--config", default="7b", choices=["7b", "110m", "15m"])
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--quant", default=None, choices=[None, "int8"])
+    ap.add_argument("--quant", default=None, choices=[None, "int8", "w8a8"])
     ap.add_argument("--attn", default="auto", choices=["auto", "flash", "xla"])
+    ap.add_argument("--kv", default=None, choices=[None, "float32", "bfloat16", "int8"],
+                    help="KV cache dtype (default: same as --dtype)")
     args = ap.parse_args()
 
     from tpu_llama.config import LLAMA2_7B, STORIES15M, STORIES110M
@@ -72,16 +76,18 @@ def main():
     config = configs[name]
     try:
         toks = bench_decode(config, args.batch, args.steps, dtype,
-                            quant=args.quant, attn=args.attn)
+                            quant=args.quant, attn=args.attn, kv_dtype=args.kv)
     except Exception as e:  # OOM etc. — fall back, report honestly
         print(f"bench {name} failed ({type(e).__name__}: {e}); falling back to 110m",
               file=sys.stderr)
         name = "110m"
         config = configs[name]
         toks = bench_decode(config, args.batch, args.steps, dtype,
-                            quant=args.quant, attn=args.attn)
+                            quant=args.quant, attn=args.attn, kv_dtype=args.kv)
 
     qtag = f"_{args.quant}" if args.quant else ""
+    if args.kv:
+        qtag += f"_kv{args.kv}"
     vs = toks / BASELINE_7B_TOKS if name == "7b" else float("nan")
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_{name}_{args.dtype}{qtag}_b{args.batch}",

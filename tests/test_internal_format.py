@@ -58,3 +58,18 @@ def test_convert_tool(tmp_path, tiny_weights):
     loaded, config = load_params(tmp_path / "out")
     assert config == tiny_weights.config
     assert loaded.layers.w1.q.dtype == jnp.int8
+
+
+def test_w8a8_roundtrip_and_forward(tmp_path, tiny_weights):
+    c = tiny_weights.config
+    qparams = quantize_params(params_from_raw(tiny_weights), mode="w8a8")
+    save_params(tmp_path / "w8a8", qparams, c)
+    loaded, config = load_params(tmp_path / "w8a8")
+    assert config == c
+    from tpu_llama.ops import ChannelQuantTensor
+    assert isinstance(loaded.layers.wq, ChannelQuantTensor)
+    tok = jnp.array([5], jnp.int32)
+    pos = jnp.array([0], jnp.int32)
+    la, _ = forward_decode(qparams, make_kv_cache(c, 1), tok, pos, c)
+    lb, _ = forward_decode(loaded, make_kv_cache(c, 1), tok, pos, c)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

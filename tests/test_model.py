@@ -181,3 +181,32 @@ def test_greedy_decode_loop_matches_sequential(tiny_weights):
         toks = jnp.argmax(logits, -1).astype(jnp.int32)
         seq.append(np.asarray(toks))
     np.testing.assert_array_equal(np.asarray(out), np.stack(seq, 1))
+
+
+def test_fused_projections_match(tiny_weights):
+    from tpu_llama.models.llama import fuse_projections, quantize_params
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    fused = fuse_projections(params)
+    assert fused.layers.wq.shape[-1] == c.dim + 2 * c.kv_dim
+    assert fused.layers.w1.shape[-1] == 2 * c.hidden_dim
+
+    toks = jnp.array([5], jnp.int32)
+    cache_a = KVCache.create(c, 1)
+    cache_b = KVCache.create(c, 1)
+    for p in range(3):
+        pp = jnp.array([p], jnp.int32)
+        la, cache_a = forward_decode(params, cache_a, toks, pp, c,
+                                     precision="highest")
+        lb, cache_b = forward_decode(fused, cache_b, toks, pp, c,
+                                     precision="highest")
+        # different matmul tiling reorders f32 accumulation slightly
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-5)
+
+    # fused + quantized composes
+    qf = quantize_params(fused)
+    cache_c = KVCache.create(c, 1)
+    lc, _ = forward_decode(qf, cache_c, toks, jnp.array([0], jnp.int32), c)
+    assert np.isfinite(np.asarray(lc)).all()

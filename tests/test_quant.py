@@ -93,3 +93,65 @@ def test_q8_matmul_batched_lead_dims(rng_np):
     np.testing.assert_allclose(got.reshape(-1, 64), want, rtol=2e-2,
                                atol=2e-2 * np.abs(want).max())
     assert got.shape == (2, 4, 64)
+
+
+# ---- W8A8 per-channel path ----
+
+def test_quantize_channel_roundtrip(rng_np):
+    from tpu_llama.ops import dequantize_channel, quantize_channel
+
+    w = rng_np.standard_normal((256, 128)).astype(np.float32) * 0.1
+    t = quantize_channel(w)
+    assert t.q.dtype == jnp.int8
+    assert t.s.shape == (128,)
+    back = np.asarray(dequantize_channel(t))
+    rms = np.sqrt(np.mean((back - w) ** 2)) / np.sqrt(np.mean(w**2))
+    assert rms < 0.01
+
+
+def test_quantize_activations(rng_np):
+    from tpu_llama.ops import quantize_activations
+
+    x = rng_np.standard_normal((4, 64)).astype(np.float32)
+    q, s = quantize_activations(jnp.asarray(x))
+    back = np.asarray(q).astype(np.float32) * np.asarray(s)[:, None]
+    assert np.abs(back - x).max() < np.abs(x).max() / 100
+
+
+@pytest.mark.parametrize("B,IN,OUT", [
+    (1, 256, 128), (8, 512, 256), (3, 288, 320), (33, 128, 512),
+])
+def test_w8a8_matmul_matches_reference(rng_np, B, IN, OUT):
+    from tpu_llama.ops import dequantize_channel, quantize_channel, w8a8_matmul
+    from tpu_llama.ops.quant import quantize_activations
+
+    x = rng_np.standard_normal((B, IN)).astype(np.float32)
+    w = rng_np.standard_normal((IN, OUT)).astype(np.float32) * 0.05
+    t = quantize_channel(w)
+    # reference: quantized activations times dequantized weights
+    xq, sx = quantize_activations(jnp.asarray(np.pad(x, ((0,0),(0,t.q.shape[0]-IN)))))
+    want = (np.asarray(xq).astype(np.float32) * np.asarray(sx)[:, None]) @ \
+           (np.asarray(t.q).astype(np.float32) * np.asarray(t.s)[None, :])
+    got = np.asarray(w8a8_matmul(jnp.asarray(x), t))
+    np.testing.assert_allclose(got, want[:, :OUT], rtol=1e-5,
+                               atol=1e-5 * np.abs(want).max() + 1e-6)
+
+
+def test_w8a8_model_decode_close(tiny_weights):
+    from tpu_llama.models import forward_decode, make_kv_cache, params_from_raw
+    from tpu_llama.models.llama import quantize_params
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    qparams = quantize_params(params, mode="w8a8")
+    tokens = [1, 5, 17, 300]
+    cf, cq = make_kv_cache(c, 1), make_kv_cache(c, 1)
+    agree = 0
+    for p, t in enumerate(tokens):
+        tt, pp = jnp.array([t], jnp.int32), jnp.array([p], jnp.int32)
+        lf, cf = forward_decode(params, cf, tt, pp, c)
+        lq, cq = forward_decode(qparams, cq, tt, pp, c)
+        lf, lq = np.asarray(lf[0]), np.asarray(lq[0])
+        assert np.abs(lq - lf).max() / (np.abs(lf).max() + 1e-9) < 0.15, p
+        agree += int(np.argmax(lq) == np.argmax(lf))
+    assert agree >= len(tokens) - 1

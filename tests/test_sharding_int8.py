@@ -59,3 +59,19 @@ def test_sharded_int8_kv_cache(tiny_weights, eight_devices):
                                rtol=1e-4, atol=1e-5)
     assert sc2.k.dtype == jnp.int8
     assert not sc2.ks.sharding.is_fully_replicated
+
+
+def test_sharded_w8a8_params_decode(tiny_weights, eight_devices):
+    c = tiny_weights.config
+    qparams = quantize_params(params_from_raw(tiny_weights), mode="w8a8")
+
+    cache = make_kv_cache(c, 2)
+    toks = jnp.array([5, 9], jnp.int32)
+    ref, _ = forward_decode(qparams, cache, toks, jnp.zeros(2, jnp.int32), c)
+
+    mesh = make_mesh(MeshConfig(2, 2))
+    sp = shard_params(qparams, mesh)
+    sc = shard_cache(make_kv_cache(c, 2), mesh)
+    got, _ = forward_decode(sp, sc, toks, jnp.zeros(2, jnp.int32), c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

@@ -18,7 +18,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("checkpoint")
     ap.add_argument("out_dir")
-    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="groupwise Q8_0-style weight-only INT8")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="per-channel INT8 weights for the int8-MXU W8A8 path")
     ap.add_argument("--group", type=int, default=None,
                     help="quant group size (default: auto per tensor)")
     ap.add_argument("--dtype", default="float32",
@@ -36,8 +39,11 @@ def main() -> None:
     params = params_from_raw(raw, dtype=jnp.dtype(args.dtype))
     if args.int8:
         params = quantize_params(params, group_size=args.group)
+    elif args.w8a8:
+        params = quantize_params(params, mode="w8a8")
     save_params(args.out_dir, params, raw.config)
-    print(f"wrote {args.out_dir} (config={raw.config}, int8={args.int8})")
+    print(f"wrote {args.out_dir} (config={raw.config}, "
+          f"int8={args.int8}, w8a8={args.w8a8})")
 
 
 if __name__ == "__main__":

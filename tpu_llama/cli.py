@@ -24,7 +24,7 @@ def error_usage() -> "None":
     sys.stderr.write("  -n <int>    number of steps to run for, default 256. 0 = max_seq_len\n")
     sys.stderr.write("  -i <string> input prompt\n")
     sys.stderr.write("  --tokenizer <path>  tokenizer.bin path (default ./tokenizer.bin)\n")
-    sys.stderr.write("  --quant int8        weight-only INT8 (fused Pallas dequant+matmul)\n")
+    sys.stderr.write("  --quant int8|w8a8   INT8: groupwise weight-only / int8-MXU W8A8\n")
     sys.stderr.write("  --precision <p>     matmul precision: highest|default (default: highest)\n")
     sys.exit(1)
 
@@ -100,6 +100,8 @@ def main(argv: list[str] | None = None) -> None:
     params = params_from_raw(raw)
     if quant == "int8":
         params = quantize_params(params)
+    elif quant == "w8a8":
+        params = quantize_params(params, mode="w8a8")
     elif quant is not None:
         error_usage()
 

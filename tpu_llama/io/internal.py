@@ -24,7 +24,7 @@ import numpy as np
 
 from tpu_llama.config import ModelConfig
 from tpu_llama.models.llama import LayerParams, LlamaParams
-from tpu_llama.ops.quant import QuantTensor
+from tpu_llama.ops.quant import ChannelQuantTensor, QuantTensor
 
 FORMAT_VERSION = 1
 
@@ -51,11 +51,11 @@ def save_params(path: str | os.PathLike, params: LlamaParams, config: ModelConfi
         "tensors": {},
     }
     for name, t in tensors.items():
-        if isinstance(t, QuantTensor):
+        if isinstance(t, (QuantTensor, ChannelQuantTensor)):
             np.save(d / f"{name}.q.npy", np.asarray(t.q))
             np.save(d / f"{name}.s.npy", np.asarray(t.s))
             meta["tensors"][name] = {
-                "kind": "q8",
+                "kind": "q8" if isinstance(t, QuantTensor) else "w8a8",
                 "logical_in": t.logical_in,
                 "logical_out": t.logical_out,
             }
@@ -76,10 +76,11 @@ def load_params(path: str | os.PathLike, device_put: bool = True):
 
     def load_one(name: str):
         info = meta["tensors"][name]
-        if info["kind"] == "q8":
+        if info["kind"] in ("q8", "w8a8"):
             q = np.load(d / f"{name}.q.npy", mmap_mode="r")
             s = np.load(d / f"{name}.s.npy", mmap_mode="r")
-            return QuantTensor(
+            cls = QuantTensor if info["kind"] == "q8" else ChannelQuantTensor
+            return cls(
                 q=jnp.asarray(q), s=jnp.asarray(s),
                 logical_in=info["logical_in"], logical_out=info["logical_out"],
             )

@@ -32,8 +32,13 @@ import numpy as np
 from tpu_llama.config import ModelConfig
 from tpu_llama.io.checkpoint import RawWeights
 from tpu_llama.ops.attention import flash_decode_attention, quantize_kv
-from tpu_llama.ops.matmul import q8_matmul
-from tpu_llama.ops.quant import QuantTensor, quantize_q8
+from tpu_llama.ops.matmul import q8_matmul, w8a8_matmul
+from tpu_llama.ops.quant import (
+    ChannelQuantTensor,
+    QuantTensor,
+    quantize_channel,
+    quantize_q8,
+)
 
 
 def _dataclass_pytree(cls):
@@ -217,14 +222,24 @@ def random_params(
 
 
 def quantize_params(
-    params: LlamaParams, group_size: int | None = None, quantize_wcls: bool = True
+    params: LlamaParams, group_size: int | None = None,
+    quantize_wcls: bool = True, mode: str = "q8_0",
 ) -> LlamaParams:
-    """Weight-only INT8 (Q8_0-style groupwise) conversion of the seven matmul
-    families (+ classifier).  Norm weights, embeddings, and RoPE tables stay
-    floating point (tiny and/or gather-only)."""
+    """INT8 conversion of the seven matmul families (+ classifier).
 
-    def q(w):
-        return quantize_q8(w, group_size)
+    mode="q8_0": group-wise weight-only (llama2.c-compatible accuracy;
+    dequant in VMEM).  mode="w8a8": per-channel weights + dynamic per-token
+    activation quant on the int8 MXU (the throughput path).  Norm weights,
+    embeddings, and RoPE tables stay floating point."""
+
+    if mode == "w8a8":
+        def q(w):
+            return quantize_channel(w)
+    elif mode == "q8_0":
+        def q(w):
+            return quantize_q8(w, group_size)
+    else:
+        raise ValueError(f"unknown quant mode {mode!r}")
 
     lp = params.layers
     return LlamaParams(
@@ -242,6 +257,55 @@ def quantize_params(
     )
 
 
+def fuse_projections(params: LlamaParams) -> LlamaParams:
+    """Fuse per-layer [wq|wk|wv] -> one wqkv and [w1|w3] -> one w13 matmul.
+
+    Decode at small batch is bounded by per-op latency, not FLOPs — fusing
+    cuts the 7 projections per layer (SURVEY §3.3) to 4.  Fusion is detected
+    by output width at trace time, so all forward paths work unchanged.
+    Apply BEFORE quantize_params; not for explicit-TP layouts (the fused
+    column order would split q/k/v unevenly across shards).
+    """
+    lp = params.layers
+    if not isinstance(lp.wq, jax.Array):
+        raise ValueError("fuse_projections must run before quantization")
+    L = lp.rms_att.shape[0]
+    stub = jnp.zeros((L, 1, 1), lp.wq.dtype)
+    return dataclasses.replace(
+        params,
+        layers=dataclasses.replace(
+            lp,
+            wq=jnp.concatenate([lp.wq, lp.wk, lp.wv], axis=-1),
+            wk=stub, wv=stub,
+            w1=jnp.concatenate([lp.w1, lp.w3], axis=-1),
+            w3=stub,
+        ),
+    )
+
+
+def _out_features(w) -> int:
+    if isinstance(w, (QuantTensor, ChannelQuantTensor)):
+        return w.logical_out
+    return w.shape[-1]
+
+
+def _project_qkv(h, lp, config: ModelConfig, mm):
+    """q/k/v projections, transparently handling the fused wqkv layout."""
+    D, KVD = config.dim, config.kv_dim
+    if _out_features(lp.wq) == D + 2 * KVD:
+        qkv = mm(h, lp.wq)
+        return qkv[..., :D], qkv[..., D : D + KVD], qkv[..., D + KVD :]
+    return mm(h, lp.wq), mm(h, lp.wk), mm(h, lp.wv)
+
+
+def _project_gate_up(h, lp, config: ModelConfig, mm):
+    H = config.hidden_dim
+    if _out_features(lp.w1) == 2 * H:
+        gu = mm(h, lp.w1)
+        return gu[..., :H], gu[..., H:]
+    return mm(h, lp.w1), mm(h, lp.w3)
+
+
 # ---------------------------------------------------------------------------
 # building blocks
 # ---------------------------------------------------------------------------
@@ -250,10 +314,13 @@ _NEG_INF = jnp.float32(-1e30)
 
 
 def matmul_any(a: jax.Array, w, precision) -> jax.Array:
-    """x @ W for either a dense jax.Array or an INT8 QuantTensor (fused
-    dequant+matmul Pallas kernel)."""
+    """x @ W dispatching on weight type: dense jax.Array, groupwise-INT8
+    QuantTensor (fused dequant+matmul), or per-channel ChannelQuantTensor
+    (full W8A8 on the int8 MXU)."""
     if isinstance(w, QuantTensor):
         return q8_matmul(a, w, out_dtype=a.dtype)
+    if isinstance(w, ChannelQuantTensor):
+        return w8a8_matmul(a, w, out_dtype=a.dtype)
     return jnp.dot(a, w, precision=precision)
 
 
@@ -401,17 +468,17 @@ def forward_decode(
     def layer_step(x, scanned):
         lp, cache_l = scanned  # per-layer slices
         h = rmsnorm(x, lp.rms_att)
-        q = mm(h, lp.wq).reshape(B, config.n_heads, config.head_dim)
-        k = mm(h, lp.wk).reshape(B, config.n_kv_heads, config.head_dim)
-        v = mm(h, lp.wv).reshape(B, config.n_kv_heads, config.head_dim)
+        q, k, v = _project_qkv(h, lp, config, mm)
+        q = q.reshape(B, config.n_heads, config.head_dim)
+        k = k.reshape(B, config.n_kv_heads, config.head_dim)
+        v = v.reshape(B, config.n_kv_heads, config.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         cache_l = _write_decode(cache_l, k, v, pos, config)
         att = _attend_decode(cache_l, q, pos, config, prec, attn)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
-        gate = mm(h, lp.w1)
-        up = mm(h, lp.w3)
+        gate, up = _project_gate_up(h, lp, config, mm)
         x = x + mm(jax.nn.silu(gate) * up, lp.w2)
         return x, cache_l
 
@@ -453,7 +520,7 @@ def greedy_decode_loop(
     return out.T, cache  # [B, steps]
 
 
-@partial(jax.jit, static_argnames=("config", "precision"))
+@partial(jax.jit, static_argnames=("config", "precision", "logits_mode"))
 def forward_prefill(
     params: LlamaParams,
     cache: KVCache,
@@ -462,6 +529,7 @@ def forward_prefill(
     lengths: jax.Array,  # [B] int32 — valid token count per row
     config: ModelConfig,
     precision: str = "highest",
+    logits_mode: str = "all",  # "all": [B,T,V]; "last": [B,V] at lengths-1
 ):
     """Batched causal prefill. Returns (logits [B, T, V], new cache).
 
@@ -483,7 +551,6 @@ def forward_prefill(
     write_pos = jnp.clip(q_pos, 0, S - 1)
     cos = params.rope_cos[write_pos]  # [B, T, hd/2]
     sin = params.rope_sin[write_pos]
-    del lengths  # shape bookkeeping is the caller's job; masking uses q_pos
 
     batch_idx = jnp.arange(B)
 
@@ -493,9 +560,10 @@ def forward_prefill(
     def layer_step(x, scanned):
         lp, cache_l = scanned
         h = rmsnorm(x, lp.rms_att)
-        q = mm(h, lp.wq).reshape(B, T, config.n_heads, config.head_dim)
-        k = mm(h, lp.wk).reshape(B, T, config.n_kv_heads, config.head_dim)
-        v = mm(h, lp.wv).reshape(B, T, config.n_kv_heads, config.head_dim)
+        q, k, v = _project_qkv(h, lp, config, mm)
+        q = q.reshape(B, T, config.n_heads, config.head_dim)
+        k = k.reshape(B, T, config.n_kv_heads, config.head_dim)
+        v = v.reshape(B, T, config.n_kv_heads, config.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         # [B, T, KVH, hd] -> head-major [B, KVH, T, hd], scatter at [B, 1, T]
@@ -525,10 +593,16 @@ def forward_prefill(
         att = _attention_prefill(q, kf, vf, q_pos, config, prec)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
-        x = x + mm(jax.nn.silu(mm(h, lp.w1)) * mm(h, lp.w3), lp.w2)
+        gate, up = _project_gate_up(h, lp, config, mm)
+        x = x + mm(jax.nn.silu(gate) * up, lp.w2)
         return x, cache_l
 
     x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
+    if logits_mode == "last":
+        # classifier only at each row's final valid position — the admission
+        # path needs just the next-token logits; skips T x V matmul work
+        x = jnp.take_along_axis(
+            x, jnp.clip(lengths - 1, 0, T - 1)[:, None, None], axis=1)[:, 0]
     x = rmsnorm(x, params.rms_final)
     logits = matmul_any(x, params.wcls, prec)
     return logits.astype(jnp.float32), new_cache

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_llama.ops.quant import QuantTensor
+from tpu_llama.ops.quant import ChannelQuantTensor, QuantTensor, quantize_activations
 
 
 def _interpret() -> bool:
@@ -128,5 +128,80 @@ def q8_matmul(
     )(xb, w.q, w.s)
     # logical_out metadata is global; under shard_map the local shard of an
     # unpadded tensor is smaller than it — effective out is their min.
+    eff_out = min(w.logical_out, OUT)
+    return out[:B, :eff_out].reshape(*lead, eff_out)
+
+
+# ---------------------------------------------------------------------------
+# W8A8: per-channel int8 weights x per-token int8 activations on the int8 MXU
+# ---------------------------------------------------------------------------
+
+
+def _w8a8_kernel(x_ref, sx_ref, q_ref, sw_ref, o_ref, acc_ref, *, n_in: int):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # pure int8 MXU matmul with int32 accumulation — zero VPU dequant work
+    acc_ref[:] += jnp.dot(x_ref[:], q_ref[:], preferred_element_type=jnp.int32)
+
+    @pl.when(i == n_in - 1)
+    def _():
+        # one output-side rescale: row activation scale x column weight scale
+        o_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_out", "block_in"))
+def w8a8_matmul(
+    x: jax.Array,
+    w: ChannelQuantTensor,
+    out_dtype=jnp.float32,
+    block_out: int | None = None,
+    block_in: int | None = None,
+) -> jax.Array:
+    """``x @ dequant(w)`` where x is dynamically quantized per token and the
+    contraction runs on the int8 MXU (2x bf16 MACs, 2-4x less HBM traffic,
+    no in-path dequant)."""
+    lead = x.shape[:-1]
+    IN, OUT = w.q.shape
+    xb = x.reshape(-1, x.shape[-1])
+    if xb.shape[-1] != IN:
+        xb = jnp.pad(xb, ((0, 0), (0, IN - xb.shape[-1])))
+    B = xb.shape[0]
+    Bp = max(32, -(-B // 32) * 32)  # int8 sublane tile is 32
+    if Bp != B:
+        xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+
+    xq, sx = quantize_activations(xb)  # int8 [Bp, IN], f32 [Bp]
+
+    TO = block_out or _pick_out_tile(OUT)
+    TI = block_in or (512 if IN % 512 == 0 else (256 if IN % 256 == 0 else IN))
+    n_in = IN // TI
+    n_out = OUT // TO
+
+    kernel = functools.partial(_w8a8_kernel, n_in=n_in)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_out, n_in),
+        in_specs=[
+            pl.BlockSpec((Bp, TI), lambda o, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda o, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, TO), lambda o, i: (i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bp, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, OUT), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Bp, TO), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * IN * OUT,
+            bytes_accessed=Bp * IN + IN * OUT + OUT * 4 + Bp * OUT * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xq, sx[:, None], w.q, w.s[None, :])
     eff_out = min(w.logical_out, OUT)
     return out[:B, :eff_out].reshape(*lead, eff_out)

@@ -133,6 +133,74 @@ def dequantize(t: QuantTensor, dtype=jnp.float32) -> jax.Array:
     return w.astype(dtype)
 
 
+@dataclasses.dataclass
+class ChannelQuantTensor:
+    """Per-output-channel symmetric INT8 weights (W8 of W8A8).
+
+    ``q``: int8 [..., in, out]; ``s``: f32 [..., out] — one scale per output
+    column.  Unlike the groupwise Q8_0 layout, no scale varies along the
+    contraction, so matmuls run *entirely in int8 on the MXU* with one
+    output-side rescale — no per-element VPU dequant (the groupwise
+    kernel's bottleneck).  Pair with per-token dynamic activation quant
+    (quantize_activations) for the full W8A8 path.
+    """
+
+    q: jax.Array
+    s: jax.Array
+    logical_in: int
+    logical_out: int
+
+    @property
+    def shape(self):
+        return (*self.q.shape[:-2], self.logical_in, self.logical_out)
+
+    @property
+    def in_features(self) -> int:
+        return self.logical_in
+
+    @property
+    def out_features(self) -> int:
+        return self.logical_out
+
+
+_dataclass_pytree(ChannelQuantTensor, meta=("logical_in", "logical_out"))
+
+
+def quantize_channel(w) -> ChannelQuantTensor:
+    """Per-out-channel symmetric absmax INT8; pads in->mult of 32 (int8
+    sublane), out->mult of 128 (lanes) with zeros."""
+    w = jnp.asarray(w)
+    in_f, out_f = w.shape[-2:]
+    padded_in = -(-in_f // 32) * 32
+    padded_out = -(-out_f // 128) * 128
+    if (padded_in, padded_out) != (in_f, out_f):
+        pad = [(0, 0)] * (w.ndim - 2) + [
+            (0, padded_in - in_f), (0, padded_out - out_f)]
+        w = jnp.pad(w, pad)
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2)  # [..., out]
+    s = absmax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q = jnp.clip(jnp.rint(wf * inv[..., None, :]), -127, 127).astype(jnp.int8)
+    return ChannelQuantTensor(q=q, s=s, logical_in=in_f, logical_out=out_f)
+
+
+def dequantize_channel(t: ChannelQuantTensor, dtype=jnp.float32) -> jax.Array:
+    w = t.q.astype(jnp.float32) * t.s[..., None, :]
+    return w[..., : t.logical_in, : t.logical_out].astype(dtype)
+
+
+def quantize_activations(x: jax.Array):
+    """Per-token (last-axis) dynamic symmetric INT8: returns (q int8, s f32
+    [...,]) with x ~= q * s[..., None]."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    s = absmax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q = jnp.clip(jnp.rint(xf * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def quantization_error(w, group_size: int | None = None) -> float:
     """Relative RMS error of a quantize->dequantize roundtrip (diagnostics)."""
     t = quantize_q8(w, group_size)

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from tpu_llama.models.llama import KVCache, LayerParams, LlamaParams, QuantKVCache
-from tpu_llama.ops.quant import QuantTensor
+from tpu_llama.ops.quant import ChannelQuantTensor, QuantTensor
 from tpu_llama.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -65,6 +65,12 @@ def params_pspecs(params: LlamaParams | None = None) -> LlamaParams:
             return QuantTensor(q=spec, s=spec,
                                logical_in=value.logical_in,
                                logical_out=value.logical_out)
+        if isinstance(value, ChannelQuantTensor):
+            # s is [..., out]: sharded iff the value's OUT axis is sharded
+            s_spec = P(*spec[:-2], spec[-1]) if len(spec) >= 2 else spec
+            return ChannelQuantTensor(q=spec, s=s_spec,
+                                      logical_in=value.logical_in,
+                                      logical_out=value.logical_out)
         return spec
 
     return jax.tree.map(

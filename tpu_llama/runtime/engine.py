@@ -30,7 +30,8 @@ from tpu_llama.models import KVCache, forward_decode, forward_prefill
 from tpu_llama.models.llama import LlamaParams, QuantKVCache, make_kv_cache
 
 
-@partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("config", "precision", "logits_mode"),
+         donate_argnums=(1,))
 def _prefill_into_slots(
     params: LlamaParams,
     cache: KVCache,
@@ -39,6 +40,7 @@ def _prefill_into_slots(
     slots: jax.Array,  # [Bp] slot indices into the cache batch dim
     config: ModelConfig,
     precision: str = "default",
+    logits_mode: str = "last",
 ):
     """Compact prefill + scatter into slot cache.
 
@@ -53,6 +55,7 @@ def _prefill_into_slots(
         params, small, tokens,
         start_pos=jnp.zeros((Bp,), jnp.int32),
         lengths=lengths, config=config, precision=precision,
+        logits_mode=logits_mode,
     )
     if isinstance(cache, QuantKVCache):
         cache = QuantKVCache(
@@ -66,9 +69,11 @@ def _prefill_into_slots(
             k=cache.k.at[:, slots, :, :T].set(small.k),
             v=cache.v.at[:, slots, :, :T].set(small.v),
         )
-    last = jnp.take_along_axis(
-        logits, (lengths - 1)[:, None, None], axis=1
-    )[:, 0]  # [Bp, V]
+    if logits_mode == "last":
+        last = logits  # already [Bp, V]
+    else:
+        last = jnp.take_along_axis(
+            logits, (lengths - 1)[:, None, None], axis=1)[:, 0]
     return last, logits, cache
 
 
@@ -147,7 +152,7 @@ class Engine:
             self.params, self.cache,
             jnp.asarray(toks), jnp.asarray(lengths),
             jnp.asarray(np.asarray(slots, np.int32)),
-            self.config, self.precision,
+            self.config, self.precision, "last",
         )
         return np.asarray(last)
 
@@ -160,7 +165,7 @@ class Engine:
         toks[0, : len(prompt)] = prompt
         last, full, self.cache = _prefill_into_slots(
             self.params, self.cache, jnp.asarray(toks), jnp.asarray(lengths),
-            jnp.asarray([slot], np.int32), self.config, self.precision,
+            jnp.asarray([slot], np.int32), self.config, self.precision, "all",
         )
         return np.asarray(full)[0, : len(prompt)]
 
