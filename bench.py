@@ -25,13 +25,16 @@ BASELINE_7B_TOKS = 0.16  # reference README.md:11
 
 
 def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
-                 kv_dtype=None, attn="auto"):
+                 kv_dtype=None, attn="auto", fuse=False, unroll=1):
     """Decode throughput via the fused on-device greedy loop (one dispatch
     per `steps` tokens — measures the chip, not host/relay latency)."""
     from tpu_llama.models import make_kv_cache, random_params
     from tpu_llama.models.llama import greedy_decode_loop, quantize_params
 
     params = random_params(config, dtype=dtype, seed=0)
+    if fuse:
+        from tpu_llama.models.llama import fuse_projections
+        params = fuse_projections(params)
     if quant == "int8":
         params = jax.block_until_ready(quantize_params(params))
     elif quant == "w8a8":
@@ -44,12 +47,13 @@ def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
     pos = jnp.full((batch,), seq_fill, jnp.int32)
 
     out, cache = greedy_decode_loop(params, cache, tokens, pos, steps, config,
-                                    attn=attn)
+                                    attn=attn, unroll=unroll)
     jax.block_until_ready(out)  # compile + warm
 
     t0 = time.perf_counter()
     out, cache = greedy_decode_loop(
-        params, cache, tokens, pos + steps, steps, config, attn=attn)
+        params, cache, tokens, pos + steps, steps, config, attn=attn,
+        unroll=unroll)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return batch * steps / dt
@@ -57,33 +61,42 @@ def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--config", default="7b", choices=["7b", "110m", "15m"])
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--quant", default=None, choices=[None, "int8", "w8a8"])
+    ap.add_argument("--quant", default="w8a8", choices=["none", "int8", "w8a8"])
     ap.add_argument("--attn", default="auto", choices=["auto", "flash", "xla"])
-    ap.add_argument("--kv", default=None, choices=[None, "float32", "bfloat16", "int8"],
-                    help="KV cache dtype (default: same as --dtype)")
+    ap.add_argument("--kv", default="int8", choices=["same", "float32", "bfloat16", "int8"],
+                    help="KV cache dtype (default: int8)")
+    ap.add_argument("--fuse", action=argparse.BooleanOptionalAction, default=True,
+                    help="fuse qkv and gate/up projections (default on)")
+    ap.add_argument("--unroll", type=int, default=1, help="layer-scan unroll")
     args = ap.parse_args()
 
     from tpu_llama.config import LLAMA2_7B, STORIES15M, STORIES110M
 
     configs = {"7b": LLAMA2_7B, "110m": STORIES110M, "15m": STORIES15M}
     dtype = jnp.dtype(args.dtype)
+    if args.quant == "none":
+        args.quant = None
+    if args.kv == "same":
+        args.kv = None
 
     name = args.config
     config = configs[name]
     try:
         toks = bench_decode(config, args.batch, args.steps, dtype,
-                            quant=args.quant, attn=args.attn, kv_dtype=args.kv)
+                            quant=args.quant, attn=args.attn, kv_dtype=args.kv,
+                            fuse=args.fuse, unroll=args.unroll)
     except Exception as e:  # OOM etc. — fall back, report honestly
         print(f"bench {name} failed ({type(e).__name__}: {e}); falling back to 110m",
               file=sys.stderr)
         name = "110m"
         config = configs[name]
         toks = bench_decode(config, args.batch, args.steps, dtype,
-                            quant=args.quant, attn=args.attn, kv_dtype=args.kv)
+                            quant=args.quant, attn=args.attn, kv_dtype=args.kv,
+                            fuse=args.fuse, unroll=args.unroll)
 
     qtag = f"_{args.quant}" if args.quant else ""
     if args.kv:

@@ -156,3 +156,24 @@ def test_device_sampling_deterministic(engine, tiny_tokenizer):
         outs.append(r.out_tokens)
     assert outs[0] == outs[1]
     assert len(outs[0]) > 0
+
+
+@pytest.mark.parametrize("max_chunk", [4, 8])
+def test_chunked_device_sampling_matches_stepwise(tiny_weights, tiny_tokenizer,
+                                                  max_chunk):
+    """Chunked decode (k fused steps/dispatch) must emit the same tokens as
+    step-at-a-time device sampling, including mid-chunk BOS stops."""
+    ptoks = tiny_tokenizer.encode("Once upon a time")
+    outs = []
+    for chunk in (1, max_chunk):
+        e = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                   max_batch=2, precision="highest")
+        b = ContinuousBatcher(e, max_chunk=chunk)
+        rs = [Request(prompt_tokens=ptoks, steps=30, temperature=t, topp=p,
+                      seed=5, device_sampling=True)
+              for t, p in ((0.0, 1.0), (0.9, 0.9))]
+        for r in rs:
+            b.submit(r)
+        b.run()
+        outs.append([r.out_tokens for r in rs])
+    assert outs[0] == outs[1]

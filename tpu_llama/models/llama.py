@@ -443,7 +443,7 @@ def _attend_decode(cache_l, q, pos, config: ModelConfig, prec, attn: str):
     return _attention_decode(q, cache_l.k, cache_l.v, pos, config, prec)
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "attn"))
+@partial(jax.jit, static_argnames=("config", "precision", "attn", "unroll"))
 def forward_decode(
     params: LlamaParams,
     cache: KVCache,
@@ -452,6 +452,7 @@ def forward_decode(
     config: ModelConfig,
     precision: str = "highest",
     attn: str = "auto",  # "auto" | "flash" | "xla" (int8 caches always flash)
+    unroll: int = 1,  # layer-scan unroll factor (latency-bound decode lever)
 ):
     """One decode step for a batch. Returns (logits [B, V], new cache)."""
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
@@ -482,14 +483,15 @@ def forward_decode(
         x = x + mm(jax.nn.silu(gate) * up, lp.w2)
         return x, cache_l
 
-    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
+    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache),
+                                unroll=unroll)
     x = rmsnorm(x, params.rms_final)
     logits = matmul_any(x, params.wcls, prec)
     return logits.astype(jnp.float32), new_cache
 
 
-@partial(jax.jit, static_argnames=("config", "steps", "precision", "attn"),
-         donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("config", "steps", "precision", "attn",
+                                   "unroll"), donate_argnums=(1,))
 def greedy_decode_loop(
     params: LlamaParams,
     cache,
@@ -499,6 +501,7 @@ def greedy_decode_loop(
     config: ModelConfig,
     precision: str = "default",
     attn: str = "auto",
+    unroll: int = 1,
 ):
     """``steps`` greedy decode steps fused into one jitted lax.scan.
 
@@ -511,7 +514,8 @@ def greedy_decode_loop(
     def body(carry, _):
         toks, cache, p = carry
         logits, cache = forward_decode(params, cache, toks, p, config,
-                                       precision=precision, attn=attn)
+                                       precision=precision, attn=attn,
+                                       unroll=unroll)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, cache, p + 1), nxt
 

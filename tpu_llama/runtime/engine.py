@@ -111,6 +111,41 @@ def _decode_sample_step(
     return next_tokens, cache
 
 
+@partial(jax.jit, static_argnames=("config", "precision", "steps"),
+         donate_argnums=(1,))
+def _decode_sample_chunk(
+    params: LlamaParams,
+    cache,
+    tokens: jax.Array,  # [B] first token to feed
+    pos: jax.Array,  # [B] its position
+    temps: jax.Array,
+    topps: jax.Array,
+    base_keys: jax.Array,  # [B] typed keys (per-request seed keys)
+    config: ModelConfig,
+    steps: int,
+    precision: str = "default",
+):
+    """``steps`` fused decode+sample steps in one dispatch.
+
+    Per-step keys derive statelessly as fold_in(base_key, position), so a
+    chunked run samples identically to step-at-a-time device sampling.
+    Returns (tokens [B, steps], cache)."""
+    from tpu_llama.ops.sampling import sample
+
+    def body(carry, _):
+        toks, cache, p = carry
+        logits, cache = forward_decode(params, cache, toks, p, config,
+                                       precision=precision)
+        # same stateless derivation as the single-step path: key = fold_in
+        # (seed_key, fed position) — chunked and stepwise runs sample alike
+        keys = jax.vmap(jax.random.fold_in)(base_keys, p)
+        nxt = sample(logits, keys, temps, topps)
+        return (nxt, cache, p + 1), nxt
+
+    (_, cache, _), out = jax.lax.scan(body, (tokens, cache, pos), length=steps)
+    return out.T, cache
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -194,6 +229,17 @@ class Engine:
             keys, self.config, self.precision,
         )
         return np.asarray(next_tokens)
+
+    def decode_sample_chunk(self, tokens, pos, temps, topps, base_keys,
+                            steps: int) -> np.ndarray:
+        """`steps` fused decode+sample steps, one dispatch. [max_batch, steps]."""
+        out, self.cache = _decode_sample_chunk(
+            self.params, self.cache,
+            jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
+            jnp.asarray(temps, jnp.float32), jnp.asarray(topps, jnp.float32),
+            base_keys, self.config, steps, self.precision,
+        )
+        return np.asarray(out)
 
     def reset(self):
         self.cache = jax.tree.map(lambda x: jnp.zeros_like(x), self.cache)

@@ -87,13 +87,18 @@ def _select_token(logits: np.ndarray, req: Request, rng: Xorshift64Star) -> int:
 
 
 class ContinuousBatcher:
-    def __init__(self, engine: Engine, seq_len: int | None = None):
+    def __init__(self, engine: Engine, seq_len: int | None = None,
+                 max_chunk: int = 1):
         self.engine = engine
         self.seq_len = seq_len or engine.seq_len
         self.queue: deque[Request] = deque()
         self.slots: list[_Active | None] = [None] * engine.max_batch
         self._ids = itertools.count()
         self.finished: list[Request] = []
+        # >1 enables multi-token decode chunks on the device-sampling path:
+        # k fused steps per dispatch amortize host/relay latency; stop
+        # conditions are applied post-hoc per emitted token.
+        self.max_chunk = max_chunk
 
     # ---- public API ----
     def submit(self, req: Request) -> int:
@@ -184,18 +189,36 @@ class ContinuousBatcher:
 
             temps = np.zeros(B, np.float32)
             topps = np.ones(B, np.float32)
-            key_list = []
+            base_keys = []
             for i in range(B):
                 a = self.slots[i]
                 if a is not None:
                     temps[i] = a.req.temperature
                     topps[i] = a.req.topp
-                    key_list.append(jax.random.fold_in(
-                        jax.random.key(a.req.seed), a.pos + 1))
-                else:
-                    key_list.append(jax.random.key(0))
+                base_keys.append(jax.random.key(a.req.seed if a else 0))
+            keys = jnp.stack(base_keys)
+
+            # chunk size: largest power of two <= min remaining budget,
+            # capped at max_chunk (bounds recompiles and stop-latency)
+            k = min(self.max_chunk,
+                    min(self.slots[i].budget for i in active_slots))
+            k = max(1, 1 << (k.bit_length() - 1))
+            if k > 1:
+                chunk = self.engine.decode_sample_chunk(
+                    tokens, pos, temps, topps, keys, k)
+                for i in active_slots:
+                    a = self.slots[i]
+                    for j in range(k):
+                        if self.slots[i] is not a or a.req.done:
+                            break  # retired mid-chunk (BOS)
+                        a.pos += 1
+                        a.budget -= 1
+                        self._emit(i, int(chunk[i, j]))
+                return
+            step_keys = jax.vmap(jax.random.fold_in)(
+                keys, jnp.asarray(pos, jnp.int32))
             next_tokens = self.engine.decode_sample(
-                tokens, pos, temps, topps, jnp.stack(key_list))
+                tokens, pos, temps, topps, step_keys)
             for i in active_slots:
                 a = self.slots[i]
                 a.pos += 1
