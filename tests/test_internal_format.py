@@ -73,3 +73,22 @@ def test_w8a8_roundtrip_and_forward(tmp_path, tiny_weights):
     la, _ = forward_decode(qparams, make_kv_cache(c, 1), tok, pos, c)
     lb, _ = forward_decode(loaded, make_kv_cache(c, 1), tok, pos, c)
     np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_content_hash_verification(tmp_path, tiny_weights):
+    params = params_from_raw(tiny_weights)
+    save_params(tmp_path / "h", params, tiny_weights.config)
+    import json
+    meta = json.loads((tmp_path / "h" / "manifest.json").read_text())
+    assert "sha256" in meta["tensors"]["rms_final"]
+    # clean verify passes
+    load_params(tmp_path / "h", verify=True)
+    # corrupt one tensor -> verify fails
+    import numpy as np
+    path = tmp_path / "h" / "rms_final.npy"
+    arr = np.load(path)
+    arr[0] += 1.0
+    np.save(path, arr)
+    import pytest
+    with pytest.raises(ValueError, match="content hash mismatch"):
+        load_params(tmp_path / "h", verify=True)

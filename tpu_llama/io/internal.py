@@ -41,7 +41,17 @@ def _flatten(params: LlamaParams):
     return out
 
 
-def save_params(path: str | os.PathLike, params: LlamaParams, config: ModelConfig) -> None:
+def _sha256(arr: np.ndarray) -> str:
+    import hashlib
+
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+
+
+def save_params(path: str | os.PathLike, params: LlamaParams,
+                config: ModelConfig, content_hash: bool = True) -> None:
+    """``content_hash=True`` records a sha256 per tensor in the manifest —
+    the deterministic content-addressing role of the reference's t348 module
+    repo (SURVEY §2.2) applied to checkpoint artifacts."""
     d = Path(path)
     d.mkdir(parents=True, exist_ok=True)
     tensors = _flatten(params)
@@ -52,39 +62,56 @@ def save_params(path: str | os.PathLike, params: LlamaParams, config: ModelConfi
     }
     for name, t in tensors.items():
         if isinstance(t, (QuantTensor, ChannelQuantTensor)):
-            np.save(d / f"{name}.q.npy", np.asarray(t.q))
-            np.save(d / f"{name}.s.npy", np.asarray(t.s))
-            meta["tensors"][name] = {
+            q, s = np.asarray(t.q), np.asarray(t.s)
+            np.save(d / f"{name}.q.npy", q)
+            np.save(d / f"{name}.s.npy", s)
+            info = {
                 "kind": "q8" if isinstance(t, QuantTensor) else "w8a8",
                 "logical_in": t.logical_in,
                 "logical_out": t.logical_out,
             }
+            if content_hash:
+                info["sha256_q"] = _sha256(q)
+                info["sha256_s"] = _sha256(s)
+            meta["tensors"][name] = info
         else:
             arr = np.asarray(t)
             np.save(d / f"{name}.npy", arr)
-            meta["tensors"][name] = {"kind": "dense", "dtype": str(arr.dtype)}
+            info = {"kind": "dense", "dtype": str(arr.dtype)}
+            if content_hash:
+                info["sha256"] = _sha256(arr)
+            meta["tensors"][name] = info
     (d / "manifest.json").write_text(json.dumps(meta, indent=1))
 
 
-def load_params(path: str | os.PathLike, device_put: bool = True):
-    """Returns (LlamaParams, ModelConfig)."""
+def load_params(path: str | os.PathLike, device_put: bool = True,
+                verify: bool = False):
+    """Returns (LlamaParams, ModelConfig).  ``verify=True`` checks each
+    tensor against its manifest sha256 (refuses corrupted artifacts)."""
     d = Path(path)
     meta = json.loads((d / "manifest.json").read_text())
     if meta["format_version"] != FORMAT_VERSION:
         raise ValueError(f"unsupported format version {meta['format_version']}")
     config = ModelConfig(**meta["config"])
 
+    def check(arr, info, key):
+        if verify and key in info and _sha256(np.asarray(arr)) != info[key]:
+            raise ValueError(f"content hash mismatch for {key} — corrupted artifact")
+
     def load_one(name: str):
         info = meta["tensors"][name]
         if info["kind"] in ("q8", "w8a8"):
             q = np.load(d / f"{name}.q.npy", mmap_mode="r")
             s = np.load(d / f"{name}.s.npy", mmap_mode="r")
+            check(q, info, "sha256_q")
+            check(s, info, "sha256_s")
             cls = QuantTensor if info["kind"] == "q8" else ChannelQuantTensor
             return cls(
                 q=jnp.asarray(q), s=jnp.asarray(s),
                 logical_in=info["logical_in"], logical_out=info["logical_out"],
             )
         arr = np.load(d / f"{name}.npy", mmap_mode="r")
+        check(arr, info, "sha256")
         return jnp.asarray(arr)
 
     layer_kwargs = {}

@@ -163,7 +163,8 @@ class LlamaServer:
 
 def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
           port: int = 8000, max_batch: int = 8, quant: str | None = None,
-          kv_dtype: str = "float32"):
+          kv_dtype: str = "float32", request_log: str | None = None,
+          watchdog_s: float | None = None):
     """Blocking entry point: tpu-llama-serve."""
     from tpu_llama.io import Tokenizer, load_checkpoint
     from tpu_llama.models import params_from_raw, quantize_params
@@ -171,12 +172,71 @@ def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
     raw = load_checkpoint(checkpoint)
     tok = Tokenizer.load(tokenizer_path, vocab_size=raw.config.vocab_size)
     params = params_from_raw(raw)
-    if quant == "int8":
-        params = quantize_params(params)
+    if quant in ("int8", "w8a8"):
+        params = quantize_params(
+            params, mode="q8_0" if quant == "int8" else "w8a8")
     engine = Engine(params, raw.config, max_batch=max_batch, kv_dtype=kv_dtype)
-    srv = LlamaServer(engine, tok, port=port).start()
+    srv = LlamaServer(engine, tok, port=port, request_log=request_log,
+                      watchdog_s=watchdog_s).start()
     print(f"serving on :{srv.port} (config={raw.config})")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
         srv.stop()
+
+
+def serve_cli() -> None:
+    """Console entry: tpu-llama-serve [--config engine.json] [overrides]."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="tpu-llama-serve")
+    ap.add_argument("--config", help="EngineConfig JSON (tpu_llama.utils)")
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--tokenizer")
+    ap.add_argument("--port", type=int)
+    ap.add_argument("--max-batch", type=int)
+    ap.add_argument("--quant", choices=["int8", "w8a8"])
+    ap.add_argument("--kv-dtype", choices=["float32", "bfloat16", "int8"])
+    ap.add_argument("--request-log")
+    ap.add_argument("--watchdog-s", type=float)
+    args = ap.parse_args()
+
+    if args.config:
+        from tpu_llama.utils import EngineConfig
+
+        cfg = EngineConfig.load(args.config)
+        for field, val in (("checkpoint", args.checkpoint),
+                           ("tokenizer", args.tokenizer),
+                           ("quant", args.quant),
+                           ("kv_dtype", args.kv_dtype),
+                           ("max_batch", args.max_batch)):
+            if val is not None:
+                setattr(cfg, field, val)
+        if args.port is not None:
+            cfg.server.port = args.port
+        if args.request_log is not None:
+            cfg.server.request_log = args.request_log
+        if args.watchdog_s is not None:
+            cfg.server.watchdog_s = args.watchdog_s
+        engine, tok = cfg.build_engine()
+        srv = LlamaServer(engine, tok, host=cfg.server.host,
+                          port=cfg.server.port,
+                          request_log=cfg.server.request_log,
+                          watchdog_s=cfg.server.watchdog_s).start()
+        print(f"serving on :{srv.port}")
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.stop()
+        return
+
+    serve(
+        checkpoint=args.checkpoint or "model.bin",
+        tokenizer_path=args.tokenizer or "tokenizer.bin",
+        port=args.port or 8000,
+        max_batch=args.max_batch or 8,
+        quant=args.quant,
+        kv_dtype=args.kv_dtype or "float32",
+        request_log=args.request_log,
+        watchdog_s=args.watchdog_s,
+    )
