@@ -210,3 +210,29 @@ def test_fused_projections_match(tiny_weights):
     cache_c = KVCache.create(c, 1)
     lc, _ = forward_decode(qf, cache_c, toks, jnp.array([0], jnp.int32), c)
     assert np.isfinite(np.asarray(lc)).all()
+
+
+def test_chunked_prefill_matches_oneshot(tiny_weights):
+    from tpu_llama.models.llama import forward_prefill_chunked
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T = 2, 32
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(2, c.vocab_size, (B, T)), jnp.int32)
+    lengths = jnp.array([T, 19], jnp.int32)  # one padded row
+
+    ref, ref_cache = forward_prefill(
+        params, KVCache.create(c, B), tokens, jnp.zeros(B, jnp.int32),
+        lengths, c, precision="highest", logits_mode="last")
+
+    got, got_cache = forward_prefill_chunked(
+        params, KVCache.create(c, B), tokens, lengths, c,
+        precision="highest", chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # caches identical on valid region of each row
+    for b, ln in enumerate([T, 19]):
+        np.testing.assert_allclose(
+            np.asarray(got_cache.k[:, b, :, :ln]),
+            np.asarray(ref_cache.k[:, b, :, :ln]), rtol=1e-5, atol=1e-6)

@@ -177,3 +177,26 @@ def test_chunked_device_sampling_matches_stepwise(tiny_weights, tiny_tokenizer,
         b.run()
         outs.append([r.out_tokens for r in rs])
     assert outs[0] == outs[1]
+
+
+def test_mixed_host_device_sampling_batch(engine, tiny_tokenizer):
+    """Mixed batches (one compat-host, one device-sampled request) fall back
+    to the host path and still produce per-request deterministic output."""
+    b = ContinuousBatcher(engine, max_chunk=8)
+    r_host = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=14,
+                     temperature=0.9, topp=0.9, seed=3, device_sampling=False)
+    r_dev = Request(prompt_tokens=tiny_tokenizer.encode("On"), steps=14,
+                    temperature=0.0, seed=3, device_sampling=True)
+    b.submit(r_host)
+    b.submit(r_dev)
+    b.run()
+    assert r_host.done and r_dev.done
+
+    # host request matches a solo host run
+    engine.reset()
+    b2 = ContinuousBatcher(engine)
+    solo = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=14,
+                   temperature=0.9, topp=0.9, seed=3)
+    b2.submit(solo)
+    b2.run()
+    assert r_host.out_tokens == solo.out_tokens

@@ -490,6 +490,44 @@ def forward_decode(
     return logits.astype(jnp.float32), new_cache
 
 
+@partial(jax.jit, static_argnames=("config", "precision", "chunk"),
+         donate_argnums=(1,))
+def forward_prefill_chunked(
+    params: LlamaParams,
+    cache,  # batch-matched cache, seq_len >= T
+    tokens: jax.Array,  # [B, T], T divisible by chunk
+    lengths: jax.Array,  # [B]
+    config: ModelConfig,
+    precision: str = "highest",
+    chunk: int = 256,
+):
+    """Prefill in sequence chunks: peak attention memory is O(chunk * S)
+    instead of O(T * S) — long prompts stop OOMing the scores tensor.
+    Returns (next-token logits [B, V], cache); numerically identical to
+    one-shot prefill (each chunk attends to all previously written cache).
+    """
+    B, T = tokens.shape
+    assert T % chunk == 0, (T, chunk)
+    n = T // chunk
+
+    def body(cache, i):
+        tok_c = jax.lax.dynamic_slice(tokens, (0, i * chunk), (B, chunk))
+        start = jnp.full((B,), i * chunk, jnp.int32)
+        # last valid position within this chunk per row (>=1 keeps gather sane)
+        len_c = jnp.clip(lengths - i * chunk, 1, chunk)
+        logits_c, cache = forward_prefill(
+            params, cache, tok_c, start, len_c, config,
+            precision=precision, logits_mode="last")
+        return cache, logits_c  # [B, V] per chunk
+
+    cache, per_chunk = jax.lax.scan(body, cache, jnp.arange(n))
+    # pick the chunk containing each row's final valid token
+    owner = jnp.clip((lengths - 1) // chunk, 0, n - 1)  # [B]
+    last = jnp.take_along_axis(
+        per_chunk, owner[None, :, None], axis=0)[0]  # [B, V]
+    return last, cache
+
+
 @partial(jax.jit, static_argnames=("config", "steps", "precision", "attn",
                                    "unroll"), donate_argnums=(1,))
 def greedy_decode_loop(

@@ -27,7 +27,12 @@ import numpy as np
 
 from tpu_llama.config import ModelConfig
 from tpu_llama.models import KVCache, forward_decode, forward_prefill
-from tpu_llama.models.llama import LlamaParams, QuantKVCache, make_kv_cache
+from tpu_llama.models.llama import (
+    LlamaParams,
+    QuantKVCache,
+    forward_prefill_chunked,
+    make_kv_cache,
+)
 
 
 @partial(jax.jit, static_argnames=("config", "precision", "logits_mode"),
@@ -51,12 +56,18 @@ def _prefill_into_slots(
     Bp, T = tokens.shape
     kv_dtype = "int8" if isinstance(cache, QuantKVCache) else cache.k.dtype
     small = make_kv_cache(config, Bp, kv_dtype=kv_dtype, seq_len=T)
-    logits, small = forward_prefill(
-        params, small, tokens,
-        start_pos=jnp.zeros((Bp,), jnp.int32),
-        lengths=lengths, config=config, precision=precision,
-        logits_mode=logits_mode,
-    )
+    if logits_mode == "last" and T > 256 and T % 256 == 0:
+        # long prompts: chunked prefill bounds the O(T*S) scores memory
+        logits, small = forward_prefill_chunked(
+            params, small, tokens, lengths, config,
+            precision=precision, chunk=256)
+    else:
+        logits, small = forward_prefill(
+            params, small, tokens,
+            start_pos=jnp.zeros((Bp,), jnp.int32),
+            lengths=lengths, config=config, precision=precision,
+            logits_mode=logits_mode,
+        )
     if isinstance(cache, QuantKVCache):
         cache = QuantKVCache(
             k=cache.k.at[:, slots, :, :T].set(small.k),
