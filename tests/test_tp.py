@@ -107,3 +107,28 @@ def test_tp_decode_int8_kv(tiny_weights, eight_devices):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
     assert sc2.k.dtype == jnp.int8
+
+
+def test_tp_overlap_matches_psum(tiny_weights, eight_devices):
+    """Ring-overlapped collective matmul == psum path numerically."""
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B = 2
+    toks = jnp.array([5, 9], jnp.int32)
+
+    mesh = make_mesh(MeshConfig(1, 4))
+    sp = shard_params(params, mesh)
+    outs = []
+    for overlap in (False, True):
+        sc = shard_cache(make_kv_cache(c, B), mesh)
+        seq = []
+        t = toks
+        for p in range(3):
+            logits, sc = tp_forward_decode(
+                sp, sc, t, jnp.full((B,), p, jnp.int32), c, mesh,
+                precision="highest", overlap=overlap)
+            seq.append(np.asarray(logits))
+            t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+        outs.append(seq)
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)

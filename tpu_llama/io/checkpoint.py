@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import BinaryIO
 
 import numpy as np
 

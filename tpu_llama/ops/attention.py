@@ -102,7 +102,6 @@ def flash_decode_attention(
     sspec = pl.BlockSpec((1, 1, 1, S), lambda b, k, *_: (b, k, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_flash_decode_kernel, S=S, int8=int8)
     if int8:
         def kernel_int8(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
             _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,

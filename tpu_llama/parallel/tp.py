@@ -41,6 +41,7 @@ from tpu_llama.models.llama import (
     rmsnorm,
 )
 from tpu_llama.ops.quant import QuantTensor
+from tpu_llama.parallel.overlap import collective_matmul_rowsharded
 from tpu_llama.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from tpu_llama.parallel.sharding import cache_pspec, params_pspecs
 
@@ -60,7 +61,8 @@ def _local_config(config: ModelConfig, tp: int) -> ModelConfig:
     )
 
 
-@partial(jax.jit, static_argnames=("config", "mesh", "precision", "attn"))
+@partial(jax.jit, static_argnames=("config", "mesh", "precision", "attn",
+                                   "overlap"))
 def tp_forward_decode(
     params: LlamaParams,  # sharded per parallel.sharding.params_pspecs
     cache,  # KVCache or QuantKVCache, sharded per cache_pspec
@@ -70,6 +72,7 @@ def tp_forward_decode(
     mesh: Mesh,
     precision: str = "default",
     attn: str = "auto",
+    overlap: bool = False,  # ring-overlapped collective matmul for wo/w2
 ):
     """Explicit-TP decode step. Returns (logits [B, V] sharded on vocab, cache)."""
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
@@ -125,13 +128,23 @@ def tp_forward_decode(
             k = apply_rope(k, cos, sin)
             cache_l = _write_decode(cache_l, k, v, pos, local)
             att = _attend_decode(cache_l, q, pos, local, prec, attn)
-            # row-sharded wo: partial sum -> ONE psum (collective #1)
-            x = x + jax.lax.psum(mm(att, lp.wo), MODEL_AXIS)
+            if overlap and isinstance(lp.wo, jax.Array):
+                # ring-overlapped reduce-scatter interleaved with the matmul
+                x = x + collective_matmul_rowsharded(
+                    att, lp.wo, MODEL_AXIS, tp, precision=prec)
+            else:
+                # row-sharded wo: partial sum -> ONE psum (collective #1)
+                x = x + jax.lax.psum(mm(att, lp.wo), MODEL_AXIS)
             h = rmsnorm(x, lp.rms_ffn)
             gate = mm(h, lp.w1)  # column-sharded, local
             up = mm(h, lp.w3)
-            # row-sharded w2: partial sum -> ONE psum (collective #2)
-            x = x + jax.lax.psum(mm(jax.nn.silu(gate) * up, lp.w2), MODEL_AXIS)
+            hidden = jax.nn.silu(gate) * up
+            if overlap and isinstance(lp.w2, jax.Array):
+                x = x + collective_matmul_rowsharded(
+                    hidden, lp.w2, MODEL_AXIS, tp, precision=prec)
+            else:
+                # row-sharded w2: partial sum -> ONE psum (collective #2)
+                x = x + jax.lax.psum(mm(hidden, lp.w2), MODEL_AXIS)
             return x, cache_l
 
         x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))

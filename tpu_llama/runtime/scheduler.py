@@ -198,11 +198,10 @@ class ContinuousBatcher:
                 base_keys.append(jax.random.key(a.req.seed if a else 0))
             keys = jnp.stack(base_keys)
 
-            # chunk size: largest power of two <= min remaining budget,
-            # capped at max_chunk (bounds recompiles and stop-latency)
-            k = min(self.max_chunk,
-                    min(self.slots[i].budget for i in active_slots))
-            k = max(1, 1 << (k.bit_length() - 1))
+            # chunk size: max_chunk when every active request has the budget,
+            # else single-step — exactly two compiled programs, no tail churn
+            min_budget = min(self.slots[i].budget for i in active_slots)
+            k = self.max_chunk if min_budget >= self.max_chunk else 1
             if k > 1:
                 chunk = self.engine.decode_sample_chunk(
                     tokens, pos, temps, topps, keys, k)
