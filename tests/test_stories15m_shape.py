@@ -1,0 +1,85 @@
+"""Full-stack parity at the REAL stories15M shape (BASELINE config[0]).
+
+The actual stories15M.bin is not in this environment (zero egress), so a
+synthetic checkpoint with the exact shape (dim 288, hidden 768, 6L, 6H,
+vocab 32000, seq 256 — llama2.c tinyllamas) and the REAL reference
+tokenizer.bin exercise the same code paths the real artifact would:
+v0 binary load -> engine -> token-identical greedy generation vs the
+float64 oracle, through the reference repro config (seed 1, temp 0,
+"Once upon a time").
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_llama.compat.generate import generate_compat
+from tpu_llama.compat.oracle import OracleState, oracle_forward
+from tpu_llama.config import STORIES15M
+from tpu_llama.io.checkpoint import load_checkpoint, make_random_weights, write_checkpoint
+from tpu_llama.io.tokenizer import Tokenizer
+from tpu_llama.models import params_from_raw
+from tpu_llama.runtime import ContinuousBatcher, Engine, Request
+
+REF_TOKENIZER = "/root/reference/tokenizer.bin"
+
+
+@pytest.fixture(scope="module")
+def stories15m(tmp_path_factory):
+    path = tmp_path_factory.mktemp("s15m") / "model.bin"
+    # smaller seq_len keeps the oracle affordable; shape otherwise exact
+    import dataclasses
+    cfg = dataclasses.replace(STORIES15M, seq_len=64)
+    write_checkpoint(path, make_random_weights(cfg, seed=2024))
+    return load_checkpoint(path)
+
+
+@pytest.fixture(scope="module")
+def real_tokenizer():
+    if not os.path.exists(REF_TOKENIZER):
+        pytest.skip("reference tokenizer.bin not available")
+    return Tokenizer.load(REF_TOKENIZER, vocab_size=32000)
+
+
+def test_repro_config_engine_matches_oracle(stories15m, real_tokenizer):
+    """The pinned repro invocation (package.json:10): -s 1 -t 0
+    -i 'Once upon a time' — engine tokens == oracle tokens."""
+    c = stories15m.config
+    st = OracleState.create(c)
+    want = generate_compat(
+        lambda t, p: oracle_forward(t, p, c, st, stories15m),
+        real_tokenizer, prompt="Once upon a time", steps=40,
+        temperature=0.0, seed=1, seq_len=c.seq_len,
+    )
+
+    engine = Engine(params_from_raw(stories15m), c, max_batch=1,
+                    precision="highest")
+    b = ContinuousBatcher(engine)
+    ptoks = real_tokenizer.encode("Once upon a time")
+    req = Request(prompt_tokens=ptoks, steps=40, temperature=0.0, seed=1)
+    b.submit(req)
+    b.run()
+    assert ptoks + req.out_tokens == want.tokens
+    # prompt ids from the REAL llama2 sentencepiece dump
+    assert ptoks == [26222, 2501, 263, 931]
+
+
+def test_int8_at_stories15m_shape(stories15m, real_tokenizer):
+    """INT8 weight-only at the odd 288-dim shape (exercises kernel padding)
+    generates successfully and tracks fp32 closely for early tokens."""
+    from tpu_llama.models import quantize_params
+
+    c = stories15m.config
+    params = params_from_raw(stories15m)
+    outs = []
+    for p in (params, quantize_params(params)):
+        engine = Engine(p, c, max_batch=1, precision="highest")
+        b = ContinuousBatcher(engine)
+        req = Request(prompt_tokens=real_tokenizer.encode("Once upon a time"),
+                      steps=24, temperature=0.0, seed=1)
+        b.submit(req)
+        b.run()
+        outs.append(req.out_tokens)
+    n = min(len(outs[0]), len(outs[1]), 5)
+    assert outs[0][:n] == outs[1][:n]
