@@ -87,3 +87,44 @@ def test_quantize_kv_roundtrip(rng_np):
     x0 = np.zeros((1, 1, 2, 8), np.float32)
     q0, s0 = quantize_kv(jnp.asarray(x0))
     assert np.all(np.asarray(q0) == 0) and np.all(np.asarray(s0) == 0)
+
+
+# ---- flash prefill kernel ----
+
+def ref_prefill_attention(q, k, v, start):
+    """fp64 causal prefill over the cache: key s iff s <= start[b]+t."""
+    B, T, NH, hd = q.shape
+    KVH, S = k.shape[1], k.shape[2]
+    G = NH // KVH
+    out = np.zeros((B, T, NH, hd))
+    for b in range(B):
+        for t in range(T):
+            for h in range(NH):
+                kv = h // G
+                lim = start[b] + t + 1
+                keys = k[b, kv, :lim].astype(np.float64)
+                vals = v[b, kv, :lim].astype(np.float64)
+                s = keys @ q[b, t, h].astype(np.float64) / np.sqrt(hd)
+                e = np.exp(s - s.max())
+                out[b, t, h] = (e / e.sum()) @ vals
+    return out.reshape(B, T, NH * hd)
+
+
+@pytest.mark.parametrize("B,T,NH,KVH,S,hd,start", [
+    (1, 8, 4, 4, 32, 48, [0]),          # MHA from pos 0
+    (2, 16, 4, 2, 64, 64, [0, 13]),     # GQA with per-row offsets
+    (1, 5, 2, 2, 16, 32, [7]),          # odd T (row padding)
+])
+def test_flash_prefill_matches_reference(rng_np, B, T, NH, KVH, S, hd, start):
+    from tpu_llama.ops.attention import flash_prefill_attention
+
+    q = rng_np.standard_normal((B, T, NH, hd)).astype(np.float32)
+    k = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    v = rng_np.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    start = np.asarray(start, np.int32)
+
+    got = np.asarray(flash_prefill_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(start),
+        block_q=8, block_s=16))
+    want = ref_prefill_attention(q, k, v, start)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -236,3 +236,21 @@ def test_chunked_prefill_matches_oneshot(tiny_weights):
         np.testing.assert_allclose(
             np.asarray(got_cache.k[:, b, :, :ln]),
             np.asarray(ref_cache.k[:, b, :, :ln]), rtol=1e-5, atol=1e-6)
+
+
+def test_prefill_flash_matches_xla(tiny_weights):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    tokens = jnp.array([[1, 5, 17, 300, 42, 7, 9, 2]], jnp.int32)
+    kw = dict(start_pos=jnp.zeros(1, jnp.int32),
+              lengths=jnp.array([8], jnp.int32), config=c, precision="highest")
+    ref, rc = forward_prefill(params, KVCache.create(c, 1), tokens,
+                              attn="xla", **kw)
+    got, gc = forward_prefill(params, KVCache.create(c, 1), tokens,
+                              attn="flash", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=5e-5)
+    # later layers' K depends on earlier layers' attention outputs, so the
+    # cache inherits the fp32 path difference
+    np.testing.assert_allclose(np.asarray(gc.k), np.asarray(rc.k),
+                               rtol=1e-4, atol=1e-5)

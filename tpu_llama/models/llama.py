@@ -30,7 +30,11 @@ import numpy as np
 
 from tpu_llama.config import ModelConfig
 from tpu_llama.io.checkpoint import RawWeights
-from tpu_llama.ops.attention import flash_decode_attention, quantize_kv
+from tpu_llama.ops.attention import (
+    flash_decode_attention,
+    flash_prefill_attention,
+    quantize_kv,
+)
 from tpu_llama.ops.matmul import q8_matmul, w8a8_matmul
 from tpu_llama.ops.quant import (
     ChannelQuantTensor,
@@ -561,7 +565,8 @@ def greedy_decode_loop(
     return out.T, cache  # [B, steps]
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "logits_mode"))
+@partial(jax.jit, static_argnames=("config", "precision", "logits_mode",
+                                   "attn"))
 def forward_prefill(
     params: LlamaParams,
     cache: KVCache,
@@ -571,6 +576,7 @@ def forward_prefill(
     config: ModelConfig,
     precision: str = "highest",
     logits_mode: str = "all",  # "all": [B,T,V]; "last": [B,V] at lengths-1
+    attn: str = "auto",  # "auto" | "flash" | "xla" (int8 caches use xla-dequant)
 ):
     """Batched causal prefill. Returns (logits [B, T, V], new cache).
 
@@ -580,6 +586,10 @@ def forward_prefill(
     ``lengths`` are masked out of the cache via position clamping.
     """
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
+    if attn == "auto":
+        # prefill is compute-bound; the XLA einsum path is the measured
+        # default — opt into the flash kernel explicitly with attn="flash"
+        attn = "xla"
     B, T = tokens.shape
     S = cache.seq_len
     x = params.tok_emb[tokens]  # [B, T, D]
@@ -631,7 +641,11 @@ def forward_prefill(
                 v=cache_l.v.at[b_ix, h_ix, p_ix].set(vt.astype(cache_l.v.dtype)),
             )
             kf, vf = cache_l.k, cache_l.v
-        att = _attention_prefill(q, kf, vf, q_pos, config, prec)
+        if attn == "flash" and not isinstance(cache_l, QuantKVCache):
+            att = flash_prefill_attention(
+                q, kf, vf, start_pos).reshape(B, T, config.dim).astype(x.dtype)
+        else:
+            att = _attention_prefill(q, kf, vf, q_pos, config, prec)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
         gate, up = _project_gate_up(h, lp, config, mm)

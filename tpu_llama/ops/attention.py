@@ -141,6 +141,116 @@ def flash_decode_attention(
     return out[:, :, :G, :]
 
 
+# ---------------------------------------------------------------------------
+# flash PREFILL attention: blockwise causal with online softmax — O(TQ x TS)
+# working set instead of the XLA path's O(T x S) scores tensor.
+# ---------------------------------------------------------------------------
+
+
+def _flash_prefill_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
+                          m_ref, l_ref, acc_ref, *, G: int, TQ: int, TS: int,
+                          n_s: int):
+    b = pl.program_id(0)
+    qb = pl.program_id(2)
+    sb = pl.program_id(3)
+
+    @pl.when(sb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [TQ, hd], pre-scaled by 1/sqrt(hd)
+    k = k_ref[0, 0].astype(jnp.float32)  # [TS, hd]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [TQ, TS]
+
+    start = start_ref[b]
+    row = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 0) + qb * TQ
+    qpos = start + row // G
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 1) + sb * TS
+    mask = kpos <= qpos
+
+    m_prev = m_ref[:, :1]
+    s_max = jnp.max(jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, s_max)
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # masked -> exact zeros
+    l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)
+    acc_ref[:] = acc_ref[:] * corr + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(sb == n_s - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_s"))
+def flash_prefill_attention(
+    q: jax.Array,  # [B, T, NH, hd] — raw queries for this chunk
+    k_cache: jax.Array,  # [B, KVH, S, hd] fp (chunk already written)
+    v_cache: jax.Array,
+    start_pos: jax.Array,  # [B] — absolute position of q[:, 0]
+    block_q: int = 256,
+    block_s: int = 256,
+) -> jax.Array:
+    """Returns [B, T, NH*hd] f32. Causality: key s attends iff
+    s <= start_pos[b] + t (matches _attention_prefill's mask)."""
+    B, T, NH, hd = q.shape
+    KVH, S = k_cache.shape[1], k_cache.shape[2]
+    G = NH // KVH
+    rows = T * G
+
+    # [B, T, KVH, G, hd] -> head-major rows [B, KVH, T*G, hd]
+    qr = q.reshape(B, T, KVH, G, hd).transpose(0, 2, 1, 3, 4).reshape(
+        B, KVH, rows, hd)
+    qr = qr.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+
+    TQ = min(block_q, max(8, rows))
+    rows_p = -(-rows // TQ) * TQ
+    if rows_p != rows:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+    TS = min(block_s, S)
+    while S % TS != 0:
+        TS //= 2
+    n_s = S // TS
+
+    grid = (B, KVH, rows_p // TQ, n_s)
+    out = pl.pallas_call(
+        functools.partial(_flash_prefill_kernel, G=G, TQ=TQ, TS=TS, n_s=n_s),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, TQ, hd), lambda b, h, qb, sb, *_: (b, h, qb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TS, hd), lambda b, h, qb, sb, *_: (b, h, sb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TS, hd), lambda b, h, qb, sb, *_: (b, h, sb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, TQ, hd),
+                                   lambda b, h, qb, sb, *_: (b, h, qb, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((TQ, 128), jnp.float32),  # running max
+                pltpu.VMEM((TQ, 128), jnp.float32),  # running normalizer
+                pltpu.VMEM((TQ, hd), jnp.float32),  # weighted-value accum
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd), jnp.float32),
+        interpret=_interpret(),
+    )(start_pos.astype(jnp.int32), qr, k_cache.astype(jnp.float32),
+      v_cache.astype(jnp.float32))
+
+    out = out[:, :, :rows].reshape(B, KVH, T, G, hd).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, T, NH * hd)
+
+
 def quantize_kv(x: jax.Array):
     """Per-(…, token/row) symmetric INT8 over the last (hd) axis.
 
