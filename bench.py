@@ -18,6 +18,12 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: repeat bench runs skip the multi-minute
+# remote compiles (cache survives across processes)
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_llama_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

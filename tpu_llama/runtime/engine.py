@@ -264,8 +264,7 @@ class Engine:
             arr = getattr(self.cache, name, None)
             if arr is None:
                 continue
-            piece = arr[:, slot, :, :length] if arr.ndim == 5 else arr[:, slot, :, :length]
-            snap[name] = np.asarray(piece)
+            snap[name] = np.asarray(arr[:, slot, :, :length])
         return snap
 
     def restore_slot(self, slot: int, snap: dict) -> None:
