@@ -200,3 +200,15 @@ def test_mixed_host_device_sampling_batch(engine, tiny_tokenizer):
     b2.submit(solo)
     b2.run()
     assert r_host.out_tokens == solo.out_tokens
+
+
+def test_non_pow2_seq_len_long_prompt(tiny_weights):
+    """Prompt bucketing must not overflow a non-power-of-two cache length."""
+    engine = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                    max_batch=2, precision="highest", seq_len=48)
+    b = ContinuousBatcher(engine)
+    req = Request(prompt_tokens=list(range(3, 3 + 40)), steps=46,
+                  temperature=0.0, seed=1)
+    b.submit(req)
+    b.run()
+    assert req.done

@@ -190,7 +190,10 @@ class Engine:
         assert len(prompts) == len(slots) and prompts
         lengths = np.array([len(p) for p in prompts], np.int32)
         assert lengths.min() >= 1, "prompts must be non-empty (include BOS)"
-        T = _bucket(int(lengths.max()))
+        assert int(lengths.max()) <= self.seq_len, "prompt exceeds cache"
+        # power-of-two buckets bound recompiles; cap at the cache length so
+        # the scatter never overflows a non-power-of-two seq_len
+        T = min(_bucket(int(lengths.max())), self.seq_len)
         toks = np.zeros((len(prompts), T), np.int32)
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
