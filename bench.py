@@ -35,16 +35,29 @@ def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
     """Decode throughput via the fused on-device greedy loop (one dispatch
     per `steps` tokens — measures the chip, not host/relay latency)."""
     from tpu_llama.models import make_kv_cache, random_params
-    from tpu_llama.models.llama import greedy_decode_loop, quantize_params
+    from tpu_llama.models.llama import (
+        greedy_decode_loop, quantize_params, random_quant_params,
+    )
 
-    params = random_params(config, dtype=dtype, seed=0)
-    if fuse:
-        from tpu_llama.models.llama import fuse_projections
-        params = fuse_projections(params)
-    if quant == "int8":
-        params = jax.block_until_ready(quantize_params(params))
-    elif quant == "w8a8":
-        params = jax.block_until_ready(quantize_params(params, mode="w8a8"))
+    # models whose fp form exceeds HBM (13B+) generate int8 weights directly
+    fp_bytes = 2 * sum([
+        config.vocab_size * config.dim * 2,
+        config.n_layers * (2 * config.dim * config.dim
+                           + 2 * config.dim * config.kv_dim
+                           + 3 * config.dim * config.hidden_dim),
+    ])
+    if quant and fp_bytes > 10e9:
+        mode = "w8a8" if quant == "w8a8" else "q8_0"
+        params = jax.block_until_ready(random_quant_params(config, mode=mode))
+    else:
+        params = random_params(config, dtype=dtype, seed=0)
+        if fuse:
+            from tpu_llama.models.llama import fuse_projections
+            params = fuse_projections(params)
+        if quant == "int8":
+            params = jax.block_until_ready(quantize_params(params))
+        elif quant == "w8a8":
+            params = jax.block_until_ready(quantize_params(params, mode="w8a8"))
     kv = kv_dtype or dtype
     cache = make_kv_cache(config, batch=batch, kv_dtype=kv)
     jax.block_until_ready(params.tok_emb)
@@ -69,7 +82,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--config", default="7b", choices=["7b", "110m", "15m"])
+    ap.add_argument("--config", default="7b", choices=["7b", "13b", "110m", "15m"])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quant", default="w8a8", choices=["none", "int8", "w8a8"])
     ap.add_argument("--attn", default="auto", choices=["auto", "flash", "xla"])
@@ -80,9 +93,9 @@ def main():
     ap.add_argument("--unroll", type=int, default=1, help="layer-scan unroll")
     args = ap.parse_args()
 
-    from tpu_llama.config import LLAMA2_7B, STORIES15M, STORIES110M
+    from tpu_llama.config import LLAMA2_7B, LLAMA2_13B, STORIES15M, STORIES110M
 
-    configs = {"7b": LLAMA2_7B, "110m": STORIES110M, "15m": STORIES15M}
+    configs = {"7b": LLAMA2_7B, "13b": LLAMA2_13B, "110m": STORIES110M, "15m": STORIES15M}
     dtype = jnp.dtype(args.dtype)
     if args.quant == "none":
         args.quant = None

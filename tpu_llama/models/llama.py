@@ -39,6 +39,7 @@ from tpu_llama.ops.matmul import q8_matmul, w8a8_matmul
 from tpu_llama.ops.quant import (
     ChannelQuantTensor,
     QuantTensor,
+    pick_group_size,
     quantize_channel,
     quantize_q8,
 )
@@ -219,6 +220,55 @@ def random_params(
         ),
         rms_final=jnp.ones((D,), dtype),
         wcls=t(D, V),
+        rope_cos=jnp.asarray(np.cos(angles), jnp.float32),
+        rope_sin=jnp.asarray(np.sin(angles), jnp.float32),
+    )
+
+
+def random_quant_params(
+    config: ModelConfig, mode: str = "w8a8", seed: int = 0,
+    norm_dtype=jnp.bfloat16,
+) -> LlamaParams:
+    """Random parameters generated DIRECTLY in INT8 on device — benchmarking
+    models whose floating-point form would not fit HBM (13B+ on one chip)."""
+    c = config
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def qt(in_f, out_f, lead=()):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        if mode == "w8a8":
+            q = jax.random.randint(k, (*lead, in_f, out_f), -127, 128, jnp.int8)
+            s = jnp.full((*lead, out_f), 2e-4, jnp.float32)
+            return ChannelQuantTensor(q=q, s=s, logical_in=in_f,
+                                      logical_out=out_f)
+        g = pick_group_size(in_f)
+        from tpu_llama.ops.quant import kernel_alignment
+
+        align = kernel_alignment(g)
+        pin = -(-in_f // align) * align
+        pout = -(-out_f // 128) * 128
+        q = jax.random.randint(k, (*lead, pin, pout), -127, 128, jnp.int8)
+        s = jnp.full((*lead, pin // g, pout), 2e-4, jnp.float32)
+        return QuantTensor(q=q, s=s, logical_in=in_f, logical_out=out_f)
+
+    L, D, H, KVD, V = c.n_layers, c.dim, c.hidden_dim, c.kv_dim, c.vocab_size
+    hd2 = c.head_dim // 2
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, hd2, dtype=np.float64) * 2 / c.head_dim))
+    angles = np.arange(c.seq_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    return LlamaParams(
+        tok_emb=jax.random.normal(jax.random.fold_in(key, 999), (V, D),
+                                  norm_dtype) * 0.02,
+        layers=LayerParams(
+            rms_att=jnp.ones((L, D), norm_dtype),
+            wq=qt(D, D, (L,)), wk=qt(D, KVD, (L,)), wv=qt(D, KVD, (L,)),
+            wo=qt(D, D, (L,)),
+            rms_ffn=jnp.ones((L, D), norm_dtype),
+            w1=qt(D, H, (L,)), w2=qt(H, D, (L,)), w3=qt(D, H, (L,)),
+        ),
+        rms_final=jnp.ones((D,), norm_dtype),
+        wcls=qt(D, V),
         rope_cos=jnp.asarray(np.cos(angles), jnp.float32),
         rope_sin=jnp.asarray(np.sin(angles), jnp.float32),
     )
