@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Serving-stack benchmark: continuous batching + device sampling + chunks.
+
+Measures the scheduler path end-to-end (not just the raw decode loop):
+aggregate tok/s, per-request tok/s, TTFT percentiles; warm-up wave first so
+the numbers exclude compiles.
+
+    python tools/serving_bench.py --config 110m --slots 16 --requests 48 \
+        --steps 128 --chunk 8 [--kv int8] [--quant w8a8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="110m", choices=["15m", "110m", "7b", "13b"])
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=48)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--prompt-len", type=int, default=31)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--kv", default="int8")
+    ap.add_argument("--quant", default=None, choices=[None, "int8", "w8a8"])
+    ap.add_argument("--temperature", type=float, default=0.8)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_llama_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_llama.config import LLAMA2_7B, LLAMA2_13B, STORIES15M, STORIES110M
+    from tpu_llama.models import quantize_params, random_params
+    from tpu_llama.runtime import ContinuousBatcher, Engine, Request
+    from tpu_llama.runtime.metrics import summarize
+
+    configs = {"15m": STORIES15M, "110m": STORIES110M,
+               "7b": LLAMA2_7B, "13b": LLAMA2_13B}
+    config = configs[args.config]
+    params = random_params(config, dtype=jnp.bfloat16, seed=0)
+    if args.quant:
+        params = quantize_params(
+            params, mode="q8_0" if args.quant == "int8" else "w8a8")
+    engine = Engine(params, config, max_batch=args.slots, kv_dtype=args.kv)
+    batcher = ContinuousBatcher(engine, max_chunk=args.chunk)
+    rng = np.random.default_rng(0)
+
+    def wave(n):
+        reqs = [Request(
+            prompt_tokens=rng.integers(3, config.vocab_size - 1,
+                                       size=args.prompt_len).tolist(),
+            steps=args.steps, temperature=args.temperature, topp=0.95,
+            seed=i, device_sampling=True) for i in range(n)]
+        t0 = time.time()
+        for r in reqs:
+            batcher.submit(r)
+        batcher.run()
+        return reqs, time.time() - t0
+
+    _, warm = wave(min(args.slots, args.requests))
+    print(f"# warmup (compiles): {warm:.1f}s", flush=True)
+    reqs, wall = wave(args.requests)
+    rep = summarize(reqs)
+    print(json.dumps({
+        "config": args.config, "slots": args.slots, "requests": args.requests,
+        "chunk": args.chunk, "kv": args.kv, "quant": args.quant,
+        "wall_s": round(wall, 2),
+        "tokens_per_sec": round(rep.tokens_per_sec, 1),
+        "per_request_tps_p50": round(rep.per_request_tps_p50, 2),
+        "ttft_p50_s": round(rep.ttft_p50_s, 3),
+        "ttft_p95_s": round(rep.ttft_p95_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

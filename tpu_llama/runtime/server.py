@@ -29,12 +29,13 @@ class LlamaServer:
     def __init__(self, engine: Engine, tokenizer: Tokenizer,
                  host: str = "127.0.0.1", port: int = 8000,
                  request_log: str | None = None,
-                 watchdog_s: float | None = None):
+                 watchdog_s: float | None = None,
+                 max_chunk: int = 1):
         from tpu_llama.runtime.health import RequestLog, Watchdog
 
         self.engine = engine
         self.tokenizer = tokenizer
-        self.batcher = ContinuousBatcher(engine)
+        self.batcher = ContinuousBatcher(engine, max_chunk=max_chunk)
         self._submit_q: "queue.Queue[tuple[Request, threading.Event]]" = queue.Queue()
         self._events: dict[int, threading.Event] = {}
         self._stop = threading.Event()
@@ -95,10 +96,12 @@ class LlamaServer:
 
     # ---- request handling ----
     def generate(self, prompt: str, steps: int = 256, temperature: float = 1.0,
-                 topp: float = 1.0, seed: int = 1, timeout: float = 600.0):
+                 topp: float = 1.0, seed: int = 1, timeout: float = 600.0,
+                 device_sampling: bool = False):
         ptoks = self.tokenizer.encode(prompt) if prompt else []
         req = Request(prompt_tokens=ptoks, steps=steps,
-                      temperature=temperature, topp=topp, seed=seed)
+                      temperature=temperature, topp=topp, seed=seed,
+                      device_sampling=device_sampling)
         ev = threading.Event()
         self._submit_q.put((req, ev))
         if not ev.wait(timeout):
@@ -151,6 +154,7 @@ class LlamaServer:
                         temperature=float(body.get("temperature", 1.0)),
                         topp=float(body.get("topp", 1.0)),
                         seed=int(body.get("seed", 1)),
+                        device_sampling=bool(body.get("device_sampling", False)),
                     )
                     self._send(200, out)
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
