@@ -212,3 +212,32 @@ def test_non_pow2_seq_len_long_prompt(tiny_weights):
     b.submit(req)
     b.run()
     assert req.done
+
+
+def test_engine_with_mesh_sharded_cache(tiny_weights, tiny_tokenizer):
+    """Engine(mesh=...) runs the batcher over sharded params + cache and
+    matches the unsharded engine token-for-token."""
+    import jax
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 devices")
+    from tpu_llama.parallel import MeshConfig, make_mesh, shard_params
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    mesh = make_mesh(MeshConfig(1, 4))
+    eng = Engine(shard_params(params, mesh), c, max_batch=4,
+                 precision="highest", mesh=mesh)
+    b = ContinuousBatcher(eng)
+    r = Request(prompt_tokens=tiny_tokenizer.encode("Once upon a time"),
+                steps=20, temperature=0.0, seed=1)
+    b.submit(r)
+    b.run()
+
+    eng2 = Engine(params, c, max_batch=4, precision="highest")
+    b2 = ContinuousBatcher(eng2)
+    r2 = Request(prompt_tokens=tiny_tokenizer.encode("Once upon a time"),
+                 steps=20, temperature=0.0, seed=1)
+    b2.submit(r2)
+    b2.run()
+    assert r.out_tokens == r2.out_tokens

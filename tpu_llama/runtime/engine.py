@@ -176,14 +176,20 @@ class Engine:
         kv_dtype=jnp.float32,
         precision: str = "default",
         seq_len: int | None = None,
+        mesh=None,  # jax Mesh: shard the KV cache to match sharded params
     ):
         self.params = params
         self.config = config
         self.max_batch = max_batch
         self.precision = precision
         self.seq_len = seq_len or config.seq_len
+        self.mesh = mesh
         self.cache = make_kv_cache(config, max_batch, kv_dtype=kv_dtype,
                                    seq_len=self.seq_len)
+        if mesh is not None:
+            from tpu_llama.parallel.sharding import shard_cache
+
+            self.cache = shard_cache(self.cache, mesh)
 
     def prefill(self, prompts: Sequence[Sequence[int]], slots: Sequence[int]):
         """Prefill fresh prompts into slots. Returns next-token logits [n, V]."""

@@ -78,6 +78,7 @@ class EngineConfig:
             params = quantize_params(params)
         elif self.quant is not None:
             raise ValueError(f"unknown quant mode {self.quant}")
+        mesh = None
         if self.mesh_data * self.mesh_model > 1:
             from tpu_llama.parallel import MeshConfig, make_mesh, shard_params
 
@@ -85,5 +86,5 @@ class EngineConfig:
             params = shard_params(params, mesh)
         engine = Engine(params, raw.config, max_batch=self.max_batch,
                         kv_dtype=self.kv_dtype, precision=self.precision,
-                        seq_len=self.seq_len)
+                        seq_len=self.seq_len, mesh=mesh)
         return engine, tok
