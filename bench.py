@@ -48,7 +48,8 @@ def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
     ])
     if quant and fp_bytes > 10e9:
         mode = "w8a8" if quant == "w8a8" else "q8_0"
-        params = jax.block_until_ready(random_quant_params(config, mode=mode))
+        params = jax.block_until_ready(
+            random_quant_params(config, mode=mode, fuse=fuse))
     else:
         params = random_params(config, dtype=dtype, seed=0)
         if fuse:

@@ -227,7 +227,7 @@ def random_params(
 
 def random_quant_params(
     config: ModelConfig, mode: str = "w8a8", seed: int = 0,
-    norm_dtype=jnp.bfloat16,
+    norm_dtype=jnp.bfloat16, fuse: bool = False,
 ) -> LlamaParams:
     """Random parameters generated DIRECTLY in INT8 on device — benchmarking
     models whose floating-point form would not fit HBM (13B+ on one chip)."""
@@ -257,15 +257,22 @@ def random_quant_params(
     hd2 = c.head_dim // 2
     inv_freq = 1.0 / (10000.0 ** (np.arange(0, hd2, dtype=np.float64) * 2 / c.head_dim))
     angles = np.arange(c.seq_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    if fuse:  # fused wqkv / w13 layouts (see fuse_projections)
+        stub = jnp.zeros((L, 1, 1), norm_dtype)
+        wq, wk, wv = qt(D, D + 2 * KVD, (L,)), stub, stub
+        w1, w3 = qt(D, 2 * H, (L,)), stub
+    else:
+        wq, wk, wv = qt(D, D, (L,)), qt(D, KVD, (L,)), qt(D, KVD, (L,))
+        w1, w3 = qt(D, H, (L,)), qt(D, H, (L,))
     return LlamaParams(
         tok_emb=jax.random.normal(jax.random.fold_in(key, 999), (V, D),
                                   norm_dtype) * 0.02,
         layers=LayerParams(
             rms_att=jnp.ones((L, D), norm_dtype),
-            wq=qt(D, D, (L,)), wk=qt(D, KVD, (L,)), wv=qt(D, KVD, (L,)),
+            wq=wq, wk=wk, wv=wv,
             wo=qt(D, D, (L,)),
             rms_ffn=jnp.ones((L, D), norm_dtype),
-            w1=qt(D, H, (L,)), w2=qt(H, D, (L,)), w3=qt(D, H, (L,)),
+            w1=w1, w2=qt(H, D, (L,)), w3=w3,
         ),
         rms_final=jnp.ones((D,), norm_dtype),
         wcls=qt(D, V),
