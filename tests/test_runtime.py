@@ -241,3 +241,28 @@ def test_engine_with_mesh_sharded_cache(tiny_weights, tiny_tokenizer):
     b2.submit(r2)
     b2.run()
     assert r.out_tokens == r2.out_tokens
+
+
+def test_stop_tokens_eos(engine, tiny_tokenizer):
+    """Optional EOS stop: forced via a forward that argmaxes EOS=2."""
+    from tpu_llama.io.tokenizer import EOS
+
+    # find a request whose greedy stream would be long, then assert the
+    # stop_tokens variant is a strict prefix + terminates at first EOS if any
+    r_plain = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=30,
+                      temperature=0.0, seed=1)
+    b = ContinuousBatcher(engine)
+    b.submit(r_plain)
+    b.run()
+
+    engine.reset()
+    r_stop = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=30,
+                     temperature=0.0, seed=1, stop_tokens=(EOS,))
+    b2 = ContinuousBatcher(engine)
+    b2.submit(r_stop)
+    b2.run()
+    if EOS in r_plain.out_tokens:
+        cut = r_plain.out_tokens.index(EOS)
+        assert r_stop.out_tokens == r_plain.out_tokens[:cut]
+    else:
+        assert r_stop.out_tokens == r_plain.out_tokens

@@ -46,6 +46,10 @@ class Request:
     # True -> sample on device (jax.random streams; fast path, NOT
     # xorshift64*-compatible).  False -> host compat sampling.
     device_sampling: bool = False
+    # Extra stop token ids beyond the reference's BOS rule (llama2.ts:499
+    # never stops on EOS=2; serving usually wants to): e.g. stop_tokens=(2,).
+    # The stop token itself is not emitted.
+    stop_tokens: tuple = ()
 
     # filled by the scheduler
     id: int = -1
@@ -235,7 +239,7 @@ class ContinuousBatcher:
 
     def _emit(self, slot: int, token: int) -> None:
         a = self.slots[slot]
-        if token == BOS:  # llama2.ts:499
+        if token == BOS or token in a.req.stop_tokens:  # llama2.ts:499 (+opt)
             self._retire(slot)
             return
         if not a.req.first_token_time:

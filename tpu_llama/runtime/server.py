@@ -97,11 +97,14 @@ class LlamaServer:
     # ---- request handling ----
     def generate(self, prompt: str, steps: int = 256, temperature: float = 1.0,
                  topp: float = 1.0, seed: int = 1, timeout: float = 600.0,
-                 device_sampling: bool = False):
+                 device_sampling: bool = False, stop_on_eos: bool = False):
+        from tpu_llama.io.tokenizer import EOS
+
         ptoks = self.tokenizer.encode(prompt) if prompt else []
         req = Request(prompt_tokens=ptoks, steps=steps,
                       temperature=temperature, topp=topp, seed=seed,
-                      device_sampling=device_sampling)
+                      device_sampling=device_sampling,
+                      stop_tokens=(EOS,) if stop_on_eos else ())
         ev = threading.Event()
         self._submit_q.put((req, ev))
         if not ev.wait(timeout):
@@ -155,6 +158,7 @@ class LlamaServer:
                         topp=float(body.get("topp", 1.0)),
                         seed=int(body.get("seed", 1)),
                         device_sampling=bool(body.get("device_sampling", False)),
+                        stop_on_eos=bool(body.get("stop_on_eos", False)),
                     )
                     self._send(200, out)
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
