@@ -68,15 +68,19 @@ def bench_decode(config, batch, steps, dtype, quant=None, seq_fill=512,
 
     out, cache = greedy_decode_loop(params, cache, tokens, pos, steps, config,
                                     attn=attn, unroll=unroll)
-    jax.block_until_ready(out)  # compile + warm
+    np.asarray(out)  # compile + warm; HOST READBACK forces real completion
+    # (block_until_ready alone can return before device execution finishes on
+    # relay-attached backends — timing must end with a readback)
 
-    t0 = time.perf_counter()
-    out, cache = greedy_decode_loop(
-        params, cache, tokens, pos + steps, steps, config, attn=attn,
-        unroll=unroll)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return batch * steps / dt
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        out, cache = greedy_decode_loop(
+            params, cache, tokens, pos + steps * (i + 1), steps, config,
+            attn=attn, unroll=unroll)
+        np.asarray(out)  # sync
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best
 
 
 def main():

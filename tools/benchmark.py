@@ -31,17 +31,19 @@ def bench_prefill_ttft(config, batch, prompt_len, dtype, quant=None):
     start = jnp.zeros((batch,), jnp.int32)
     lengths = jnp.full((batch,), prompt_len, jnp.int32)
 
+    import numpy as np
+
     fn = jax.jit(
         lambda p, c: forward_prefill(p, c, tokens, start, lengths, config,
-                                     precision="default"),
+                                     precision="default", logits_mode="last"),
         donate_argnums=(1,),
     )
     logits, cache = fn(params, cache)  # compile
-    jax.block_until_ready(logits)
+    np.asarray(logits)  # host readback = real completion (see CLAUDE.md)
     cache2 = make_kv_cache(config, batch, kv_dtype=dtype)
     t0 = time.perf_counter()
     logits, _ = fn(params, cache2)
-    jax.block_until_ready(logits)
+    np.asarray(logits)
     return time.perf_counter() - t0
 
 
