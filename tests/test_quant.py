@@ -155,3 +155,14 @@ def test_w8a8_model_decode_close(tiny_weights):
         assert np.abs(lq - lf).max() / (np.abs(lf).max() + 1e-9) < 0.15, p
         agree += int(np.argmax(lq) == np.argmax(lf))
     assert agree >= len(tokens) - 1
+
+
+def test_w8a8_xla_matches_kernel(rng_np):
+    from tpu_llama.ops import quantize_channel, w8a8_matmul, w8a8_matmul_xla
+
+    x = rng_np.standard_normal((8, 256)).astype(np.float32)
+    w = rng_np.standard_normal((256, 128)).astype(np.float32) * 0.05
+    t = quantize_channel(w)
+    a = np.asarray(w8a8_matmul(jnp.asarray(x), t))
+    b = np.asarray(w8a8_matmul_xla(jnp.asarray(x), t))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)

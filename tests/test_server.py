@@ -121,3 +121,28 @@ def test_server_journal_and_recovery(tmp_path, tiny_weights, tiny_tokenizer):
     srv2.stop()
     assert len(srv2.batcher.finished) >= 1  # the crashed request was re-served
     assert srv2.batcher.finished[0].out_tokens
+
+
+def test_streaming_generate(server):
+    """stream=true yields ndjson piece events then a done summary, and the
+    concatenated pieces equal the non-streaming text."""
+    plain = _post(server.port, "/generate",
+                  dict(prompt="Once", steps=14, temperature=0.0, seed=1))[1]
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=json.dumps(dict(prompt="Once", steps=14, temperature=0.0,
+                             seed=1, stream=True)).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    pieces, done = [], None
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        for line in r:
+            event = json.loads(line)
+            if event.get("done"):
+                done = event
+            else:
+                pieces.append(event["piece"])
+    assert done is not None and done["n_tokens"] == plain["n_tokens"]
+    assert "".join(pieces) == plain["text"]

@@ -8,4 +8,4 @@ from tpu_llama.ops.quant import (  # noqa: F401
     quantize_channel,
     quantize_q8,
 )
-from tpu_llama.ops.matmul import q8_matmul, w8a8_matmul  # noqa: F401
+from tpu_llama.ops.matmul import q8_matmul, w8a8_matmul, w8a8_matmul_xla  # noqa: F401

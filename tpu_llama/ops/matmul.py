@@ -155,6 +155,29 @@ def _w8a8_kernel(x_ref, sx_ref, q_ref, sw_ref, o_ref, acc_ref, *, n_in: int):
         ).astype(o_ref.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def w8a8_matmul_xla(
+    x: jax.Array, w: ChannelQuantTensor, out_dtype=jnp.float32
+) -> jax.Array:
+    """XLA-native W8A8: dynamic per-token activation quant, int8 dot with
+    int32 accumulation, one output rescale.
+
+    Measured FASTER than the Pallas kernel on the round-1 chip (XLA's int8
+    matmul pipelines better than our grid): 559 vs 726 us for the 4096x11008
+    decode shape — this is the default ChannelQuantTensor path; the Pallas
+    kernel below remains available for kernel work (NEXT.md #3)."""
+    lead = x.shape[:-1]
+    IN, OUT = w.q.shape
+    xb = x.reshape(-1, x.shape[-1])
+    if xb.shape[-1] != IN:
+        xb = jnp.pad(xb, ((0, 0), (0, IN - xb.shape[-1])))
+    xq, sx = quantize_activations(xb)
+    acc = jnp.dot(xq, w.q, preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * sx[:, None] * w.s[None, :]
+    eff_out = min(w.logical_out, OUT)
+    return out[:, :eff_out].reshape(*lead, eff_out).astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "block_out", "block_in"))
 def w8a8_matmul(
     x: jax.Array,

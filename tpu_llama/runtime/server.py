@@ -95,18 +95,25 @@ class LlamaServer:
                     ev.set()
 
     # ---- request handling ----
-    def generate(self, prompt: str, steps: int = 256, temperature: float = 1.0,
-                 topp: float = 1.0, seed: int = 1, timeout: float = 600.0,
-                 device_sampling: bool = False, stop_on_eos: bool = False):
+    def _submit(self, prompt, steps, temperature, topp, seed, device_sampling,
+                stop_on_eos, on_token=None):
         from tpu_llama.io.tokenizer import EOS
 
         ptoks = self.tokenizer.encode(prompt) if prompt else []
         req = Request(prompt_tokens=ptoks, steps=steps,
                       temperature=temperature, topp=topp, seed=seed,
                       device_sampling=device_sampling,
-                      stop_tokens=(EOS,) if stop_on_eos else ())
+                      stop_tokens=(EOS,) if stop_on_eos else (),
+                      on_token=on_token)
         ev = threading.Event()
         self._submit_q.put((req, ev))
+        return ptoks, req, ev
+
+    def generate(self, prompt: str, steps: int = 256, temperature: float = 1.0,
+                 topp: float = 1.0, seed: int = 1, timeout: float = 600.0,
+                 device_sampling: bool = False, stop_on_eos: bool = False):
+        ptoks, req, ev = self._submit(prompt, steps, temperature, topp, seed,
+                                      device_sampling, stop_on_eos)
         if not ev.wait(timeout):
             raise TimeoutError("generation timed out")
         prev = ptoks[-1] if ptoks else BOS
@@ -117,6 +124,31 @@ class LlamaServer:
             "n_tokens": len(req.out_tokens),
             "ttft_s": req.ttft,
         }
+
+    def generate_stream(self, prompt: str, steps: int = 256,
+                        temperature: float = 1.0, topp: float = 1.0,
+                        seed: int = 1, timeout: float = 600.0,
+                        device_sampling: bool = False,
+                        stop_on_eos: bool = False):
+        """Yields detokenized pieces as they are produced, then a final
+        summary dict."""
+        import queue as _q
+
+        pieces: "_q.Queue[int | None]" = _q.Queue()
+        ptoks, req, ev = self._submit(
+            prompt, steps, temperature, topp, seed, device_sampling,
+            stop_on_eos, on_token=pieces.put)
+        prev = ptoks[-1] if ptoks else BOS
+        done_watcher = threading.Thread(
+            target=lambda: (ev.wait(timeout), pieces.put(None)), daemon=True)
+        done_watcher.start()
+        while True:
+            tok = pieces.get()
+            if tok is None:
+                break
+            yield self.tokenizer.decode_token(tok, prev_token=prev)
+            prev = tok
+        yield {"n_tokens": len(req.out_tokens), "ttft_s": req.ttft}
 
     def _make_handler(server_self):
         class Handler(BaseHTTPRequestHandler):
@@ -151,7 +183,7 @@ class LlamaServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    out = server_self.generate(
+                    kwargs = dict(
                         prompt=body.get("prompt", ""),
                         steps=int(body.get("steps", 256)),
                         temperature=float(body.get("temperature", 1.0)),
@@ -160,7 +192,21 @@ class LlamaServer:
                         device_sampling=bool(body.get("device_sampling", False)),
                         stop_on_eos=bool(body.get("stop_on_eos", False)),
                     )
-                    self._send(200, out)
+                    if body.get("stream"):
+                        # newline-delimited JSON events; connection close ends
+                        # the stream (HTTP/1.0 framing)
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/x-ndjson")
+                        self.end_headers()
+                        for piece in server_self.generate_stream(**kwargs):
+                            if isinstance(piece, dict):
+                                event = {"done": True, **piece}
+                            else:
+                                event = {"piece": piece}
+                            self.wfile.write(json.dumps(event).encode() + b"\n")
+                            self.wfile.flush()
+                        return
+                    self._send(200, server_self.generate(**kwargs))
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001 — surface as 500
