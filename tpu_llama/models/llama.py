@@ -35,7 +35,7 @@ from tpu_llama.ops.attention import (
     flash_prefill_attention,
     quantize_kv,
 )
-from tpu_llama.ops.matmul import q8_matmul, w8a8_matmul_xla
+from tpu_llama.ops.matmul import q8_matmul, w8a8_matmul
 from tpu_llama.ops.quant import (
     ChannelQuantTensor,
     QuantTensor,
@@ -380,8 +380,10 @@ def matmul_any(a: jax.Array, w, precision) -> jax.Array:
     if isinstance(w, QuantTensor):
         return q8_matmul(a, w, out_dtype=a.dtype)
     if isinstance(w, ChannelQuantTensor):
-        # XLA-native W8A8 measured faster than the Pallas kernel (round 1)
-        return w8a8_matmul_xla(a, w, out_dtype=a.dtype)
+        # Pallas kernel: ~23% slower per matmul than XLA's int8 dot on the
+        # round-1 chip, but XLA's path inserts full-weight relayout copies
+        # that OOM 7B/13B — the kernel is the memory-feasible default
+        return w8a8_matmul(a, w, out_dtype=a.dtype)
     return jnp.dot(a, w, precision=precision)
 
 

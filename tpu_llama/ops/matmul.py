@@ -162,10 +162,10 @@ def w8a8_matmul_xla(
     """XLA-native W8A8: dynamic per-token activation quant, int8 dot with
     int32 accumulation, one output rescale.
 
-    Measured FASTER than the Pallas kernel on the round-1 chip (XLA's int8
-    matmul pipelines better than our grid): 559 vs 726 us for the 4096x11008
-    decode shape — this is the default ChannelQuantTensor path; the Pallas
-    kernel below remains available for kernel work (NEXT.md #3)."""
+    Measured FASTER than the Pallas kernel on the round-1 chip (559 vs 726
+    us for the 4096x11008 decode shape) BUT XLA inserts full-weight relayout
+    copies for the int8 dot that OOM 7B+ models — so this stays opt-in for
+    small models and the Pallas kernel is the default (NEXT.md #3)."""
     lead = x.shape[:-1]
     IN, OUT = w.q.shape
     xb = x.reshape(-1, x.shape[-1])
