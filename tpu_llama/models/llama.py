@@ -235,11 +235,19 @@ def random_quant_params(
     key = jax.random.PRNGKey(seed)
     counter = [0]
 
+    @partial(jax.jit, static_argnames=("shape",))
+    def rand_i8(k, shape):
+        # jax.random.bits(uint8) keeps the generation transient at 1 B/elem
+        # (randint materializes uint32 bits — 4x); jitted so the conversion
+        # chain fuses instead of materializing int16 intermediates eagerly
+        bits = jax.random.bits(k, shape, dtype=jnp.uint8)
+        return (bits.astype(jnp.int16) - 128).clip(-127, 127).astype(jnp.int8)
+
     def qt(in_f, out_f, lead=()):
         counter[0] += 1
         k = jax.random.fold_in(key, counter[0])
         if mode == "w8a8":
-            q = jax.random.randint(k, (*lead, in_f, out_f), -127, 128, jnp.int8)
+            q = rand_i8(k, (*lead, in_f, out_f))
             s = jnp.full((*lead, out_f), 2e-4, jnp.float32)
             return ChannelQuantTensor(q=q, s=s, logical_in=in_f,
                                       logical_out=out_f)
@@ -249,7 +257,7 @@ def random_quant_params(
         align = kernel_alignment(g)
         pin = -(-in_f // align) * align
         pout = -(-out_f // 128) * 128
-        q = jax.random.randint(k, (*lead, pin, pout), -127, 128, jnp.int8)
+        q = rand_i8(k, (*lead, pin, pout))
         s = jnp.full((*lead, pin // g, pout), 2e-4, jnp.float32)
         return QuantTensor(q=q, s=s, logical_in=in_f, logical_out=out_f)
 
