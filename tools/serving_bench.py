@@ -43,10 +43,18 @@ def main() -> None:
     configs = {"15m": STORIES15M, "110m": STORIES110M,
                "7b": LLAMA2_7B, "13b": LLAMA2_13B}
     config = configs[args.config]
-    params = random_params(config, dtype=jnp.bfloat16, seed=0)
-    if args.quant:
-        params = quantize_params(
-            params, mode="q8_0" if args.quant == "int8" else "w8a8")
+    if args.quant and args.config in ("7b", "13b"):
+        # fp form would not fit HBM alongside the int8 copy — generate int8
+        from tpu_llama.models.llama import random_quant_params
+
+        params = random_quant_params(
+            config, mode="q8_0" if args.quant == "int8" else "w8a8",
+            fuse=True)
+    else:
+        params = random_params(config, dtype=jnp.bfloat16, seed=0)
+        if args.quant:
+            params = quantize_params(
+                params, mode="q8_0" if args.quant == "int8" else "w8a8")
     engine = Engine(params, config, max_batch=args.slots, kv_dtype=args.kv)
     batcher = ContinuousBatcher(engine, max_chunk=args.chunk)
     rng = np.random.default_rng(0)
