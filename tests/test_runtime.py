@@ -266,3 +266,26 @@ def test_stop_tokens_eos(engine, tiny_tokenizer):
         assert r_stop.out_tokens == r_plain.out_tokens[:cut]
     else:
         assert r_stop.out_tokens == r_plain.out_tokens
+
+
+def test_device_sampling_invariant_to_batch_composition(tiny_weights,
+                                                        tiny_tokenizer):
+    """A device_sampling request's tokens must not change when it shares a
+    batch with a host-sampled request (mixed batches sample it with the same
+    jax.random derivation)."""
+    from tpu_llama.models import params_from_raw
+
+    def run(mixed):
+        e = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                   max_batch=4, precision="highest")
+        b = ContinuousBatcher(e)
+        dev = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=16,
+                      temperature=0.9, topp=0.9, seed=11, device_sampling=True)
+        b.submit(dev)
+        if mixed:
+            b.submit(Request(prompt_tokens=tiny_tokenizer.encode("On"),
+                             steps=16, temperature=0.7, seed=3))
+        b.run()
+        return dev.out_tokens
+
+    assert run(mixed=False) == run(mixed=True)

@@ -234,7 +234,22 @@ class ContinuousBatcher:
             a = self.slots[i]
             a.pos += 1
             a.budget -= 1
-            nxt = _select_token(logits[i], a.req, a.rng)
+            if a.req.device_sampling:
+                # mixed batch: sample with the SAME jax.random derivation the
+                # device path uses (threefry is backend-deterministic), so a
+                # request's stream does not depend on batch composition
+                import jax
+                import jax.numpy as jnp
+
+                from tpu_llama.ops.sampling import sample as device_sample
+
+                key = jax.random.fold_in(jax.random.key(a.req.seed), a.pos)
+                nxt = int(device_sample(
+                    jnp.asarray(logits[i])[None, :], key[None],
+                    jnp.asarray([a.req.temperature], jnp.float32),
+                    jnp.asarray([a.req.topp], jnp.float32))[0])
+            else:
+                nxt = _select_token(logits[i], a.req, a.rng)
             self._emit(i, nxt)
 
     def _emit(self, slot: int, token: int) -> None:
