@@ -115,3 +115,27 @@ def test_ring_prefill_then_sp_decode(tiny_weights, eight_devices):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=3e-5, atol=3e-5, err_msg=f"pos={p}")
         tok = jnp.argmax(jnp.asarray(ref), -1).astype(jnp.int32)
+
+
+def test_context_beyond_checkpoint_seq_len(tiny_weights, eight_devices):
+    """SP decode past the checkpoint's seq_len with extended RoPE tables —
+    the reference's hard ceiling (llama2.ts:439) removed."""
+    from tpu_llama.models.llama import extend_rope
+
+    c = tiny_weights.config
+    S_big = c.seq_len * 2  # beyond the checkpoint horizon
+    params = extend_rope(params_from_raw(tiny_weights), S_big)
+    assert params.rope_cos.shape[0] == S_big
+    # extension matches the checkpoint formula on the original range
+    np.testing.assert_allclose(
+        np.asarray(params.rope_cos[: c.seq_len]),
+        np.asarray(tiny_weights.freq_cis_real), rtol=1e-6, atol=1e-6)
+
+    mesh = make_mesh(MeshConfig(1, 4))
+    cache = shard_cache_seq(make_kv_cache(c, 1, seq_len=S_big), mesh)
+    tok = jnp.array([5], jnp.int32)
+    for p in (0, c.seq_len - 1, c.seq_len, S_big - 1):  # incl. beyond horizon
+        logits, cache = sp_forward_decode(
+            params, cache, tok, jnp.array([p], jnp.int32), c, mesh,
+            precision="highest")
+        assert np.isfinite(np.asarray(logits)).all(), p

@@ -289,6 +289,28 @@ def random_quant_params(
     )
 
 
+def extend_rope(params: LlamaParams, new_len: int) -> LlamaParams:
+    """Extend the RoPE tables beyond the checkpoint's seq_len.
+
+    The checkpoint tables (llama2.ts:125-126) are the bit-exact source up to
+    seq_len; positions beyond use the same llama2.c formula
+    (theta = 10000^(-2i/hd)).  Required for sequence-parallel caches larger
+    than the checkpoint horizon (parallel/seqpar.py, SURVEY §5.7)."""
+    old = np.asarray(params.rope_cos)
+    cur, hd2 = old.shape
+    if new_len <= cur:
+        return params
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, hd2, dtype=np.float64) / hd2))
+    angles = np.arange(cur, new_len, dtype=np.float64)[:, None] * inv_freq[None, :]
+    return dataclasses.replace(
+        params,
+        rope_cos=jnp.concatenate(
+            [params.rope_cos, jnp.asarray(np.cos(angles), jnp.float32)]),
+        rope_sin=jnp.concatenate(
+            [params.rope_sin, jnp.asarray(np.sin(angles), jnp.float32)]),
+    )
+
+
 def quantize_params(
     params: LlamaParams, group_size: int | None = None,
     quantize_wcls: bool = True, mode: str = "q8_0",
