@@ -77,3 +77,14 @@ def test_engine_int8_kv_end_to_end(tiny_weights, tiny_tokenizer):
     # int8 KV is an approximation — require a matching prefix, not identity
     n = min(len(fp_toks), len(q8_toks), 5)
     assert fp_toks[:n] == q8_toks[:n]
+
+
+def test_int8_kv_xla_attention_matches_flash(tiny_weights):
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    tokens = [1, 5, 17, 300]
+    a, _ = run_decode_seq(params, c, make_kv_cache(c, 1, "int8"), tokens,
+                          attn="flash")
+    b, _ = run_decode_seq(params, c, make_kv_cache(c, 1, "int8"), tokens,
+                          attn="xla")
+    np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3)

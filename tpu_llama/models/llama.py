@@ -526,6 +526,12 @@ def _attend_decode(cache_l, q, pos, config: ModelConfig, prec, attn: str):
     B = q.shape[0]
     qg = q.reshape(B, config.n_kv_heads, config.group_size, config.head_dim)
     if isinstance(cache_l, QuantKVCache):
+        if attn == "xla":
+            # dequantize then einsum (XLA fuses the scale into the reads);
+            # the flash path keeps dequant in-kernel
+            kf = cache_l.k.astype(jnp.float32) * cache_l.ks[..., None]
+            vf = cache_l.v.astype(jnp.float32) * cache_l.vs[..., None]
+            return _attention_decode(q, kf, vf, pos, config, prec)
         out = flash_decode_attention(
             qg, cache_l.k, cache_l.v, pos, cache_l.ks, cache_l.vs
         )
