@@ -33,16 +33,20 @@ def sample(
     key: jax.Array,
     temperature: jax.Array | float = 1.0,  # scalar or [B]
     topp: jax.Array | float = 1.0,  # scalar or [B]
+    topk: jax.Array | int = 0,  # scalar or [B]; 0 disables
 ) -> jax.Array:
-    """Batched temperature / top-p sampling -> [B] int32; per-row params.
+    """Batched temperature / top-p / top-k sampling -> [B] int32; per-row
+    params.
 
     temperature <= 0 degenerates to greedy for that row.  topp outside
-    (0, 1) disables the nucleus filter (llama2.ts:487 semantics).
+    (0, 1) disables the nucleus filter (llama2.ts:487 semantics); topk <= 0
+    disables the top-k filter (a serving extension beyond the reference).
     """
     B, V = logits.shape
     temperature = jnp.broadcast_to(
         jnp.asarray(temperature, jnp.float32), (B,))
     topp = jnp.broadcast_to(jnp.asarray(topp, jnp.float32), (B,))
+    topk = jnp.broadcast_to(jnp.asarray(topk, jnp.int32), (B,))
 
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
     probs = jax.nn.softmax(scaled, axis=-1)
@@ -55,6 +59,10 @@ def sample(
     keep_sorted = (csum - sorted_p) < topp[:, None]
     use_topp = (topp > 0) & (topp < 1)
     keep_sorted = keep_sorted | jnp.logical_not(use_topp)[:, None]
+    # top-k: keep the k highest-probability entries
+    rank = jnp.broadcast_to(jnp.arange(V)[None, :], (B, V))
+    keep_k = (rank < topk[:, None]) | (topk <= 0)[:, None]
+    keep_sorted = keep_sorted & keep_k
     filtered_sorted = jnp.where(keep_sorted, sorted_p, 0.0)
     if getattr(key, "ndim", 0) == 1 and key.shape[0] == B and jnp.issubdtype(
             key.dtype, jax.dtypes.prng_key):
