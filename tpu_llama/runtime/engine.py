@@ -108,6 +108,7 @@ def _decode_sample_step(
     pos: jax.Array,  # [B]
     temps: jax.Array,  # [B]
     topps: jax.Array,  # [B]
+    topks: jax.Array,  # [B]
     keys: jax.Array,  # [B] typed PRNG keys
     config: ModelConfig,
     precision: str = "default",
@@ -118,7 +119,7 @@ def _decode_sample_step(
 
     logits, cache = forward_decode(params, cache, tokens, pos, config,
                                    precision=precision)
-    next_tokens = sample(logits, keys, temps, topps)
+    next_tokens = sample(logits, keys, temps, topps, topks)
     return next_tokens, cache
 
 
@@ -131,6 +132,7 @@ def _decode_sample_chunk(
     pos: jax.Array,  # [B] its position
     temps: jax.Array,
     topps: jax.Array,
+    topks: jax.Array,
     base_keys: jax.Array,  # [B] typed keys (per-request seed keys)
     config: ModelConfig,
     steps: int,
@@ -150,7 +152,7 @@ def _decode_sample_chunk(
         # same stateless derivation as the single-step path: key = fold_in
         # (seed_key, fed position) — chunked and stepwise runs sample alike
         keys = jax.vmap(jax.random.fold_in)(base_keys, p)
-        nxt = sample(logits, keys, temps, topps)
+        nxt = sample(logits, keys, temps, topps, topks)
         return (nxt, cache, p + 1), nxt
 
     (_, cache, _), out = jax.lax.scan(body, (tokens, cache, pos), length=steps)
@@ -240,24 +242,30 @@ class Engine:
         )
         return logits
 
-    def decode_sample(self, tokens, pos, temps, topps, keys) -> np.ndarray:
+    def decode_sample(self, tokens, pos, temps, topps, keys,
+                      topks=None) -> np.ndarray:
         """Decode + on-device per-slot sampling; returns [max_batch] int32."""
+        if topks is None:
+            topks = np.zeros(len(np.asarray(tokens)), np.int32)
         next_tokens, self.cache = _decode_sample_step(
             self.params, self.cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
             jnp.asarray(temps, jnp.float32), jnp.asarray(topps, jnp.float32),
-            keys, self.config, self.precision,
+            jnp.asarray(topks, jnp.int32), keys, self.config, self.precision,
         )
         return np.asarray(next_tokens)
 
     def decode_sample_chunk(self, tokens, pos, temps, topps, base_keys,
-                            steps: int) -> np.ndarray:
+                            steps: int, topks=None) -> np.ndarray:
         """`steps` fused decode+sample steps, one dispatch. [max_batch, steps]."""
+        if topks is None:
+            topks = np.zeros(len(np.asarray(tokens)), np.int32)
         out, self.cache = _decode_sample_chunk(
             self.params, self.cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
             jnp.asarray(temps, jnp.float32), jnp.asarray(topps, jnp.float32),
-            base_keys, self.config, steps, self.precision,
+            jnp.asarray(topks, jnp.int32), base_keys, self.config, steps,
+            self.precision,
         )
         return np.asarray(out)
 

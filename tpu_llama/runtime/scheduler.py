@@ -46,6 +46,8 @@ class Request:
     # True -> sample on device (jax.random streams; fast path, NOT
     # xorshift64*-compatible).  False -> host compat sampling.
     device_sampling: bool = False
+    # top-k filter (device-sampling path only; 0 = off) — serving extension
+    topk: int = 0
     # Extra stop token ids beyond the reference's BOS rule (llama2.ts:499
     # never stops on EOS=2; serving usually wants to): e.g. stop_tokens=(2,).
     # The stop token itself is not emitted.
@@ -193,12 +195,14 @@ class ContinuousBatcher:
 
             temps = np.zeros(B, np.float32)
             topps = np.ones(B, np.float32)
+            topks = np.zeros(B, np.int32)
             base_keys = []
             for i in range(B):
                 a = self.slots[i]
                 if a is not None:
                     temps[i] = a.req.temperature
                     topps[i] = a.req.topp
+                    topks[i] = a.req.topk
                 base_keys.append(jax.random.key(a.req.seed if a else 0))
             keys = jnp.stack(base_keys)
 
@@ -208,7 +212,7 @@ class ContinuousBatcher:
             k = self.max_chunk if min_budget >= self.max_chunk else 1
             if k > 1:
                 chunk = self.engine.decode_sample_chunk(
-                    tokens, pos, temps, topps, keys, k)
+                    tokens, pos, temps, topps, keys, k, topks=topks)
                 for i in active_slots:
                     a = self.slots[i]
                     for j in range(k):
@@ -221,7 +225,7 @@ class ContinuousBatcher:
             step_keys = jax.vmap(jax.random.fold_in)(
                 keys, jnp.asarray(pos, jnp.int32))
             next_tokens = self.engine.decode_sample(
-                tokens, pos, temps, topps, step_keys)
+                tokens, pos, temps, topps, step_keys, topks=topks)
             for i in active_slots:
                 a = self.slots[i]
                 a.pos += 1
@@ -247,7 +251,8 @@ class ContinuousBatcher:
                 nxt = int(device_sample(
                     jnp.asarray(logits[i])[None, :], key[None],
                     jnp.asarray([a.req.temperature], jnp.float32),
-                    jnp.asarray([a.req.topp], jnp.float32))[0])
+                    jnp.asarray([a.req.topp], jnp.float32),
+                    jnp.asarray([a.req.topk], jnp.int32))[0])
             else:
                 nxt = _select_token(logits[i], a.req, a.rng)
             self._emit(i, nxt)

@@ -96,7 +96,7 @@ class LlamaServer:
 
     # ---- request handling ----
     def _submit(self, prompt, steps, temperature, topp, seed, device_sampling,
-                stop_on_eos, on_token=None):
+                stop_on_eos, on_token=None, topk=0):
         from tpu_llama.io.tokenizer import EOS
 
         ptoks = self.tokenizer.encode(prompt) if prompt else []
@@ -104,16 +104,17 @@ class LlamaServer:
                       temperature=temperature, topp=topp, seed=seed,
                       device_sampling=device_sampling,
                       stop_tokens=(EOS,) if stop_on_eos else (),
-                      on_token=on_token)
+                      on_token=on_token, topk=topk)
         ev = threading.Event()
         self._submit_q.put((req, ev))
         return ptoks, req, ev
 
     def generate(self, prompt: str, steps: int = 256, temperature: float = 1.0,
                  topp: float = 1.0, seed: int = 1, timeout: float = 600.0,
-                 device_sampling: bool = False, stop_on_eos: bool = False):
+                 device_sampling: bool = False, stop_on_eos: bool = False,
+                 topk: int = 0):
         ptoks, req, ev = self._submit(prompt, steps, temperature, topp, seed,
-                                      device_sampling, stop_on_eos)
+                                      device_sampling, stop_on_eos, topk=topk)
         if not ev.wait(timeout):
             raise TimeoutError("generation timed out")
         prev = ptoks[-1] if ptoks else BOS
@@ -129,7 +130,7 @@ class LlamaServer:
                         temperature: float = 1.0, topp: float = 1.0,
                         seed: int = 1, timeout: float = 600.0,
                         device_sampling: bool = False,
-                        stop_on_eos: bool = False):
+                        stop_on_eos: bool = False, topk: int = 0):
         """Yields detokenized pieces as they are produced, then a final
         summary dict."""
         import queue as _q
@@ -137,7 +138,7 @@ class LlamaServer:
         pieces: "_q.Queue[int | None]" = _q.Queue()
         ptoks, req, ev = self._submit(
             prompt, steps, temperature, topp, seed, device_sampling,
-            stop_on_eos, on_token=pieces.put)
+            stop_on_eos, on_token=pieces.put, topk=topk)
         prev = ptoks[-1] if ptoks else BOS
         done_watcher = threading.Thread(
             target=lambda: (ev.wait(timeout), pieces.put(None)), daemon=True)
@@ -191,6 +192,7 @@ class LlamaServer:
                         seed=int(body.get("seed", 1)),
                         device_sampling=bool(body.get("device_sampling", False)),
                         stop_on_eos=bool(body.get("stop_on_eos", False)),
+                        topk=int(body.get("topk", 0)),
                     )
                     if body.get("stream"):
                         # newline-delimited JSON events; connection close ends
