@@ -86,3 +86,31 @@ def test_pipeline_prefill_then_decode(tiny_weights, devices):
     ref, _ = forward_decode(params, cache, jnp.asarray(nxt),
                             jnp.full((B,), T, jnp.int32), c, precision="highest")
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_int8_kv(tiny_weights, devices):
+    """PP stages with INT8 KV caches track the fp pipeline closely."""
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B = 2
+    fp = PipelineRunner(params, c, n_stages=2, batch=B, precision="highest")
+    q8 = PipelineRunner(params, c, n_stages=2, batch=B, precision="highest",
+                        kv_dtype="int8")
+    toks = np.array([5, 9], np.int32)
+    for p in range(3):
+        pos = np.full(B, p, np.int32)
+        a = fp.decode(toks, pos)
+        b = q8.decode(toks, pos)
+        assert np.abs(b - a).max() / (np.abs(a).max() + 1e-9) < 0.05, p
+        toks = np.argmax(a, -1).astype(np.int32)
+
+
+def test_pipeline_quantized_weights(tiny_weights, devices):
+    from tpu_llama.models import quantize_params
+
+    c = tiny_weights.config
+    qparams = quantize_params(params_from_raw(tiny_weights))
+    runner = PipelineRunner(qparams, c, n_stages=3, batch=1,
+                            precision="highest")
+    out = runner.decode(np.array([5], np.int32), np.array([0], np.int32))
+    assert np.isfinite(out).all()

@@ -50,6 +50,7 @@ def split_stages(params: LlamaParams, n_stages: int):
     """Split stacked params into per-stage LlamaParams-like pytrees."""
     L = params.layers.rms_att.shape[0]
     bounds = np.linspace(0, L, n_stages + 1).astype(int)
+    stub = jnp.zeros((1, 1), jnp.float32)  # placeholder for unused tensors
     stages = []
     for i in range(n_stages):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
@@ -57,10 +58,12 @@ def split_stages(params: LlamaParams, n_stages: int):
             StageSpec(first=(i == 0), last=(i == n_stages - 1),
                       n_layers=hi - lo),
             LlamaParams(
-                tok_emb=params.tok_emb if i == 0 else params.tok_emb[:1],
+                # only stage 0 embeds; only the last stage classifies —
+                # other stages carry stubs (works for quantized wcls too)
+                tok_emb=params.tok_emb if i == 0 else stub,
                 layers=_slice_layers(params.layers, lo, hi),
                 rms_final=params.rms_final,
-                wcls=params.wcls if i == n_stages - 1 else params.wcls[:, :1],
+                wcls=params.wcls if i == n_stages - 1 else stub,
                 rope_cos=params.rope_cos,
                 rope_sin=params.rope_sin,
             ),
