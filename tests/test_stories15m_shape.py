@@ -83,3 +83,22 @@ def test_int8_at_stories15m_shape(stories15m, real_tokenizer):
         outs.append(req.out_tokens)
     n = min(len(outs[0]), len(outs[1]), 5)
     assert outs[0][:n] == outs[1][:n]
+
+
+def test_golden_stream_at_stories15m_shape(stories15m, real_tokenizer):
+    """Vendored fixture pins the oracle stream at the real shape + real
+    tokenizer — guards RNG/tokenizer/numerics jointly."""
+    import json
+    from pathlib import Path
+
+    golden = json.loads(
+        (Path(__file__).parent / "golden" /
+         "stories15m_shape_golden.json").read_text())
+    c = stories15m.config
+    st = OracleState.create(c)
+    res = generate_compat(
+        lambda t, p: oracle_forward(t, p, c, st, stories15m),
+        real_tokenizer, prompt=golden["prompt"], steps=40,
+        temperature=0.0, seed=1, seq_len=c.seq_len)
+    assert res.tokens == golden["tokens"]
+    assert real_tokenizer.encode(golden["prompt"]) == golden["prompt_ids"]
