@@ -93,3 +93,20 @@ def test_crash_recovery_end_to_end(tmp_path, tiny_weights, tiny_tokenizer):
     b2.submit(fresh)
     b2.run()
     assert pending[0].out_tokens == fresh.out_tokens
+
+
+def test_replay_preserves_sampling_and_stop_semantics(tmp_path):
+    """Journal must round-trip device_sampling/topk/stop_tokens (ADVICE r1)."""
+    from tpu_llama.runtime.health import RequestLog
+    from tpu_llama.runtime.scheduler import Request
+
+    log = RequestLog(tmp_path / "req.jsonl")
+    req = Request(prompt_tokens=[5, 6], steps=12, temperature=0.8, topp=0.9,
+                  seed=7, device_sampling=True, topk=4, stop_tokens=(2,))
+    req.id = 0
+    log.log_submit(req)
+    log.close()
+    (replayed,) = RequestLog.replay_incomplete(tmp_path / "req.jsonl")
+    assert replayed.device_sampling is True
+    assert replayed.topk == 4
+    assert replayed.stop_tokens == (2,)

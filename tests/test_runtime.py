@@ -311,3 +311,32 @@ def test_topk_request(engine, tiny_tokenizer):
     # first tokens happen to match, else skip
     if r_topk1.out_tokens[:1] == r_greedy.out_tokens[:1]:
         assert r_topk1.out_tokens == r_greedy.out_tokens
+
+
+def test_exact_budget_emits_final_token(engine, tiny_weights, tiny_tokenizer):
+    """steps == len(BOS+prompt) means the final prefill forward still samples
+    one token (llama2.ts:476-503) — it must be emitted, not dropped (ADVICE r1)."""
+    ptoks = tiny_tokenizer.encode("Once upon a time")
+    steps = len(ptoks) + 1  # exactly covers BOS + prompt
+    want = oracle_tokens(tiny_weights, tiny_tokenizer, "Once upon a time",
+                         steps=steps)
+    req = Request(prompt_tokens=ptoks, steps=steps, temperature=0.0, seed=1)
+    b = ContinuousBatcher(engine)
+    b.submit(req)
+    b.run()
+    assert req.out_tokens == want[len(ptoks):]
+    assert len(req.out_tokens) == 1
+    assert req.done
+
+
+def test_truncated_prompt_budget_emits_nothing(engine, tiny_tokenizer):
+    """steps < len(BOS+prompt): the reference spends every forward teacher-
+    forcing and never samples — nothing is emitted."""
+    ptoks = tiny_tokenizer.encode("Once upon a time")
+    req = Request(prompt_tokens=ptoks, steps=max(1, len(ptoks) - 2),
+                  temperature=0.0, seed=1)
+    b = ContinuousBatcher(engine)
+    b.submit(req)
+    b.run()
+    assert req.out_tokens == []
+    assert req.done

@@ -100,3 +100,19 @@ def test_reference_tokenizer_bin_if_present():
     ids = tok.encode("Once upon a time")
     assert len(ids) > 0
     assert tok.decode(ids).lstrip() == "Once upon a time"
+
+
+def test_save_roundtrip_preserves_raw_bytes(tmp_path):
+    """load->save must write original bytes for 0x80-0xFF byte tokens, not
+    their U+FFFD replacement encoding (ADVICE r1)."""
+    from tpu_llama.io.tokenizer import Tokenizer, make_byte_tokenizer
+
+    tok = make_byte_tokenizer(extra=[("ab", -1.0)])
+    p1 = tmp_path / "a.bin"
+    tok.save(p1)
+    # token 3+0x80 is raw byte 0x80 -> one byte on disk, not EF BF BD
+    t2 = Tokenizer.load(p1, vocab_size=tok.vocab_size)
+    assert t2.raw_bytes[3 + 0x80] == bytes([0x80])
+    p2 = tmp_path / "b.bin"
+    t2.save(p2)
+    assert p1.read_bytes() == p2.read_bytes()

@@ -45,11 +45,17 @@ def _utf16_units(text: str) -> list[str]:
 
 
 class Tokenizer:
-    def __init__(self, vocab: Sequence[str], scores: Sequence[float]):
+    def __init__(self, vocab: Sequence[str], scores: Sequence[float],
+                 raw_bytes: Sequence[bytes] | None = None):
         if len(vocab) != len(scores):
             raise ValueError("vocab/scores length mismatch")
         self.vocab = list(vocab)
         self.scores = [float(s) for s in scores]
+        # Original on-disk bytes per token.  Decoding maps invalid utf-8
+        # (raw bytes 0x80-0xFF) to U+FFFD, which is lossy — save() writes
+        # these originals so load->save round-trips bit-exactly (ADVICE r1).
+        self.raw_bytes = list(raw_bytes) if raw_bytes is not None else [
+            t.encode("utf-8") for t in self.vocab]
         self._native = None  # lazy native encoder; False = unavailable
         # string -> FIRST index, mirroring Array.prototype.indexOf
         self._index: dict[str, int] = {}
@@ -66,19 +72,20 @@ class Tokenizer:
         with open(path, "rb") as f:
             data = f.read()
         pos = 4  # skip i32 max_token_length (ignored, llama2.ts:445)
-        vocab, scores = [], []
+        vocab, scores, raws = [], [], []
         for _ in range(vocab_size):
             (score,) = struct.unpack_from("<f", data, pos)
             (n,) = struct.unpack_from("<i", data, pos + 4)
             raw = data[pos + 8 : pos + 8 + n]
             pos += 8 + n
             scores.append(score)
+            raws.append(raw)
             # TextDecoder('utf-8') semantics: invalid sequences -> U+FFFD
             vocab.append(raw.decode("utf-8", errors="replace"))
-        return cls(vocab, scores)
+        return cls(vocab, scores, raw_bytes=raws)
 
     def save(self, path: str | os.PathLike) -> None:
-        enc = [t.encode("utf-8") for t in self.vocab]
+        enc = self.raw_bytes
         with open(path, "wb") as f:
             f.write(struct.pack("<i", max((len(e) for e in enc), default=0)))
             for score, raw in zip(self.scores, enc):
@@ -171,10 +178,13 @@ def make_byte_tokenizer(extra: Sequence[tuple[str, float]] = ()) -> Tokenizer:
     """
     vocab = ["<unk>", "\n<s>\n", "\n</s>\n"]
     scores = [0.0, 0.0, 0.0]
+    raws = [t.encode("utf-8") for t in vocab]
     for b in range(256):
         vocab.append(bytes([b]).decode("utf-8", errors="replace"))
+        raws.append(bytes([b]))  # save() writes the raw byte, not U+FFFD
         scores.append(-1e6)  # byte fallbacks: effectively never merged into
     for tok, score in extra:
         vocab.append(tok)
+        raws.append(tok.encode("utf-8"))
         scores.append(score)
-    return Tokenizer(vocab, scores)
+    return Tokenizer(vocab, scores, raw_bytes=raws)

@@ -87,6 +87,9 @@ class RequestLog:
             "type": "submit", "id": req.id,
             "prompt_tokens": list(req.prompt_tokens), "steps": req.steps,
             "temperature": req.temperature, "topp": req.topp, "seed": req.seed,
+            # sampling/stop semantics must replay exactly (ADVICE r1)
+            "device_sampling": req.device_sampling, "topk": req.topk,
+            "stop_tokens": list(req.stop_tokens),
         }
         with self._lock:
             self._f.write(json.dumps(rec) + "\n")
@@ -123,5 +126,8 @@ class RequestLog:
                     prompt_tokens=rec["prompt_tokens"], steps=rec["steps"],
                     temperature=rec["temperature"], topp=rec["topp"],
                     seed=rec["seed"],
+                    device_sampling=rec.get("device_sampling", False),
+                    topk=rec.get("topk", 0),
+                    stop_tokens=tuple(rec.get("stop_tokens", ())),
                 ))
         return out

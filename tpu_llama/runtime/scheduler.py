@@ -167,10 +167,13 @@ class ContinuousBatcher:
 
         for (slot, req), active, logits in zip(batch, actives, last_logits):
             self.slots[slot] = active
-            # Remaining prompt tokens that didn't fit the budget are NOT
-            # teacher-forced further (the reference would keep forcing until
-            # steps ran out and emit nothing new — n_forward==steps means done).
-            if active.budget <= 0:
+            # If the budget truncated the prompt (n_forward < len(seq)), the
+            # reference would keep teacher-forcing until steps ran out and
+            # emit nothing new — retire without sampling.  Otherwise the full
+            # prompt was prefilled and the final forward's logits yield one
+            # sampled token (llama2.ts:476-503) even when budget is now 0;
+            # _emit retires the slot immediately in that case.
+            if active.pos + 1 < len(req.prompt_tokens) + 1:
                 self._retire(slot)
                 continue
             nxt = _select_token(logits, req, active.rng)

@@ -35,7 +35,7 @@ class ServerConfig:
 class EngineConfig:
     checkpoint: str = "model.bin"
     tokenizer: str = "tokenizer.bin"
-    quant: str | None = None  # None | "int8"
+    quant: str | None = None  # None | "int8" | "w8a8"
     kv_dtype: str = "float32"  # "float32" | "bfloat16" | "int8"
     max_batch: int = 8
     precision: str = "default"  # "default" | "highest"
@@ -76,6 +76,8 @@ class EngineConfig:
         params = params_from_raw(raw)
         if self.quant == "int8":
             params = quantize_params(params)
+        elif self.quant == "w8a8":
+            params = quantize_params(params, mode="w8a8")
         elif self.quant is not None:
             raise ValueError(f"unknown quant mode {self.quant}")
         mesh = None
