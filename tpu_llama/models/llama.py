@@ -144,9 +144,69 @@ class QuantKVCache:
         return self.k.shape[3]
 
 
+@_dataclass_pytree
+@dataclasses.dataclass
+class PagedKVCache:
+    """INT8 KV in a shared page pool + per-slot page table (VERDICT r1 #1).
+
+    The dense caches allocate ``batch x seq_len`` up front — physically
+    impossible for 7B at batch 64 (dense int8 KV at S=2048 is ~17 GB).  Here
+    ``k``/``v`` are [L, P, KVH, page_size, hd] pools whose pages are handed
+    out on demand (runtime.paged.PagePool), and ``page_table`` [B, MP] maps
+    each slot's context block j to a pool page.  Memory scales with tokens in
+    flight; attention DMA scales with each slot's context (the paged flash
+    kernel clamps its page walk at ``pos``).  Generalizes llama2.ts:160-161.
+    """
+
+    k: jax.Array  # int8 [L, P, KVH, ps, hd]
+    v: jax.Array
+    ks: jax.Array  # f32 [L, P, KVH, ps]
+    vs: jax.Array
+    page_table: jax.Array  # int32 [B, MP]
+
+    @classmethod
+    def create(cls, config: ModelConfig, batch: int, num_pages: int,
+               page_size: int = 512, seq_len: int | None = None
+               ) -> "PagedKVCache":
+        S = seq_len or config.seq_len
+        mp = -(-S // page_size)
+        shape = (config.n_layers, num_pages, config.n_kv_heads, page_size,
+                 config.head_dim)
+        return cls(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            ks=jnp.zeros(shape[:-1], jnp.float32),
+            vs=jnp.zeros(shape[:-1], jnp.float32),
+            page_table=jnp.zeros((batch, mp), jnp.int32),
+        )
+
+    @property
+    def batch(self) -> int:
+        return self.page_table.shape[0]
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def seq_len(self) -> int:
+        return self.page_table.shape[1] * self.page_size
+
+
 def make_kv_cache(config: ModelConfig, batch: int, kv_dtype="float32",
-                  seq_len: int | None = None):
-    """kv_dtype: 'float32' | 'bfloat16' | 'int8'."""
+                  seq_len: int | None = None, paged: bool = False,
+                  num_pages: int | None = None, page_size: int = 512):
+    """kv_dtype: 'float32' | 'bfloat16' | 'int8'; paged requires int8."""
+    if paged:
+        if kv_dtype not in ("int8", jnp.int8):
+            raise ValueError("paged KV cache requires kv_dtype='int8'")
+        S = seq_len or config.seq_len
+        np_ = num_pages or batch * (-(-S // page_size))  # dense-equivalent
+        return PagedKVCache.create(config, batch, np_, page_size=page_size,
+                                   seq_len=S)
     if kv_dtype in ("int8", jnp.int8):
         return QuantKVCache.create(config, batch, seq_len=seq_len)
     return KVCache.create(config, batch, dtype=jnp.dtype(kv_dtype), seq_len=seq_len)
@@ -496,6 +556,32 @@ def _attention_prefill(
 # ---------------------------------------------------------------------------
 
 
+def _write_decode_paged(kv_l, page_table, k, v, pos, config: ModelConfig):
+    """Write one decoded token's K/V into the per-layer page pool.
+
+    kv_l: (k, v, ks, vs) pool slices [P, KVH, ps, hd] / [P, KVH, ps];
+    page_table: [B, MP]; k/v: [B, KVH, hd] fp.  The write lands at
+    (page_table[b, pos//ps], head, pos%ps).  Parked slots point at the
+    reserved trash page 0 — their garbage writes never alias live pages.
+    """
+    kp, vp, ksp, vsp = kv_l
+    ps = kp.shape[2]
+    B = k.shape[0]
+    page = page_table[jnp.arange(B), pos // ps]  # [B]
+    row = pos % ps
+    p_ix = page[:, None]  # [B, 1]
+    h_ix = jnp.arange(config.n_kv_heads)[None, :]  # [1, KVH]
+    r_ix = row[:, None]  # [B, 1]
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    return (
+        kp.at[p_ix, h_ix, r_ix].set(kq),
+        vp.at[p_ix, h_ix, r_ix].set(vq),
+        ksp.at[p_ix, h_ix, r_ix].set(ks),
+        vsp.at[p_ix, h_ix, r_ix].set(vs),
+    )
+
+
 def _write_decode(cache_l, k, v, pos, config: ModelConfig):
     """Write one decoded token's K/V into a per-layer cache slice.
 
@@ -562,6 +648,10 @@ def forward_decode(
     cos = params.rope_cos[pos]  # [B, hd/2]
     sin = params.rope_sin[pos]
 
+    paged = isinstance(cache, PagedKVCache)
+    scanned_cache = (
+        (cache.k, cache.v, cache.ks, cache.vs) if paged else cache)
+
     def mm(a, w):
         return matmul_any(a, w, prec)
 
@@ -574,16 +664,29 @@ def forward_decode(
         v = v.reshape(B, config.n_kv_heads, config.head_dim)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        cache_l = _write_decode(cache_l, k, v, pos, config)
-        att = _attend_decode(cache_l, q, pos, config, prec, attn)
+        if paged:
+            from tpu_llama.ops.attention import paged_flash_decode_attention
+
+            cache_l = _write_decode_paged(cache_l, cache.page_table, k, v,
+                                          pos, config)
+            qg = q.reshape(B, config.n_kv_heads, config.group_size,
+                           config.head_dim)
+            att = paged_flash_decode_attention(
+                qg, *cache_l, cache.page_table, pos
+            ).reshape(B, config.dim).astype(q.dtype)
+        else:
+            cache_l = _write_decode(cache_l, k, v, pos, config)
+            att = _attend_decode(cache_l, q, pos, config, prec, attn)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
         gate, up = _project_gate_up(h, lp, config, mm)
         x = x + mm(jax.nn.silu(gate) * up, lp.w2)
         return x, cache_l
 
-    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache),
+    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, scanned_cache),
                                 unroll=unroll)
+    if paged:
+        new_cache = PagedKVCache(*new_cache, page_table=cache.page_table)
     x = rmsnorm(x, params.rms_final)
     logits = matmul_any(x, params.wcls, prec)
     return logits.astype(jnp.float32), new_cache
@@ -683,9 +786,10 @@ def forward_prefill(
     """
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
     if attn == "auto":
-        # prefill is compute-bound; the XLA einsum path is the measured
-        # default — opt into the flash kernel explicitly with attn="flash"
-        attn = "xla"
+        # the XLA einsum path materializes [B, KVH, T, S] f32 scores — tens
+        # of GB at 7B serving shapes — so the O(block) flash kernel is the
+        # TPU default; CPU (tests) keeps the einsum for speed under interpret
+        attn = "flash" if jax.default_backend() == "tpu" else "xla"
     B, T = tokens.shape
     S = cache.seq_len
     x = params.tok_emb[tokens]  # [B, T, D]
@@ -728,20 +832,27 @@ def forward_prefill(
                 ks=cache_l.ks.at[b_ix, h_ix, p_ix].set(ks),
                 vs=cache_l.vs.at[b_ix, h_ix, p_ix].set(vs),
             )
-            # prefill is compute-bound; dequantize for the XLA einsum path
-            kf = cache_l.k.astype(jnp.float32) * cache_l.ks[..., None]
-            vf = cache_l.v.astype(jnp.float32) * cache_l.vs[..., None]
+            if attn == "flash":
+                # scales stay in-kernel: no layer-wide f32 dequant temporary
+                att = flash_prefill_attention(
+                    q, cache_l.k, cache_l.v, start_pos, cache_l.ks,
+                    cache_l.vs).reshape(B, T, config.dim).astype(x.dtype)
+            else:
+                kf = cache_l.k.astype(jnp.float32) * cache_l.ks[..., None]
+                vf = cache_l.v.astype(jnp.float32) * cache_l.vs[..., None]
+                att = _attention_prefill(q, kf, vf, q_pos, config, prec)
         else:
             cache_l = KVCache(
                 k=cache_l.k.at[b_ix, h_ix, p_ix].set(kt.astype(cache_l.k.dtype)),
                 v=cache_l.v.at[b_ix, h_ix, p_ix].set(vt.astype(cache_l.v.dtype)),
             )
-            kf, vf = cache_l.k, cache_l.v
-        if attn == "flash" and not isinstance(cache_l, QuantKVCache):
-            att = flash_prefill_attention(
-                q, kf, vf, start_pos).reshape(B, T, config.dim).astype(x.dtype)
-        else:
-            att = _attention_prefill(q, kf, vf, q_pos, config, prec)
+            if attn == "flash":
+                att = flash_prefill_attention(
+                    q, cache_l.k, cache_l.v, start_pos).reshape(
+                        B, T, config.dim).astype(x.dtype)
+            else:
+                att = _attention_prefill(q, cache_l.k, cache_l.v, q_pos,
+                                         config, prec)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
         gate, up = _project_gate_up(h, lp, config, mm)

@@ -28,36 +28,38 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_in_tile(IN: int, g: int) -> int:
-    """In-tile: Mosaic needs lane blocks (x's TI) that are multiples of 128
-    and scale sublane chunks (TI/g) that are multiples of 8 — i.e. TI a
-    multiple of align = max(8g, 128).  quantize_q8 pads IN to that alignment.
-    """
-    from tpu_llama.ops.quant import kernel_alignment
+# Per-weight-block int8 byte budget.  Round-1 postmortem: (256, 256) tiles
+# made 688 grid steps on the 11008x4096 decode matmul; at ~1 us fixed cost
+# per grid step the kernel ran at 53 GB/s vs the 261 GB/s HBM roofline
+# (tools/kernel_bench.py).  Decode is a pure weight stream — the right shape
+# is ONE in-block (x stays VMEM-resident) and few, multi-MB out-tiles so DMA
+# time dwarfs per-step overhead.  3 MB double-buffered plus x/scales/acc
+# stays well under the ~16 MB VMEM.
+_BLOCK_BUDGET = 3 * 1024 * 1024
 
-    align = kernel_alignment(g)
+
+def _pick_tiles(IN: int, OUT: int, align: int) -> tuple[int, int]:
+    """(TI, TO) with TI | IN (multiple of ``align``), TO | OUT (multiple of
+    128), TI*TO <= budget, preferring full-IN blocks then the largest TO."""
+    to_cands = [c for c in range(1024, 127, -128) if OUT % c == 0]
     if IN % align != 0:
         raise ValueError(
-            f"padded in_features {IN} not aligned to {align} for group {g}; "
-            "quantize with tpu_llama.ops.quantize_q8 (it pads)"
-        )
-    for c in (512, 256):
-        if c % align == 0 and IN % c == 0:
-            return c
-    return align
-
-
-def _pick_out_tile(OUT: int) -> int:
-    """Out-tile: multiple of 128 or full.  256 keeps double-buffered int8
-    blocks comfortably inside VMEM even at IN up to ~12k."""
-    for c in (256, 512, 128):
-        if OUT % c == 0:
-            return c
-    return OUT
+            f"padded in_features {IN} not aligned to {align}; "
+            "quantize with tpu_llama.ops (it pads)")
+    for to in to_cands:
+        if IN * to <= _BLOCK_BUDGET:
+            return IN, to
+    # IN too large for a single block even at TO=128: split the contraction
+    to = next((c for c in to_cands if c <= 256), to_cands[-1])
+    ti_cands = [t for t in range(IN, align - 1, -align)
+                if IN % t == 0 and t * to <= _BLOCK_BUDGET]
+    if not ti_cands:
+        raise ValueError(f"no VMEM-feasible tiling for ({IN}, {OUT})")
+    return ti_cands[0], to
 
 
 def _q8_matmul_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, g: int, n_in: int):
-    i = pl.program_id(1)
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _():
@@ -102,23 +104,38 @@ def q8_matmul(
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
 
-    TO = block_out or _pick_out_tile(OUT)
-    TI = block_in or _pick_in_tile(IN, g)
+    from tpu_llama.ops.quant import kernel_alignment
+
+    if block_out or block_in:
+        TO = block_out or 256
+        TI = block_in or IN
+    else:
+        TI, TO = _pick_tiles(IN, OUT, kernel_alignment(g))
+    # row blocking: decode batches fit one block; prefill's [B*T] rows tile
+    # so the VMEM-resident x block stays bounded
+    BM = min(Bp, 256)
+    if Bp % BM:
+        pad = -(-Bp // BM) * BM - Bp
+        xb = jnp.pad(xb, ((0, pad), (0, 0)))
+        Bp += pad
+    n_m = Bp // BM
     n_in = IN // TI
     n_out = OUT // TO
 
     kernel = functools.partial(_q8_matmul_kernel, g=g, n_in=n_in)
     out = pl.pallas_call(
         kernel,
-        grid=(n_out, n_in),
+        grid=(n_m, n_out, n_in),
         in_specs=[
-            pl.BlockSpec((Bp, TI), lambda o, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, TO), lambda o, i: (i, o), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI // g, TO), lambda o, i: (i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, TI), lambda m, o, i: (m, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, TO), lambda m, o, i: (i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI // g, TO), lambda m, o, i: (i, o), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Bp, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BM, TO), lambda m, o, i: (m, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, OUT), out_dtype),
-        scratch_shapes=[pltpu.VMEM((Bp, TO), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BM, TO), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * IN * OUT,
             bytes_accessed=Bp * IN * 4 + IN * OUT + (IN // g) * OUT * 4 + Bp * OUT * 4,
@@ -138,7 +155,7 @@ def q8_matmul(
 
 
 def _w8a8_kernel(x_ref, sx_ref, q_ref, sw_ref, o_ref, acc_ref, *, n_in: int):
-    i = pl.program_id(1)
+    i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _():
@@ -201,24 +218,36 @@ def w8a8_matmul(
 
     xq, sx = quantize_activations(xb)  # int8 [Bp, IN], f32 [Bp]
 
-    TO = block_out or _pick_out_tile(OUT)
-    TI = block_in or (512 if IN % 512 == 0 else (256 if IN % 256 == 0 else IN))
+    if block_out or block_in:
+        TO = block_out or 256
+        TI = block_in or IN
+    else:
+        TI, TO = _pick_tiles(IN, OUT, 32)  # int8 sublane alignment
+    BM = min(Bp, 256)
+    if Bp % BM:
+        pad = -(-Bp // BM) * BM - Bp
+        xq = jnp.pad(xq, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad),))
+        Bp += pad
+    n_m = Bp // BM
     n_in = IN // TI
     n_out = OUT // TO
 
     kernel = functools.partial(_w8a8_kernel, n_in=n_in)
     out = pl.pallas_call(
         kernel,
-        grid=(n_out, n_in),
+        grid=(n_m, n_out, n_in),
         in_specs=[
-            pl.BlockSpec((Bp, TI), lambda o, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bp, 1), lambda o, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, TO), lambda o, i: (i, o), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, TI), lambda m, o, i: (m, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda m, o, i: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, TO), lambda m, o, i: (i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TO), lambda m, o, i: (0, o), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Bp, TO), lambda o, i: (0, o), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BM, TO), lambda m, o, i: (m, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, OUT), out_dtype),
-        scratch_shapes=[pltpu.VMEM((Bp, TO), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((BM, TO), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * IN * OUT,
             bytes_accessed=Bp * IN + IN * OUT + OUT * 4 + Bp * OUT * 4,

@@ -29,10 +29,12 @@ from tpu_llama.config import ModelConfig
 from tpu_llama.models import KVCache, forward_decode, forward_prefill
 from tpu_llama.models.llama import (
     LlamaParams,
+    PagedKVCache,
     QuantKVCache,
     forward_prefill_chunked,
     make_kv_cache,
 )
+from tpu_llama.runtime.paged import PagePool
 
 
 @partial(jax.jit, static_argnames=("config", "precision", "logits_mode"),
@@ -54,7 +56,8 @@ def _prefill_into_slots(
     before any query attends to it (mask is ``s <= pos``).
     """
     Bp, T = tokens.shape
-    kv_dtype = "int8" if isinstance(cache, QuantKVCache) else cache.k.dtype
+    kv_dtype = ("int8" if isinstance(cache, (QuantKVCache, PagedKVCache))
+                else cache.k.dtype)
     small = make_kv_cache(config, Bp, kv_dtype=kv_dtype, seq_len=T)
     if logits_mode == "last" and T > 256 and T % 256 == 0:
         # long prompts: chunked prefill bounds the O(T*S) scores memory
@@ -68,7 +71,24 @@ def _prefill_into_slots(
             lengths=lengths, config=config, precision=precision,
             logits_mode=logits_mode,
         )
-    if isinstance(cache, QuantKVCache):
+    if isinstance(cache, PagedKVCache):
+        # scatter the compact [L, Bp, KVH, T, hd] block into the page pool:
+        # position t of slot s lands at (page_table[s, t//ps], head, t%ps).
+        # Bucket positions beyond a slot's reservation map to trash page 0.
+        ps = cache.page_size
+        t_ix = jnp.arange(T)
+        pages = cache.page_table[slots][:, t_ix // ps]  # [Bp, T]
+        p_ix = pages[:, None, :]  # [Bp, 1, T]
+        h_ix = jnp.arange(config.n_kv_heads)[None, :, None]
+        r_ix = (t_ix % ps)[None, None, :]  # [1, 1, T]
+        cache = PagedKVCache(
+            k=cache.k.at[:, p_ix, h_ix, r_ix].set(small.k),
+            v=cache.v.at[:, p_ix, h_ix, r_ix].set(small.v),
+            ks=cache.ks.at[:, p_ix, h_ix, r_ix].set(small.ks),
+            vs=cache.vs.at[:, p_ix, h_ix, r_ix].set(small.vs),
+            page_table=cache.page_table,
+        )
+    elif isinstance(cache, QuantKVCache):
         cache = QuantKVCache(
             k=cache.k.at[:, slots, :, :T].set(small.k),
             v=cache.v.at[:, slots, :, :T].set(small.v),
@@ -179,6 +199,9 @@ class Engine:
         precision: str = "default",
         seq_len: int | None = None,
         mesh=None,  # jax Mesh: shard the KV cache to match sharded params
+        kv_layout: str = "dense",  # "dense" | "paged"
+        page_size: int = 512,
+        num_pages: int | None = None,  # paged: pool size (default: dense-equiv)
     ):
         self.params = params
         self.config = config
@@ -186,19 +209,64 @@ class Engine:
         self.precision = precision
         self.seq_len = seq_len or config.seq_len
         self.mesh = mesh
-        self.cache = make_kv_cache(config, max_batch, kv_dtype=kv_dtype,
-                                   seq_len=self.seq_len)
+        self.pool: PagePool | None = None
+        if kv_layout == "paged":
+            mp = -(-self.seq_len // page_size)
+            n_pages = num_pages or max_batch * mp + 1
+            self.pool = PagePool(n_pages, page_size, max_batch, mp)
+            self.cache = make_kv_cache(
+                config, max_batch, kv_dtype="int8", seq_len=self.seq_len,
+                paged=True, num_pages=n_pages, page_size=page_size)
+        else:
+            self.cache = make_kv_cache(config, max_batch, kv_dtype=kv_dtype,
+                                       seq_len=self.seq_len)
         if mesh is not None:
             from tpu_llama.parallel.sharding import shard_cache
 
             self.cache = shard_cache(self.cache, mesh)
 
-    def prefill(self, prompts: Sequence[Sequence[int]], slots: Sequence[int]):
-        """Prefill fresh prompts into slots. Returns next-token logits [n, V]."""
+    def _sync_page_table(self) -> None:
+        """Push the host page-table mirror to the cache (tiny upload that
+        rides the next dispatch — no separate device round trip)."""
+        self.cache = dataclasses.replace(
+            self.cache, page_table=jnp.asarray(self.pool.table))
+
+    def can_admit(self, n_tokens: int) -> bool:
+        """Backpressure probe: can a request needing ``n_tokens`` total
+        positions be admitted right now?"""
+        if self.pool is None:
+            return True
+        return self.pool.can_reserve(n_tokens)
+
+    def release_slot(self, slot: int) -> None:
+        """Return a retired slot's pages to the pool (no-op on dense)."""
+        if self.pool is not None:
+            self.pool.release(slot)
+            self._sync_page_table()
+
+    def prefill(self, prompts: Sequence[Sequence[int]], slots: Sequence[int],
+                reserve_tokens: Sequence[int] | None = None):
+        """Prefill fresh prompts into slots. Returns next-token logits [n, V].
+
+        ``reserve_tokens`` (paged layout): total positions each request may
+        ever occupy (prompt + generation budget); that many pages are
+        reserved up front so decode never fails mid-flight."""
         assert len(prompts) == len(slots) and prompts
         lengths = np.array([len(p) for p in prompts], np.int32)
         assert lengths.min() >= 1, "prompts must be non-empty (include BOS)"
         assert int(lengths.max()) <= self.seq_len, "prompt exceeds cache"
+        if self.pool is not None:
+            reserve = (list(reserve_tokens) if reserve_tokens is not None
+                       else [len(p) for p in prompts])
+            for slot, p, r in zip(slots, prompts, reserve):
+                self.pool.release(slot)  # reclaim any stale holding
+                if self.pool.reserve(slot, max(r, len(p))) is None:
+                    raise RuntimeError(
+                        f"page pool exhausted (slot {slot}: need "
+                        f"{self.pool.pages_needed(max(r, len(p)))} pages, "
+                        f"{self.pool.free_pages} free) — gate admissions "
+                        "with Engine.can_admit")
+            self._sync_page_table()
         # power-of-two buckets bound recompiles; cap at the cache length so
         # the scatter never overflows a non-power-of-two seq_len
         T = min(_bucket(int(lengths.max())), self.seq_len)
@@ -217,6 +285,11 @@ class Engine:
         """Single-row prefill returning logits at EVERY prompt position
         (needed for teacher-forced compat generation and ppl eval)."""
         lengths = np.array([len(prompt)], np.int32)
+        if self.pool is not None:
+            self.pool.release(slot)
+            if self.pool.reserve(slot, len(prompt)) is None:
+                raise RuntimeError("page pool exhausted")
+            self._sync_page_table()
         T = _bucket(int(lengths[0]))
         toks = np.zeros((1, T), np.int32)
         toks[0, : len(prompt)] = prompt
@@ -271,11 +344,17 @@ class Engine:
 
     def reset(self):
         self.cache = jax.tree.map(lambda x: jnp.zeros_like(x), self.cache)
+        if self.pool is not None:
+            self.pool = PagePool(self.pool.num_pages, self.pool.page_size,
+                                 self.max_batch, self.pool.max_pages_per_slot)
 
     # ---- KV snapshot / prefix reuse (SURVEY §5.4c, capability extension) ----
     def snapshot_slot(self, slot: int, length: int) -> dict:
         """Copy one slot's KV prefix (positions [0, length)) to host arrays —
         reusable across requests sharing a prompt prefix, or persistable."""
+        if self.pool is not None:
+            raise NotImplementedError(
+                "KV snapshot/prefix reuse is dense-layout only for now")
         snap = {"length": int(length)}
         for name in ("k", "v", "ks", "vs"):
             arr = getattr(self.cache, name, None)

@@ -138,9 +138,18 @@ class ContinuousBatcher:
             return
         batch: list[tuple[int, Request]] = []
         while free and self.queue:
+            # backpressure (paged KV): a request reserves pages for its whole
+            # step budget at admission — if the pool can't hold it, it waits
+            steps = self.queue[0].steps
+            if steps <= 0 or steps > self.seq_len:
+                steps = self.seq_len
+            if not self.engine.can_admit(steps):
+                break
             batch.append((free.pop(0), self.queue.popleft()))
+        if not batch:
+            return
 
-        prompts, slot_ids = [], []
+        prompts, slot_ids, reserves = [], [], []
         actives: list[_Active] = []
         for slot, req in batch:
             steps = req.steps
@@ -153,6 +162,7 @@ class ContinuousBatcher:
             n_forward = min(len(seq), steps)
             prompts.append(seq[:n_forward])
             slot_ids.append(slot)
+            reserves.append(steps)
             actives.append(
                 _Active(
                     req=req,
@@ -163,7 +173,8 @@ class ContinuousBatcher:
                 )
             )
 
-        last_logits = self.engine.prefill(prompts, slot_ids)
+        last_logits = self.engine.prefill(prompts, slot_ids,
+                                          reserve_tokens=reserves)
 
         for (slot, req), active, logits in zip(batch, actives, last_logits):
             self.slots[slot] = active
@@ -280,3 +291,4 @@ class ContinuousBatcher:
         a.req.finish_time = time.time()
         self.finished.append(a.req)
         self.slots[slot] = None
+        self.engine.release_slot(slot)
