@@ -76,3 +76,20 @@ def test_steps_zero_uses_seq_len(model_files, capsys):
              "-i", "On"])
     out = capsys.readouterr().out
     assert "achieved tok/s:" in out
+
+
+def test_kv_flags_and_sample_device(model_files, capsys):
+    """--kv-dtype/--kv-layout/--sample-device are real (r1 advertised but
+    unimplemented); paged int8 + device sampling still generates."""
+    ckpt, tok = model_files
+    run_cli([ckpt, "--tokenizer", tok, "-n", "12", "-i", "Once", "-t", "0",
+             "-s", "1", "--kv-dtype", "int8", "--kv-layout", "paged",
+             "--sample-device", "on"])
+    out = capsys.readouterr().out
+    assert "Once" in out and "achieved tok/s:" in out
+
+
+def test_bad_kv_dtype_exits(model_files, capsys):
+    ckpt, tok = model_files
+    with pytest.raises(SystemExit):
+        run_cli([ckpt, "--kv-dtype", "int4"])

@@ -254,3 +254,41 @@ def test_prefill_flash_matches_xla(tiny_weights):
     # cache inherits the fp32 path difference
     np.testing.assert_allclose(np.asarray(gc.k), np.asarray(rc.k),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_decode_carry_flash_matches_xla_fp32(tiny_weights):
+    """attn='flash' decode (cache-in-carry + layer-aware Pallas kernels) vs
+    the XLA einsum fallback — same tokens over a greedy rollout."""
+    import jax.numpy as jnp
+
+    from tpu_llama.models import params_from_raw
+    from tpu_llama.models.llama import greedy_decode_loop, make_kv_cache
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    toks = jnp.array([3, 7], jnp.int32)
+    pos = jnp.zeros((2,), jnp.int32)
+    out_x, _ = greedy_decode_loop(params, make_kv_cache(c, 2), toks, pos, 8,
+                                  c, precision="highest", attn="xla")
+    out_f, _ = greedy_decode_loop(params, make_kv_cache(c, 2), toks, pos, 8,
+                                  c, precision="highest", attn="flash")
+    assert np.array_equal(np.asarray(out_x), np.asarray(out_f))
+
+
+def test_decode_carry_flash_matches_xla_int8kv(tiny_weights):
+    import jax.numpy as jnp
+
+    from tpu_llama.models import params_from_raw
+    from tpu_llama.models.llama import greedy_decode_loop, make_kv_cache
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    toks = jnp.array([3, 7], jnp.int32)
+    pos = jnp.zeros((2,), jnp.int32)
+    out_x, _ = greedy_decode_loop(params, make_kv_cache(c, 2, kv_dtype="int8"),
+                                  toks, pos, 8, c, precision="highest",
+                                  attn="xla")
+    out_f, _ = greedy_decode_loop(params, make_kv_cache(c, 2, kv_dtype="int8"),
+                                  toks, pos, 8, c, precision="highest",
+                                  attn="flash")
+    assert np.array_equal(np.asarray(out_x), np.asarray(out_f))

@@ -5,7 +5,7 @@
 Same five flags, same defaults-as-code (temp 1.0, topp 1.0, seed=time, steps
 256 clamped to seq_len), same strict ``-x value`` pair parsing and usage text
 shape (llama2.ts:409-423, 514-524).  Extensions use long flags: --tokenizer,
---quant int8, --batch, --kv-dtype, --sample-device.
+--quant, --precision, --kv-dtype, --sample-device, --kv-layout.
 """
 
 from __future__ import annotations
@@ -26,6 +26,10 @@ def error_usage() -> "None":
     sys.stderr.write("  --tokenizer <path>  tokenizer.bin path (default ./tokenizer.bin)\n")
     sys.stderr.write("  --quant int8|w8a8   INT8: groupwise weight-only / int8-MXU W8A8\n")
     sys.stderr.write("  --precision <p>     matmul precision: highest|default (default: highest)\n")
+    sys.stderr.write("  --kv-dtype <d>      KV cache dtype: float32|bfloat16|int8\n")
+    sys.stderr.write("  --kv-layout <l>     KV layout: dense|paged (paged implies int8)\n")
+    sys.stderr.write("  --sample-device on  sample on device (jax.random; fast, NOT\n")
+    sys.stderr.write("                      xorshift-compatible — default samples on host)\n")
     sys.exit(1)
 
 
@@ -44,6 +48,9 @@ def main(argv: list[str] | None = None) -> None:
     tokenizer_path = "tokenizer.bin"
     quant: str | None = None
     precision = "highest"
+    kv_dtype = "float32"
+    kv_layout = "dense"
+    sample_device = False
 
     i = 0
     while i < len(args):
@@ -58,6 +65,16 @@ def main(argv: list[str] | None = None) -> None:
                 quant = val
             elif arg == "--precision":
                 precision = val
+            elif arg == "--kv-dtype":
+                if val not in ("float32", "bfloat16", "int8"):
+                    error_usage()
+                kv_dtype = val
+            elif arg == "--kv-layout":
+                if val not in ("dense", "paged"):
+                    error_usage()
+                kv_layout = val
+            elif arg == "--sample-device":
+                sample_device = val in ("on", "1", "true")
             else:
                 error_usage()
             i += 2
@@ -105,7 +122,8 @@ def main(argv: list[str] | None = None) -> None:
     elif quant is not None:
         error_usage()
 
-    engine = Engine(params, config, max_batch=1, precision=precision)
+    engine = Engine(params, config, max_batch=1, precision=precision,
+                    kv_dtype=kv_dtype, kv_layout=kv_layout)
     batcher = ContinuousBatcher(engine)
 
     prompt_tokens = tokenizer.encode(prompt) if prompt else []
@@ -119,6 +137,7 @@ def main(argv: list[str] | None = None) -> None:
         temperature=temperature,
         topp=topp,
         seed=seed,
+        device_sampling=sample_device,
     )
 
     # The reference prints prompt tokens as it forces them (llama2.ts:502-503)

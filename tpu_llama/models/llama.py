@@ -649,44 +649,89 @@ def forward_decode(
     sin = params.rope_sin[pos]
 
     paged = isinstance(cache, PagedKVCache)
-    scanned_cache = (
-        (cache.k, cache.v, cache.ks, cache.vs) if paged else cache)
+    quant = isinstance(cache, QuantKVCache)
 
     def mm(a, w):
         return matmul_any(a, w, prec)
 
-    def layer_step(x, scanned):
-        lp, cache_l = scanned  # per-layer slices
+    def project(x, lp):
         h = rmsnorm(x, lp.rms_att)
         q, k, v = _project_qkv(h, lp, config, mm)
-        q = q.reshape(B, config.n_heads, config.head_dim)
-        k = k.reshape(B, config.n_kv_heads, config.head_dim)
+        q = apply_rope(q.reshape(B, config.n_heads, config.head_dim), cos, sin)
+        k = apply_rope(k.reshape(B, config.n_kv_heads, config.head_dim),
+                       cos, sin)
         v = v.reshape(B, config.n_kv_heads, config.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        if paged:
-            from tpu_llama.ops.attention import paged_flash_decode_attention
+        return q, k, v
 
-            cache_l = _write_decode_paged(cache_l, cache.page_table, k, v,
-                                          pos, config)
-            qg = q.reshape(B, config.n_kv_heads, config.group_size,
-                           config.head_dim)
-            att = paged_flash_decode_attention(
-                qg, *cache_l, cache.page_table, pos
-            ).reshape(B, config.dim).astype(q.dtype)
-        else:
-            cache_l = _write_decode(cache_l, k, v, pos, config)
-            att = _attend_decode(cache_l, q, pos, config, prec, attn)
+    def ffn_out(x, att, lp):
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
         gate, up = _project_gate_up(h, lp, config, mm)
-        x = x + mm(jax.nn.silu(gate) * up, lp.w2)
-        return x, cache_l
+        return x + mm(jax.nn.silu(gate) * up, lp.w2)
 
-    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, scanned_cache),
-                                unroll=unroll)
-    if paged:
-        new_cache = PagedKVCache(*new_cache, page_table=cache.page_table)
+    L = params.layers.rms_att.shape[0]
+    layer_ix = jnp.arange(L, dtype=jnp.int32)
+
+    if paged or attn == "flash":
+        # CARRY pattern (the perf path): the full stacked cache arrays ride
+        # the lax.scan carry, and the layer-aware Pallas kernels read/write
+        # rows in place via index maps.  Passing the cache through scan xs/ys
+        # instead costs a full per-layer slice copy in AND out, and the XLA
+        # scatter write another operand copy — together ~1.4 ms/layer of the
+        # 7B decode step (tools/ablate.py, round 2).
+        from tpu_llama.ops.attention import (
+            flash_decode_attention,
+            kv_cache_write_decode,
+            kv_pool_write_decode,
+            paged_flash_decode_attention,
+        )
+
+        def layer_step(carry, scanned):
+            lp, l = scanned
+            x, arrs = carry
+            q, k, v = project(x, lp)
+            qg = q.reshape(B, config.n_kv_heads, config.group_size,
+                           config.head_dim)
+            if paged:
+                arrs = kv_pool_write_decode(k, v, pos, l, cache.page_table,
+                                            *arrs)
+                att = paged_flash_decode_attention(
+                    qg, arrs[0], arrs[1], arrs[2], arrs[3],
+                    cache.page_table, pos, layer=l)
+            elif quant:
+                arrs = kv_cache_write_decode(k, v, pos, l, *arrs)
+                att = flash_decode_attention(qg, arrs[0], arrs[1], pos,
+                                             arrs[2], arrs[3], layer=l)
+            else:
+                arrs = kv_cache_write_decode(k, v, pos, l, *arrs)
+                att = flash_decode_attention(qg, arrs[0], arrs[1], pos,
+                                             layer=l)
+            att = att.reshape(B, config.dim).astype(x.dtype)
+            return (ffn_out(x, att, lp), arrs), None
+
+        arrs0 = ((cache.k, cache.v, cache.ks, cache.vs)
+                 if (paged or quant) else (cache.k, cache.v))
+        (x, arrs), _ = jax.lax.scan(layer_step, (x, arrs0),
+                                    (params.layers, layer_ix), unroll=unroll)
+        if paged:
+            new_cache = PagedKVCache(*arrs, page_table=cache.page_table)
+        elif quant:
+            new_cache = QuantKVCache(*arrs)
+        else:
+            new_cache = KVCache(*arrs)
+    else:
+        # XLA einsum fallback (CPU tests, debugging): per-layer slices via
+        # scan xs/ys — numerically the reference path, not the fast one.
+        def layer_step_xla(x, scanned):
+            lp, cache_l = scanned
+            q, k, v = project(x, lp)
+            cache_l = _write_decode(cache_l, k, v, pos, config)
+            att = _attend_decode(cache_l, q, pos, config, prec, attn)
+            return ffn_out(x, att, lp), cache_l
+
+        x, new_cache = jax.lax.scan(layer_step_xla, x, (params.layers, cache),
+                                    unroll=unroll)
+
     x = rmsnorm(x, params.rms_final)
     logits = matmul_any(x, params.wcls, prec)
     return logits.astype(jnp.float32), new_cache

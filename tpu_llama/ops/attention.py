@@ -34,12 +34,19 @@ def _interpret() -> bool:
 _NEG_INF = -1e30  # python literal — jnp constants would be captured as kernel consts
 
 
-def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
+def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
                          m_ref, l_ref, acc_ref, *, TS: int, n_sb: int,
                          int8: bool, ks_ref=None, vs_ref=None):
+    """Shared body for dense and paged flash decode.
+
+    s_ref: [2, B] scalars — row 0 per-slot pos, row 1 layer index (used only
+    by the index maps).  k/v blocks are 5-D (1, 1, 1, TS, hd): the leading
+    axes are (layer, batch-or-page, head) selected by the index map, so the
+    kernel never sees (or copies) more than one layer's rows.
+    """
     b = pl.program_id(0)
     j = pl.program_id(2)
-    pos = pos_ref[b]
+    pos = s_ref[0, b]
 
     @pl.when(j == 0)
     def _():
@@ -53,7 +60,7 @@ def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(j * TS <= pos)
     def _():
         q = q_ref[0, 0]  # [G8, hd] (pre-scaled by 1/sqrt(hd))
-        k = k_ref[0, 0]  # [TS, hd]
+        k = k_ref[0, 0, 0]  # [TS, hd]
         s = jax.lax.dot_general(
             q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
             k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
@@ -61,7 +68,7 @@ def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
             preferred_element_type=jnp.float32,
         )  # [G8, TS]
         if int8:
-            s = s * ks_ref[0, 0]  # [1, TS] per-token K scales
+            s = s * ks_ref[0, 0, 0]  # [1, TS] per-token K scales
 
         kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * TS
         mask = kpos <= pos
@@ -72,12 +79,12 @@ def _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
         if int8:
-            p = p * vs_ref[0, 0]  # [1, TS] per-token V scales fold into probs
+            p = p * vs_ref[0, 0, 0]  # [1, TS] per-token V scales -> probs
             p = p.astype(jnp.bfloat16)
-            v = v_ref[0, 0].astype(jnp.bfloat16)
+            v = v_ref[0, 0, 0].astype(jnp.bfloat16)
         else:
             p = p.astype(jnp.float32)
-            v = v_ref[0, 0].astype(jnp.float32)
+            v = v_ref[0, 0, 0].astype(jnp.float32)
         acc_ref[:] = acc_ref[:] * corr + jnp.dot(
             p, v, preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -92,27 +99,43 @@ def _pad_g(G: int) -> int:
     return max(8, -(-G // 8) * 8)
 
 
+def _decode_scalars(pos: jax.Array, layer) -> jax.Array:
+    layer = jnp.asarray(0 if layer is None else layer)
+    return jnp.stack([pos.astype(jnp.int32),
+                      jnp.broadcast_to(layer, pos.shape).astype(jnp.int32)])
+
+
 @functools.partial(jax.jit, static_argnames=("block_s",))
 def flash_decode_attention(
     q: jax.Array,  # [B, KVH, G, hd] — raw (unscaled) queries
-    k_cache: jax.Array,  # [B, KVH, S, hd] fp or int8
-    v_cache: jax.Array,  # [B, KVH, S, hd]
+    k_cache: jax.Array,  # [[L,] B, KVH, S, hd] fp or int8
+    v_cache: jax.Array,
     pos: jax.Array,  # [B] int32
-    k_scale: jax.Array | None = None,  # [B, KVH, S] f32 (int8 caches)
+    k_scale: jax.Array | None = None,  # [[L,] B, KVH, S] f32 (int8 caches)
     v_scale: jax.Array | None = None,
     block_s: int | None = None,
+    layer: jax.Array | None = None,  # required for 5-D (stacked-layer) caches
 ) -> jax.Array:
     """Returns [B, KVH, G, hd] f32 attention output.
+
+    Layer-aware: pass the FULL stacked [L, ...] cache plus a ``layer`` scalar
+    (the scan-carry pattern) and the index maps select the layer — XLA never
+    materializes a per-layer slice (tools/ablate.py r2: slicing + scatter cost
+    ~1.4 ms/layer of the 7B decode step).
 
     block_s=None (default) reads each cell's full [S, hd] KV in ONE block —
     measured at ~536 GB/s (the HBM roofline) on the round-2 chip.  Smaller
     blocks enable causal block-skip (index map clamps at pos // TS, so
     fully-masked blocks are never DMA'd), but per-block overhead (~0.4-0.7 us)
     exceeds the saved DMA on this chip at S <= 2048 (tools/kernel_bench.py
-    --attn): size the cache to the workload instead, and reserve blocking for
-    very long caches / the paged path."""
+    --attn): size the cache to the workload instead."""
     B, KVH, G, hd = q.shape
-    S = k_cache.shape[2]
+    if k_cache.ndim == 4:  # single-layer convenience form
+        k_cache, v_cache = k_cache[None], v_cache[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = None
+    S = k_cache.shape[3]
     int8 = k_cache.dtype == jnp.int8
     G8 = _pad_g(G)
 
@@ -129,15 +152,17 @@ def flash_decode_attention(
     qspec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    def kv_index(b, k, j, pos_ref):
-        return (b, k, jnp.minimum(j, pos_ref[b] // TS), 0)
+    def kv_index(b, k, j, s_ref):
+        return (s_ref[1, 0], b, k, jnp.minimum(j, s_ref[0, b] // TS), 0)
 
-    kvspec = pl.BlockSpec((1, 1, TS, hd), kv_index, memory_space=pltpu.VMEM)
-    # scales as [B, KVH, 1, S]: unit sublane dim satisfies Mosaic's block
+    kvspec = pl.BlockSpec((1, 1, 1, TS, hd), kv_index,
+                          memory_space=pltpu.VMEM)
+    # scales as [L, B, KVH, 1, S]: unit sublane dim satisfies Mosaic's block
     # divisibility (1 == full dim) with TS on lanes
-    sspec = pl.BlockSpec((1, 1, 1, TS),
-                         lambda b, k, j, pos_ref: (
-                             b, k, 0, jnp.minimum(j, pos_ref[b] // TS)),
+    sspec = pl.BlockSpec((1, 1, 1, 1, TS),
+                         lambda b, k, j, s_ref: (
+                             s_ref[1, 0], b, k, 0,
+                             jnp.minimum(j, s_ref[0, b] // TS)),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -148,14 +173,15 @@ def flash_decode_attention(
     ]
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
+    scal = _decode_scalars(pos, layer)
 
     if int8:
         kernel = functools.partial(_flash_decode_kernel, TS=TS, n_sb=n_sb,
                                    int8=True)
 
-        def kernel_int8(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+        def kernel_int8(s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                         m_ref, l_ref, acc_ref):
-            kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                    ks_ref=ks_ref, vs_ref=vs_ref)
 
         out = pl.pallas_call(
@@ -170,12 +196,12 @@ def flash_decode_attention(
             out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
             compiler_params=params,
             interpret=_interpret(),
-        )(pos.astype(jnp.int32), qs, k_cache, v_cache,
-          k_scale[:, :, None, :], v_scale[:, :, None, :])
+        )(scal, qs, k_cache, v_cache,
+          k_scale[:, :, :, None, :], v_scale[:, :, :, None, :])
     else:
-        def kernel_fp(pos_ref, q_ref, k_ref, v_ref, o_ref,
+        def kernel_fp(s_ref, q_ref, k_ref, v_ref, o_ref,
                       m_ref, l_ref, acc_ref):
-            _flash_decode_kernel(pos_ref, q_ref, k_ref, v_ref, o_ref,
+            _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
                                  m_ref, l_ref, acc_ref, TS=TS, n_sb=n_sb,
                                  int8=False)
 
@@ -191,17 +217,17 @@ def flash_decode_attention(
             out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
             compiler_params=params,
             interpret=_interpret(),
-        )(pos.astype(jnp.int32), qs, k_cache, v_cache)
+        )(scal, qs, k_cache, v_cache)
 
     return out[:, :, :G, :]
 
 
 # ---------------------------------------------------------------------------
-# PAGED flash decode: KV lives in a shared page pool [P, KVH, ps, hd]; each
-# (batch, head) cell walks its slot's page list via the scalar-prefetched page
-# table.  Pages past ``pos`` clamp to the pos-page in the index map, so they
-# are never DMA'd — traffic scales with the slot's context, and pool memory
-# scales with tokens in flight (VERDICT r1 missing #1; generalizes the
+# PAGED flash decode: KV lives in a shared page pool [L, P, KVH, ps, hd];
+# each (batch, head) cell walks its slot's page list via the scalar-prefetched
+# page table.  Pages past ``pos`` clamp to the pos-page in the index map, so
+# they are never DMA'd — traffic scales with the slot's context, and pool
+# memory scales with tokens in flight (VERDICT r1 missing #1; generalizes the
 # reference's dense per-request cache, llama2.ts:160-161).
 # ---------------------------------------------------------------------------
 
@@ -209,16 +235,21 @@ def flash_decode_attention(
 @functools.partial(jax.jit, static_argnames=())
 def paged_flash_decode_attention(
     q: jax.Array,  # [B, KVH, G, hd] — raw (unscaled) queries
-    k_pool: jax.Array,  # [P, KVH, ps, hd] int8
-    v_pool: jax.Array,  # [P, KVH, ps, hd] int8
-    k_scale: jax.Array,  # [P, KVH, ps] f32
-    v_scale: jax.Array,  # [P, KVH, ps] f32
+    k_pool: jax.Array,  # [L, P, KVH, ps, hd] int8
+    v_pool: jax.Array,
+    k_scale: jax.Array,  # [L, P, KVH, ps] f32
+    v_scale: jax.Array,
     page_table: jax.Array,  # [B, MP] int32 — pool page id per context block
     pos: jax.Array,  # [B] int32
+    layer: jax.Array | None = None,
 ) -> jax.Array:
     """Returns [B, KVH, G, hd] f32; causal bound ``t <= pos`` per slot."""
     B, KVH, G, hd = q.shape
-    P, _, ps, _ = k_pool.shape
+    if k_pool.ndim == 4:
+        k_pool, v_pool = k_pool[None], v_pool[None]
+        k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = None
+    ps = k_pool.shape[3]
     MP = page_table.shape[1]
     G8 = _pad_g(G)
 
@@ -230,24 +261,26 @@ def paged_flash_decode_attention(
     qspec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    def kv_index(b, k, j, pos_ref, pt_ref):
-        blk = jnp.minimum(j, pos_ref[b] // ps)
-        return (pt_ref[b, blk], k, 0, 0)
+    def kv_index(b, k, j, pt_ref, s_ref):
+        blk = jnp.minimum(j, s_ref[0, b] // ps)
+        return (s_ref[1, 0], pt_ref[b, blk], k, 0, 0)
 
-    kvspec = pl.BlockSpec((1, 1, ps, hd), kv_index, memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, 1, ps, hd), kv_index,
+                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(
-        (1, 1, 1, ps),
-        lambda b, k, j, pos_ref, pt_ref: (
-            pt_ref[b, jnp.minimum(j, pos_ref[b] // ps)], k, 0, 0),
+        (1, 1, 1, 1, ps),
+        lambda b, k, j, pt_ref, s_ref: (
+            s_ref[1, 0], pt_ref[b, jnp.minimum(j, s_ref[0, b] // ps)],
+            k, 0, 0),
         memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
                          memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_flash_decode_kernel, TS=ps, n_sb=MP, int8=True)
 
-    def kernel_paged(pos_ref, pt_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+    def kernel_paged(pt_ref, s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                      o_ref, m_ref, l_ref, acc_ref):
-        kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+        kernel(s_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                ks_ref=ks_ref, vs_ref=vs_ref)
 
     out = pl.pallas_call(
@@ -267,8 +300,8 @@ def paged_flash_decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(pos.astype(jnp.int32), page_table.astype(jnp.int32), qs,
-      k_pool, v_pool, k_scale[:, :, None, :], v_scale[:, :, None, :])
+    )(page_table.astype(jnp.int32), _decode_scalars(pos, layer), qs,
+      k_pool, v_pool, k_scale[:, :, :, None, :], v_scale[:, :, :, None, :])
 
     return out[:, :, :G, :]
 
@@ -426,6 +459,208 @@ def flash_prefill_attention(
 
     out = out[:, :, :rows].reshape(B, KVH, T, G, hd).transpose(0, 2, 1, 3, 4)
     return out.reshape(B, T, NH * hd)
+
+
+# ---------------------------------------------------------------------------
+# In-place, layer-aware KV cache row writes.  Two XLA costs killed the round-1
+# decode step (tools/ablate.py: ~1.4 ms/layer of the 7B step): (a) advanced-
+# index scatter (cache.at[b, h, pos_b].set) lowers to a full-operand copy +
+# slow scatter, and (b) passing the cache through lax.scan xs/ys materializes
+# a per-layer slice in AND out.  The fix is the carry pattern: the FULL
+# [L, B, KVH, S, hd] arrays stay in the scan carry, and this kernel aliases
+# them (input_output_aliases), writing ONLY the [KVH, hd] row at
+# (layer, b, pos[b]) — bytes moved per layer: B x KVH x hd.
+# ---------------------------------------------------------------------------
+
+
+def _kv_write_kernel(row, srow, k_ref, v_ref, ik_ref, iv_ref, iks_ref,
+                     ivs_ref, ok_ref, ov_ref, oks_ref, ovs_ref, *, int8: bool):
+    """Blend one [KVH, hd] row into an RC-row aligned cache block.
+
+    Mosaic requires the block's second-to-last dim be a multiple of 8 (or
+    full), so a 1-row write block is not lowerable — instead the aliased
+    input block (RC rows) is read, the target row replaced via a lane/sublane
+    select, and the block written back.  ``row``/``srow`` are the in-block
+    row index for the kv block and the in-block lane index for the scale
+    block."""
+    k = k_ref[0]  # [KVH, hd] f32
+    v = v_ref[0]
+
+    def blend_kv(x, iref, oref, sref=None, s=None):
+        old = iref[0, 0]  # [KVH, RC, hd]
+        sel = jax.lax.broadcasted_iota(jnp.int32, old.shape, 1) == row
+        if oref.dtype == jnp.int8:
+            # int8 select: blend in f32 then round-trip exactly (values are
+            # already integral in [-127, 127])
+            new = jnp.where(sel, x[:, None, :], old.astype(jnp.float32))
+            oref[0, 0] = new.astype(jnp.int8)
+        else:
+            oref[0, 0] = jnp.where(sel, x[:, None, :].astype(old.dtype), old)
+        if sref is not None:
+            olds = sref[0, 0]  # [KVH, SC]
+            sels = jax.lax.broadcasted_iota(jnp.int32, olds.shape, 1) == srow
+            return jnp.where(sels, s[:, None], olds)
+        return None
+
+    if int8:
+        outs = []
+        for x, iref, oref, isref in ((k, ik_ref, ok_ref, iks_ref),
+                                     (v, iv_ref, ov_ref, ivs_ref)):
+            absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # [KVH, 1]
+            s = absmax / 127.0
+            inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+            q = jnp.clip(jnp.rint(x * inv), -127, 127)
+            outs.append(blend_kv(q, iref, oref, isref, s[:, 0]))
+        oks_ref[0, 0] = outs[0]
+        ovs_ref[0, 0] = outs[1]
+    else:
+        blend_kv(k, ik_ref, ok_ref)
+        blend_kv(v, iv_ref, ov_ref)
+
+
+def _row_chunks(S: int) -> tuple[int, int]:
+    """(kv row chunk, scale lane chunk) satisfying Mosaic block tiling."""
+    rc = 8 if S % 8 == 0 else S
+    sc = 128 if S % 128 == 0 else S
+    return rc, sc
+
+
+@functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7))
+def kv_cache_write_decode(
+    k: jax.Array,  # [B, KVH, hd] fp — this step's keys
+    v: jax.Array,
+    pos: jax.Array,  # [B] int32
+    layer: jax.Array,  # scalar int32
+    ck: jax.Array,  # [L, B, KVH, S, hd] int8 or fp (donated, updated in place)
+    cv: jax.Array,
+    cks: jax.Array | None = None,  # [L, B, KVH, S] f32 (int8 caches)
+    cvs: jax.Array | None = None,
+):
+    """Returns the cache arrays with row (layer, b, pos[b]) updated; int8
+    caches quantize in-kernel (absmax over hd)."""
+    B, KVH, hd = k.shape
+    S = ck.shape[3]
+    int8 = ck.dtype == jnp.int8
+    RC, SC = _row_chunks(S)
+    scal = jnp.stack([pos.astype(jnp.int32),
+                      jnp.broadcast_to(layer, pos.shape).astype(jnp.int32)])
+
+    kvspec = pl.BlockSpec(
+        (1, 1, KVH, RC, hd),
+        lambda b, s_ref: (s_ref[1, 0], b, 0, s_ref[0, b] // RC, 0),
+        memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(
+        (1, 1, KVH, SC),
+        lambda b, s_ref: (s_ref[1, 0], b, 0, s_ref[0, b] // SC),
+        memory_space=pltpu.VMEM)
+    inspec = pl.BlockSpec((1, KVH, hd), lambda b, *_: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    # aliased cache operands appear as BOTH inputs and outputs; their input
+    # refs carry the current RC-row block for the read-modify-write blend
+    if int8:
+        def kernel_i8(s_ref, k_ref, v_ref, ik, iv, iks, ivs,
+                      ok_ref, ov_ref, oks_ref, ovs_ref):
+            b = pl.program_id(0)
+            _kv_write_kernel(s_ref[0, b] % RC, s_ref[0, b] % SC,
+                             k_ref, v_ref, ik, iv, iks, ivs,
+                             ok_ref, ov_ref, oks_ref, ovs_ref, int8=True)
+
+        kernel = kernel_i8
+        in_specs = [inspec, inspec, kvspec, kvspec, sspec, sspec]
+        out_specs = (kvspec, kvspec, sspec, sspec)
+        out_shape = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                          for a in (ck, cv, cks, cvs))
+        aliases = {3: 0, 4: 1, 5: 2, 6: 3}
+        args = (scal, k.astype(jnp.float32), v.astype(jnp.float32),
+                ck, cv, cks, cvs)
+    else:
+        def kernel_fp(s_ref, k_ref, v_ref, ik, iv, ok_ref, ov_ref):
+            b = pl.program_id(0)
+            _kv_write_kernel(s_ref[0, b] % RC, s_ref[0, b] % SC,
+                             k_ref, v_ref, ik, iv, None, None,
+                             ok_ref, ov_ref, None, None, int8=False)
+
+        kernel = kernel_fp
+        in_specs = [inspec, inspec, kvspec, kvspec]
+        out_specs = (kvspec, kvspec)
+        out_shape = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                          for a in (ck, cv))
+        aliases = {3: 0, 4: 1}
+        args = (scal, k.astype(jnp.float32), v.astype(jnp.float32), ck, cv)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        # alias the caches through: only the touched blocks are written
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(*args)
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(5, 6, 7, 8))
+def kv_pool_write_decode(
+    k: jax.Array,  # [B, KVH, hd] fp
+    v: jax.Array,
+    pos: jax.Array,  # [B] int32
+    layer: jax.Array,  # scalar int32
+    page_table: jax.Array,  # [B, MP] int32
+    ck: jax.Array,  # [L, P, KVH, ps, hd] int8 pool (donated)
+    cv: jax.Array,
+    cks: jax.Array,  # [L, P, KVH, ps] f32
+    cvs: jax.Array,
+):
+    """Paged variant: row ``pos[b] % ps`` of page ``page_table[b, pos//ps]``
+    in layer ``layer``."""
+    B, KVH, hd = k.shape
+    ps = ck.shape[3]
+    RC, SC = _row_chunks(ps)
+
+    def kernel_i8(pt_ref, s_ref, k_ref, v_ref, ik, iv, iks, ivs,
+                  ok_ref, ov_ref, oks_ref, ovs_ref):
+        b = pl.program_id(0)
+        _kv_write_kernel((s_ref[0, b] % ps) % RC, (s_ref[0, b] % ps) % SC,
+                         k_ref, v_ref, ik, iv, iks, ivs,
+                         ok_ref, ov_ref, oks_ref, ovs_ref, int8=True)
+
+    scal = jnp.stack([pos.astype(jnp.int32),
+                      jnp.broadcast_to(layer, pos.shape).astype(jnp.int32)])
+
+    kvspec = pl.BlockSpec(
+        (1, 1, KVH, RC, hd),
+        lambda b, pt_ref, s_ref: (
+            s_ref[1, 0], pt_ref[b, s_ref[0, b] // ps], 0,
+            (s_ref[0, b] % ps) // RC, 0),
+        memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(
+        (1, 1, KVH, SC),
+        lambda b, pt_ref, s_ref: (
+            s_ref[1, 0], pt_ref[b, s_ref[0, b] // ps], 0,
+            (s_ref[0, b] % ps) // SC),
+        memory_space=pltpu.VMEM)
+    inspec = pl.BlockSpec((1, KVH, hd), lambda b, *_: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel_i8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[inspec, inspec, kvspec, kvspec, sspec, sspec],
+            out_specs=(kvspec, kvspec, sspec, sspec),
+        ),
+        out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
+                        for a in (ck, cv, cks, cvs)),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=_interpret(),
+    )(page_table.astype(jnp.int32), scal,
+      k.astype(jnp.float32), v.astype(jnp.float32), ck, cv, cks, cvs)
+    return out
 
 
 def quantize_kv(x: jax.Array):

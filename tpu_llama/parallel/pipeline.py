@@ -176,6 +176,11 @@ def _stage_prefill(
 
     x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
     if last:
+        # classifier only at each row's final valid position: [mb, V] leaves
+        # the device instead of [mb, T, V] (32k*T floats/microbatch, VERDICT
+        # r1 weak #5)
+        x = jnp.take_along_axis(
+            x, jnp.clip(lengths - 1, 0, T - 1)[:, None, None], axis=1)[:, 0]
         x = rmsnorm(x, params.rms_final)
         out = matmul_any(x, params.wcls, prec).astype(jnp.float32)
     else:
@@ -238,9 +243,6 @@ class PipelineRunner:
                     st["spec"].first, st["spec"].last, self.precision,
                     micro_offset=j * mb)
                 x = xd  # flows to next stage; dispatch is async
-            pending.append((x, ln))
-        outs = []
-        for x, ln in pending:
-            full = np.asarray(x)  # [mb, T, V] at last stage
-            outs.append(full[np.arange(len(full)), np.asarray(ln) - 1])
-        return np.concatenate(outs, axis=0)
+            pending.append(x)
+        # last stage already reduced to last-position logits [mb, V]
+        return np.concatenate([np.asarray(x) for x in pending], axis=0)
