@@ -340,3 +340,70 @@ def test_truncated_prompt_budget_emits_nothing(engine, tiny_tokenizer):
     b.run()
     assert req.out_tokens == []
     assert req.done
+
+
+def test_logprobs_greedy(engine, tiny_tokenizer):
+    """logprobs=N records chosen-token logprob + top-N alternatives; at
+    temp 0 the chosen token is the top-1 alternative."""
+    req = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=12,
+                  temperature=0.0, seed=1, logprobs=3)
+    b = ContinuousBatcher(engine)
+    b.submit(req)
+    b.run()
+    assert req.out_tokens
+    assert len(req.out_logprobs) == len(req.out_tokens)
+    assert len(req.out_top_logprobs) == len(req.out_tokens)
+    for tok, lp, alts in zip(req.out_tokens, req.out_logprobs,
+                             req.out_top_logprobs):
+        assert lp <= 0.0
+        assert len(alts) == 3
+        assert alts[0][0] == tok  # greedy pick == argmax == top-1
+        assert abs(alts[0][1] - lp) < 1e-9
+        assert alts[0][1] >= alts[1][1] >= alts[2][1]
+
+
+def test_logprobs_do_not_change_tokens(engine, tiny_tokenizer):
+    r_plain = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=12,
+                      temperature=0.8, topp=0.9, seed=5)
+    b = ContinuousBatcher(engine)
+    b.submit(r_plain)
+    b.run()
+    engine.reset()
+    r_lp = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=12,
+                   temperature=0.8, topp=0.9, seed=5, logprobs=1)
+    b2 = ContinuousBatcher(engine)
+    b2.submit(r_lp)
+    b2.run()
+    assert r_lp.out_tokens == r_plain.out_tokens
+
+
+def test_priority_scheduling_with_aging(tiny_weights, tiny_tokenizer):
+    """With one free slot, a high-priority late arrival admits before earlier
+    low-priority requests; FIFO order is preserved within a priority."""
+    from tpu_llama.models import params_from_raw
+
+    e = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+               max_batch=1, precision="highest")
+    b = ContinuousBatcher(e, policy="priority")
+    lo1 = Request(prompt_tokens=tiny_tokenizer.encode("On"), steps=8,
+                  temperature=0.0, seed=1, priority=5)
+    lo2 = Request(prompt_tokens=tiny_tokenizer.encode("ce"), steps=8,
+                  temperature=0.0, seed=1, priority=5)
+    hi = Request(prompt_tokens=tiny_tokenizer.encode("Once"), steps=8,
+                 temperature=0.0, seed=1, priority=0)
+    b.submit(lo1)
+    b.submit(lo2)
+    b.submit(hi)
+    b.run()
+    # all finished; the high-priority one finished before lo2 despite
+    # arriving last (lo1 may already have been admitted)
+    assert hi.finish_time <= lo2.finish_time
+    assert all(r.done for r in (lo1, lo2, hi))
+
+
+def test_priority_policy_rejects_unknown():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ContinuousBatcher.__new__(ContinuousBatcher).__init__(
+            engine=None, policy="wrong")

@@ -146,3 +146,17 @@ def test_streaming_generate(server):
                 pieces.append(event["piece"])
     assert done is not None and done["n_tokens"] == plain["n_tokens"]
     assert "".join(pieces) == plain["text"]
+
+
+def test_generate_logprobs(server):
+    status, body = _post(server.port, "/generate", {
+        "prompt": "Once", "steps": 10, "temperature": 0.0, "seed": 1,
+        "logprobs": 2,
+    })
+    assert status == 200
+    assert len(body["logprobs"]) == body["n_tokens"] > 0
+    assert len(body["top_logprobs"]) == body["n_tokens"]
+    for tok, lp, alts in zip(body["tokens"], body["logprobs"],
+                             body["top_logprobs"]):
+        assert lp <= 0.0 and len(alts) == 2
+        assert alts[0]["token"] == tok  # greedy == top-1

@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--kv", default="int8")
     ap.add_argument("--quant", default=None, choices=[None, "int8", "w8a8"])
     ap.add_argument("--temperature", type=float, default=0.8)
+    ap.add_argument("--occupancy-sweep", action="store_true",
+                    help="measure at slots/2, slots, and 3x-oversubscribed; "
+                         "append results to BENCH_serving.jsonl")
     args = ap.parse_args()
 
     import jax
@@ -73,17 +76,36 @@ def main() -> None:
 
     _, warm = wave(min(args.slots, args.requests))
     print(f"# warmup (compiles): {warm:.1f}s", flush=True)
-    reqs, wall = wave(args.requests)
-    rep = summarize(reqs)
-    print(json.dumps({
-        "config": args.config, "slots": args.slots, "requests": args.requests,
-        "chunk": args.chunk, "kv": args.kv, "quant": args.quant,
-        "wall_s": round(wall, 2),
-        "tokens_per_sec": round(rep.tokens_per_sec, 1),
-        "per_request_tps_p50": round(rep.per_request_tps_p50, 2),
-        "ttft_p50_s": round(rep.ttft_p50_s, 3),
-        "ttft_p95_s": round(rep.ttft_p95_s, 3),
-    }))
+
+    def measure(n_requests: int) -> dict:
+        batcher.finished.clear()
+        reqs, wall = wave(n_requests)
+        rep = summarize(reqs)
+        return {
+            "config": args.config, "slots": args.slots,
+            "requests": n_requests,
+            "occupancy": round(min(1.0, n_requests / args.slots), 2),
+            "chunk": args.chunk, "kv": args.kv, "quant": args.quant,
+            "wall_s": round(wall, 2),
+            "tokens_per_sec": round(rep.tokens_per_sec, 1),
+            "per_request_tps_p50": round(rep.per_request_tps_p50, 2),
+            "ttft_p50_s": round(rep.ttft_p50_s, 3),
+            "ttft_p95_s": round(rep.ttft_p95_s, 3),
+        }
+
+    if args.occupancy_sweep:
+        # BASELINE gate: record >=2 occupancy levels (NEXT.md r1 #10) —
+        # half-full, full, and 3x oversubscribed (queueing visible in TTFT)
+        out = []
+        for n in (max(1, args.slots // 2), args.slots, args.slots * 3):
+            rec = measure(n)
+            print(json.dumps(rec), flush=True)
+            out.append(rec)
+        with open("BENCH_serving.jsonl", "a") as f:
+            for rec in out:
+                f.write(json.dumps(rec) + "\n")
+    else:
+        print(json.dumps(measure(args.requests)))
 
 
 if __name__ == "__main__":

@@ -52,10 +52,19 @@ class Request:
     # never stops on EOS=2; serving usually wants to): e.g. stop_tokens=(2,).
     # The stop token itself is not emitted.
     stop_tokens: tuple = ()
+    # >0: record the chosen token's logprob and the top-N alternatives per
+    # emitted token (out_logprobs / out_top_logprobs).  Forces the host-logits
+    # decode path (the all-device fast path returns only token ids).
+    logprobs: int = 0
+    # scheduling priority (lower = more urgent) for policy="priority"
+    priority: int = 0
 
     # filled by the scheduler
     id: int = -1
     out_tokens: list[int] = dataclasses.field(default_factory=list)
+    out_logprobs: list[float] = dataclasses.field(default_factory=list)
+    # per emitted token: [(token_id, logprob), ...] best-first
+    out_top_logprobs: list[list] = dataclasses.field(default_factory=list)
     submit_time: float = 0.0
     first_token_time: float = 0.0
     finish_time: float = 0.0
@@ -92,9 +101,32 @@ def _select_token(logits: np.ndarray, req: Request, rng: Xorshift64Star) -> int:
     return sample_topp(probs, req.topp, rng)
 
 
+def _record_logprobs(logits: np.ndarray, token: int, req: Request) -> None:
+    """Append the chosen token's logprob (+ top-N alternatives) from the raw
+    (untempered) logits — the standard serving definition."""
+    x = logits.astype(np.float64)
+    m = x.max()
+    lse = m + np.log(np.exp(x - m).sum())
+    logp = x - lse
+    req.out_logprobs.append(float(logp[token]))
+    n = req.logprobs
+    top = np.argpartition(-logp, min(n, len(logp) - 1))[:n]
+    top = top[np.argsort(-logp[top])]
+    req.out_top_logprobs.append([(int(t), float(logp[t])) for t in top])
+
+
 class ContinuousBatcher:
     def __init__(self, engine: Engine, seq_len: int | None = None,
-                 max_chunk: int = 1, prefix_cache_size: int = 0):
+                 max_chunk: int = 1, prefix_cache_size: int = 0,
+                 policy: str = "fifo", aging_s: float = 10.0):
+        if policy not in ("fifo", "priority"):
+            raise ValueError(f"unknown scheduling policy {policy!r}")
+        # "fifo": reference-faithful arrival order.  "priority": lower
+        # Request.priority admits first, with aging (effective priority drops
+        # by 1 per ``aging_s`` seconds waited) so low-priority work cannot
+        # starve.
+        self.policy = policy
+        self.aging_s = aging_s
         self.engine = engine
         self.seq_len = seq_len or engine.seq_len
         self.queue: deque[Request] = deque()
@@ -147,14 +179,17 @@ class ContinuousBatcher:
             return
         batch: list[tuple[int, Request]] = []
         while free and self.queue:
+            idx = self._next_request_index()
             # backpressure (paged KV): a request reserves pages for its whole
             # step budget at admission — if the pool can't hold it, it waits
-            steps = self.queue[0].steps
+            steps = self.queue[idx].steps
             if steps <= 0 or steps > self.seq_len:
                 steps = self.seq_len
             if not self.engine.can_admit(steps):
                 break
-            batch.append((free.pop(0), self.queue.popleft()))
+            req = self.queue[idx]
+            del self.queue[idx]
+            batch.append((free.pop(0), req))
         if not batch:
             return
 
@@ -225,7 +260,18 @@ class ContinuousBatcher:
                 self._retire(slot)
                 continue
             nxt = _select_token(logits, req, active.rng)
-            self._emit(slot, nxt)
+            self._emit(slot, nxt, logits)
+
+    def _next_request_index(self) -> int:
+        if self.policy == "fifo":
+            return 0
+        now = time.time()
+
+        def eff(r: Request) -> float:
+            return r.priority - (now - r.submit_time) / self.aging_s
+
+        return min(range(len(self.queue)),
+                   key=lambda i: (eff(self.queue[i]), i))
 
     # ---- prefix cache helpers ----
     def _best_prefix(self, seq: tuple) -> tuple | None:
@@ -262,7 +308,8 @@ class ContinuousBatcher:
             tokens[i] = a.last_token
             pos[i] = a.pos + 1
 
-        if all(self.slots[i].req.device_sampling for i in active_slots):
+        if all(self.slots[i].req.device_sampling
+               and self.slots[i].req.logprobs == 0 for i in active_slots):
             # perf path: decode + sample on device, only tokens come back
             import jax
             import jax.numpy as jnp
@@ -339,9 +386,9 @@ class ContinuousBatcher:
             nxt = dev_tok.get(i)
             if nxt is None:
                 nxt = _select_token(logits[i], a.req, a.rng)
-            self._emit(i, nxt)
+            self._emit(i, nxt, logits[i])
 
-    def _emit(self, slot: int, token: int) -> None:
+    def _emit(self, slot: int, token: int, logits=None) -> None:
         a = self.slots[slot]
         if token == BOS or token in a.req.stop_tokens:  # llama2.ts:499 (+opt)
             self._retire(slot)
@@ -349,6 +396,8 @@ class ContinuousBatcher:
         if not a.req.first_token_time:
             a.req.first_token_time = time.time()
         a.req.out_tokens.append(token)
+        if a.req.logprobs > 0 and logits is not None:
+            _record_logprobs(np.asarray(logits), token, a.req)
         if a.req.on_token is not None:
             a.req.on_token(token)
         a.last_token = token

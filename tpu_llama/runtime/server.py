@@ -6,8 +6,11 @@ scheduler thread that owns the engine (JAX dispatch stays single-threaded;
 HTTP threads only enqueue and wait).
 
     POST /generate  {"prompt": str, "steps": int, "temperature": float,
-                     "topp": float, "seed": int}
-        -> {"text": str, "tokens": [int], "ttft_s": float, "n_tokens": int}
+                     "topp": float, "seed": int, "topk": int,
+                     "logprobs": int, "priority": int, "stream": bool,
+                     "device_sampling": bool, "stop_on_eos": bool}
+        -> {"text": str, "tokens": [int], "ttft_s": float, "n_tokens": int,
+            "logprobs": [float], "top_logprobs": [[{token, logprob}]]}
     GET  /healthz   -> {"ok": true, "active": int, "queued": int}
     GET  /metrics   -> ServingReport JSON over all finished requests
 """
@@ -96,7 +99,7 @@ class LlamaServer:
 
     # ---- request handling ----
     def _submit(self, prompt, steps, temperature, topp, seed, device_sampling,
-                stop_on_eos, on_token=None, topk=0):
+                stop_on_eos, on_token=None, topk=0, logprobs=0, priority=0):
         from tpu_llama.io.tokenizer import EOS
 
         ptoks = self.tokenizer.encode(prompt) if prompt else []
@@ -104,7 +107,8 @@ class LlamaServer:
                       temperature=temperature, topp=topp, seed=seed,
                       device_sampling=device_sampling,
                       stop_tokens=(EOS,) if stop_on_eos else (),
-                      on_token=on_token, topk=topk)
+                      on_token=on_token, topk=topk, logprobs=logprobs,
+                      priority=priority)
         ev = threading.Event()
         self._submit_q.put((req, ev))
         return ptoks, req, ev
@@ -112,19 +116,26 @@ class LlamaServer:
     def generate(self, prompt: str, steps: int = 256, temperature: float = 1.0,
                  topp: float = 1.0, seed: int = 1, timeout: float = 600.0,
                  device_sampling: bool = False, stop_on_eos: bool = False,
-                 topk: int = 0):
+                 topk: int = 0, logprobs: int = 0, priority: int = 0):
         ptoks, req, ev = self._submit(prompt, steps, temperature, topp, seed,
-                                      device_sampling, stop_on_eos, topk=topk)
+                                      device_sampling, stop_on_eos, topk=topk,
+                                      logprobs=logprobs, priority=priority)
         if not ev.wait(timeout):
             raise TimeoutError("generation timed out")
         prev = ptoks[-1] if ptoks else BOS
         text = self.tokenizer.decode(req.out_tokens, prev_token=prev)
-        return {
+        out = {
             "text": text,
             "tokens": req.out_tokens,
             "n_tokens": len(req.out_tokens),
             "ttft_s": req.ttft,
         }
+        if logprobs > 0:
+            out["logprobs"] = req.out_logprobs
+            out["top_logprobs"] = [
+                [{"token": t, "logprob": lp} for t, lp in alts]
+                for alts in req.out_top_logprobs]
+        return out
 
     def generate_stream(self, prompt: str, steps: int = 256,
                         temperature: float = 1.0, topp: float = 1.0,
@@ -194,6 +205,9 @@ class LlamaServer:
                         stop_on_eos=bool(body.get("stop_on_eos", False)),
                         topk=int(body.get("topk", 0)),
                     )
+                    if not body.get("stream"):
+                        kwargs["logprobs"] = int(body.get("logprobs", 0))
+                        kwargs["priority"] = int(body.get("priority", 0))
                     if body.get("stream"):
                         # newline-delimited JSON events; connection close ends
                         # the stream (HTTP/1.0 framing)
