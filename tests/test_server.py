@@ -160,3 +160,28 @@ def test_generate_logprobs(server):
                              body["top_logprobs"]):
         assert lp <= 0.0 and len(alts) == 2
         assert alts[0]["token"] == tok  # greedy == top-1
+
+
+def test_warmup_compiles_buckets(tiny_weights, tiny_tokenizer):
+    """Server warmup pre-runs every prompt bucket + decode programs and
+    leaves the engine clean for real traffic."""
+    engine = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                    max_batch=2, precision="highest")
+    buckets = engine.warmup(chunk=2)
+    assert buckets and buckets[-1] == engine.seq_len
+    assert all(b2 > b1 for b1, b2 in zip(buckets, buckets[1:]))
+    srv = LlamaServer(engine, tiny_tokenizer, port=0, warmup=True).start()
+    try:
+        status, body = _post(srv.port, "/generate", {
+            "prompt": "Once", "steps": 8, "temperature": 0.0, "seed": 1})
+        assert status == 200 and body["n_tokens"] >= 0
+    finally:
+        srv.stop()
+
+
+def test_warmup_paged_engine(tiny_weights):
+    engine = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                    max_batch=2, precision="highest", kv_layout="paged",
+                    page_size=8)
+    engine.warmup(sample=False)
+    assert engine.pool.free_pages == engine.pool.num_pages - 1

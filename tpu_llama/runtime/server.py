@@ -33,9 +33,14 @@ class LlamaServer:
                  host: str = "127.0.0.1", port: int = 8000,
                  request_log: str | None = None,
                  watchdog_s: float | None = None,
-                 max_chunk: int = 1):
+                 max_chunk: int = 1,
+                 warmup: bool = False, warmup_max_bucket: int | None = None):
         from tpu_llama.runtime.health import RequestLog, Watchdog
 
+        if warmup:
+            # compile every prompt bucket + decode programs BEFORE accepting
+            # traffic (first-request compiles run 30-120 s on this stack)
+            engine.warmup(max_bucket=warmup_max_bucket, chunk=max_chunk)
         self.engine = engine
         self.tokenizer = tokenizer
         self.batcher = ContinuousBatcher(engine, max_chunk=max_chunk)
