@@ -178,6 +178,87 @@ def run_attention(B: int, KVH: int, S: int, hd: int, pos_fill: int,
     }), flush=True)
 
 
+def run_write_alias(L: int, B: int, KVH: int, S: int, hd: int,
+                    iters: int, reps: int, mode: str):
+    """Does the aliased in-place KV write stay in place inside a scan?
+
+    Scans ``kv_cache_write_decode`` (mode='write'), the layer-aware flash
+    read (mode='read'), or both (mode='rw') over layers.  If aliasing works,
+    per-iter cost is ~DMA of a few KB (write) / one S-row stream (read); if
+    the carry is copied, per-iter cost scales with TOTAL cache size.
+    """
+    from tpu_llama.ops.attention import (
+        flash_decode_attention, kv_cache_write_decode)
+
+    key = jax.random.PRNGKey(0)
+    k = jax.random.normal(key, (B, KVH, hd), jnp.float32)
+    pos = jnp.full((B,), S // 2, jnp.int32)
+    kv_dtype = jnp.bfloat16 if mode == "write_kv_only" else jnp.int8
+    ck = jnp.zeros((L, B, KVH, S, hd), kv_dtype)
+    cv = jnp.zeros((L, B, KVH, S, hd), kv_dtype)
+    cks = jnp.zeros((L, B, KVH, S), jnp.float32)
+    cvs = jnp.zeros((L, B, KVH, S), jnp.float32)
+    q = jax.random.normal(key, (B, KVH, 1, hd), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def loop(arrs, k, q):
+        def body(carry, l):
+            arrs, acc = carry
+            if mode in ("write", "rw"):
+                arrs = kv_cache_write_decode(k + acc * 1e-30, k, pos,
+                                             l % L, *arrs)
+            elif mode == "write_kv_only":
+                # fp-path kernel updates only k/v (scales bypass the call) —
+                # isolates which aliased operands force copies
+                ck2, cv2 = kv_cache_write_decode(k + acc * 1e-30, k, pos,
+                                                 l % L, arrs[0], arrs[1])
+                arrs = (ck2, cv2, arrs[2], arrs[3])
+            elif mode == "dus":
+                # B-unrolled dynamic_update_slice writes (XLA in-place path)
+                ck, cv, cks, cvs = arrs
+                kq = (k + acc * 1e-30).astype(jnp.int8)
+                sc = jnp.max(jnp.abs(k), axis=-1) / 127.0  # [B, KVH]
+                for b in range(B):
+                    ix = (l % L, b, 0, pos[b], 0)
+                    ck = jax.lax.dynamic_update_slice(
+                        ck, kq[b][None, None, :, None, :], ix)
+                    cv = jax.lax.dynamic_update_slice(
+                        cv, kq[b][None, None, :, None, :], ix)
+                    cks = jax.lax.dynamic_update_slice(
+                        cks, sc[b][None, None, :, None], ix[:4])
+                    cvs = jax.lax.dynamic_update_slice(
+                        cvs, sc[b][None, None, :, None], ix[:4])
+                arrs = (ck, cv, cks, cvs)
+            if mode in ("read", "rw"):
+                att = flash_decode_attention(q, arrs[0], arrs[1], pos,
+                                             arrs[2], arrs[3], layer=l % L)
+                acc = acc + jnp.sum(att) * 1e-30
+            elif mode == "read_static":
+                # python-unrolled layers: STATIC index maps per call
+                for lc in range(L):
+                    att = flash_decode_attention(q, arrs[0], arrs[1], pos,
+                                                 arrs[2], arrs[3], layer=lc)
+                    acc = acc + jnp.sum(att) * 1e-30
+            return (arrs, acc), None
+        (arrs, acc), _ = jax.lax.scan(
+            body, (arrs, jnp.float32(0)), jnp.arange(iters, dtype=jnp.int32))
+        return arrs, acc
+
+    arrs, acc = loop((ck, cv, cks, cvs), k, q)
+    np.asarray(acc)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        arrs, acc = loop(arrs, k, q)
+        np.asarray(acc)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times)) / iters
+    print(json.dumps({"case": f"kv_{mode}_alias", "L": L, "S": S, "B": B,
+                      "us_per_iter": round(med * 1e6, 1),
+                      "spread": round((max(times) - min(times))
+                                      / (med * iters), 3)}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cases", default="xla_bf16,w8a8,q8")
@@ -189,10 +270,22 @@ def main():
     ap.add_argument("--attn", default="", help="comma list of pos:block_s "
                     "pairs, e.g. 512:256,512:2048 (7B-shape flash decode)")
     ap.add_argument("--attn-S", type=int, default=2048)
+    ap.add_argument("--alias", default="", help="comma list of write|read|rw")
+    ap.add_argument("--alias-L", type=int, default=32)
     args = ap.parse_args()
 
     if args.probe:
         bandwidth_probe()
+    if args.alias:
+        for mode in args.alias.split(","):
+            try:
+                run_write_alias(args.alias_L, args.batch, 32, args.attn_S,
+                                128, max(32, args.iters), args.reps, mode)
+            except Exception as e:
+                print(json.dumps({"case": f"alias_{mode}",
+                                  "error": f"{type(e).__name__}: {e}"[:300]}),
+                      flush=True)
+        return
     if args.attn:
         for spec in args.attn.split(","):
             posf, bs = map(int, spec.split(":"))

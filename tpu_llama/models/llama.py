@@ -556,6 +556,45 @@ def _attention_prefill(
 # ---------------------------------------------------------------------------
 
 
+_DUS_MAX_BATCH = 16  # unrolled-writes HLO size guard: B x 4 dus ops / layer
+
+
+def _write_decode_dus(arrs, k, v, pos, layer, page_table=None):
+    """B-unrolled dynamic_update_slice KV row writes on the carried stacked
+    cache — XLA's reliably-in-place pattern (~us/op) vs the Pallas row-write
+    kernel's ~450 us fixed per-call cost on this chip (tools/kernel_bench.py
+    --alias).  arrs: (k, v[, ks, vs]) stacked [L, B|P, KVH, S|ps, hd]
+    arrays; page_table routes writes through pages when given."""
+    B = k.shape[0]
+    int8 = arrs[0].dtype == jnp.int8
+    ps = arrs[0].shape[3]
+    if int8:
+        ck, cv, cks, cvs = arrs
+        kq, ks = quantize_kv(k)  # [B, KVH, hd] int8, [B, KVH]
+        vq, vs = quantize_kv(v)
+    else:
+        ck, cv = arrs
+        kq, vq = k.astype(ck.dtype), v.astype(ck.dtype)
+    for b in range(B):
+        if page_table is None:
+            row_ix, slot_ix = pos[b], b
+        else:
+            row_ix = pos[b] % ps
+            slot_ix = page_table[b, pos[b] // ps]
+        ix5 = (layer, slot_ix, 0, row_ix, 0)
+        ck = jax.lax.dynamic_update_slice(ck, kq[b][None, None, :, None, :],
+                                          ix5)
+        cv = jax.lax.dynamic_update_slice(cv, vq[b][None, None, :, None, :],
+                                          ix5)
+        if int8:
+            ix4 = ix5[:4]
+            cks = jax.lax.dynamic_update_slice(
+                cks, ks[b][None, None, :, None], ix4)
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vs[b][None, None, :, None], ix4)
+    return (ck, cv, cks, cvs) if int8 else (ck, cv)
+
+
 def _write_decode_paged(kv_l, page_table, k, v, pos, config: ModelConfig):
     """Write one decoded token's K/V into the per-layer page pool.
 
@@ -672,16 +711,12 @@ def forward_decode(
     L = params.layers.rms_att.shape[0]
     layer_ix = jnp.arange(L, dtype=jnp.int32)
 
-    if paged or attn == "flash":
-        # CARRY pattern (the perf path): the full stacked cache arrays ride
-        # the lax.scan carry, and the layer-aware Pallas kernels read/write
-        # rows in place via index maps.  Passing the cache through scan xs/ys
-        # instead costs a full per-layer slice copy in AND out, and the XLA
-        # scatter write another operand copy — together ~1.4 ms/layer of the
-        # 7B decode step (tools/ablate.py, round 2).
+    if paged:
+        # CARRY pattern: the full pool arrays ride the lax.scan carry and the
+        # layer-aware Pallas kernels read/write rows in place via page-table
+        # index maps.  (Passing the cache through scan xs/ys costs a full
+        # per-layer slice copy in AND out — tools/ablate.py, round 2.)
         from tpu_llama.ops.attention import (
-            flash_decode_attention,
-            kv_cache_write_decode,
             kv_pool_write_decode,
             paged_flash_decode_attention,
         )
@@ -692,33 +727,68 @@ def forward_decode(
             q, k, v = project(x, lp)
             qg = q.reshape(B, config.n_kv_heads, config.group_size,
                            config.head_dim)
-            if paged:
-                arrs = kv_pool_write_decode(k, v, pos, l, cache.page_table,
-                                            *arrs)
-                att = paged_flash_decode_attention(
-                    qg, arrs[0], arrs[1], arrs[2], arrs[3],
-                    cache.page_table, pos, layer=l)
-            elif quant:
-                arrs = kv_cache_write_decode(k, v, pos, l, *arrs)
-                att = flash_decode_attention(qg, arrs[0], arrs[1], pos,
-                                             arrs[2], arrs[3], layer=l)
-            else:
-                arrs = kv_cache_write_decode(k, v, pos, l, *arrs)
-                att = flash_decode_attention(qg, arrs[0], arrs[1], pos,
-                                             layer=l)
+            # writes: unrolled dus at small B (cheap, in-place), Pallas
+            # row-write kernel at large B (bounded program size)
+            arrs = (_write_decode_dus(arrs, k, v, pos, l,
+                                      cache.page_table)
+                    if B <= _DUS_MAX_BATCH else
+                    kv_pool_write_decode(k, v, pos, l, cache.page_table,
+                                         *arrs))
+            att = paged_flash_decode_attention(
+                qg, arrs[0], arrs[1], arrs[2], arrs[3],
+                cache.page_table, pos, layer=l)
             att = att.reshape(B, config.dim).astype(x.dtype)
             return (ffn_out(x, att, lp), arrs), None
 
-        arrs0 = ((cache.k, cache.v, cache.ks, cache.vs)
-                 if (paged or quant) else (cache.k, cache.v))
+        arrs0 = (cache.k, cache.v, cache.ks, cache.vs)
         (x, arrs), _ = jax.lax.scan(layer_step, (x, arrs0),
                                     (params.layers, layer_ix), unroll=unroll)
-        if paged:
-            new_cache = PagedKVCache(*arrs, page_table=cache.page_table)
-        elif quant:
-            new_cache = QuantKVCache(*arrs)
+        new_cache = PagedKVCache(*arrs, page_table=cache.page_table)
+    elif attn == "flash":
+        # DEFERRED FLUSH (the dense perf path): the cache is read-only during
+        # the layer scan — each layer's fresh K/V row joins the softmax as an
+        # explicit extra column (flash_decode_attention_fresh) and the rows
+        # collect as scan ys.  ONE flush call then blends every layer's row
+        # into the cache: per-layer aliased writes cost ~0.45 ms each in
+        # dynamic-index-map overhead on this chip; the flush amortizes it
+        # across all layers (tools/kernel_bench.py --alias).
+        from tpu_llama.ops.attention import (
+            flash_decode_attention_fresh,
+            kv_cache_flush_rows,
+        )
+
+        def layer_step(x, scanned):
+            lp, l = scanned
+            q, k, v = project(x, lp)
+            qg = q.reshape(B, config.n_kv_heads, config.group_size,
+                           config.head_dim)
+            if quant:
+                kq, ks_ = quantize_kv(k)
+                vq, vs_ = quantize_kv(v)
+                att = flash_decode_attention_fresh(
+                    qg, cache.k, cache.v, pos, kq, vq,
+                    cache.ks, cache.vs, ks_, vs_, layer=l)
+                rows = (kq, ks_, vq, vs_)
+            else:
+                kc = k.astype(cache.k.dtype)
+                vc = v.astype(cache.v.dtype)
+                att = flash_decode_attention_fresh(
+                    qg, cache.k, cache.v, pos, kc, vc, layer=l)
+                rows = (kc, vc)
+            att = att.reshape(B, config.dim).astype(x.dtype)
+            return ffn_out(x, att, lp), rows
+
+        x, rows = jax.lax.scan(layer_step, x, (params.layers, layer_ix),
+                               unroll=unroll)
+        if quant:
+            kq, ks_, vq, vs_ = rows  # each stacked [L, B, ...]
+            ck, cv, cks, cvs = kv_cache_flush_rows(
+                kq, vq, pos, cache.k, cache.v, ks_, vs_, cache.ks, cache.vs)
+            new_cache = QuantKVCache(ck, cv, cks, cvs)
         else:
-            new_cache = KVCache(*arrs)
+            ck, cv = kv_cache_flush_rows(rows[0], rows[1], pos,
+                                         cache.k, cache.v)
+            new_cache = KVCache(ck, cv)
     else:
         # XLA einsum fallback (CPU tests, debugging): per-layer slices via
         # scan xs/ys — numerically the reference path, not the fast one.

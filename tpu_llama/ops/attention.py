@@ -40,9 +40,10 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
     """Shared body for dense and paged flash decode.
 
     s_ref: [2, B] scalars — row 0 per-slot pos, row 1 layer index (used only
-    by the index maps).  k/v blocks are 5-D (1, 1, 1, TS, hd): the leading
-    axes are (layer, batch-or-page, head) selected by the index map, so the
-    kernel never sees (or copies) more than one layer's rows.
+    by the index maps).  The stacked [L, ...] cache is passed MERGED to 4-D
+    ([L*B or L*P, KVH, S, hd], a free layout-preserving reshape) and the
+    index maps select layer*B+b — 4-D blocks measured ~10x cheaper per grid
+    step than 5-D ones on this chip (tools/kernel_bench.py --alias).
     """
     b = pl.program_id(0)
     j = pl.program_id(2)
@@ -60,7 +61,7 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(j * TS <= pos)
     def _():
         q = q_ref[0, 0]  # [G8, hd] (pre-scaled by 1/sqrt(hd))
-        k = k_ref[0, 0, 0]  # [TS, hd]
+        k = k_ref[0, 0]  # [TS, hd]
         s = jax.lax.dot_general(
             q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
             k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
@@ -68,7 +69,7 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
             preferred_element_type=jnp.float32,
         )  # [G8, TS]
         if int8:
-            s = s * ks_ref[0, 0, 0]  # [1, TS] per-token K scales
+            s = s * ks_ref[0, 0]  # [1, TS] per-token K scales
 
         kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * TS
         mask = kpos <= pos
@@ -79,12 +80,12 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
         if int8:
-            p = p * vs_ref[0, 0, 0]  # [1, TS] per-token V scales -> probs
+            p = p * vs_ref[0, 0]  # [1, TS] per-token V scales -> probs
             p = p.astype(jnp.bfloat16)
-            v = v_ref[0, 0, 0].astype(jnp.bfloat16)
+            v = v_ref[0, 0].astype(jnp.bfloat16)
         else:
             p = p.astype(jnp.float32)
-            v = v_ref[0, 0, 0].astype(jnp.float32)
+            v = v_ref[0, 0].astype(jnp.float32)
         acc_ref[:] = acc_ref[:] * corr + jnp.dot(
             p, v, preferred_element_type=jnp.float32)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -93,6 +94,97 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
     def _():
         o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(
             o_ref.dtype)
+
+
+def _flash_decode_fresh_kernel(s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref,
+                               o_ref, *, int8: bool, ks_ref=None, vs_ref=None,
+                               nks_ref=None, nvs_ref=None):
+    """Single-pass decode attention where the CURRENT token's K/V row arrives
+    as explicit inputs instead of being pre-written to the cache.
+
+    This enables the deferred-flush write scheme: per-layer cache writes
+    (each a ~0.45 ms dynamic-index-map Pallas call on this chip) are replaced
+    by one flush for all layers per step.  The cache is masked STRICTLY below
+    ``pos`` (row ``pos`` may hold stale data); the fresh row joins the
+    softmax as one extra column.  Equals the write-then-attend kernel
+    bit-for-bit because the fresh row arrives already quantized.
+    """
+    b = pl.program_id(0)
+    pos = s_ref[0, b]
+
+    q = q_ref[0, 0]  # [G8, hd] (pre-scaled by 1/sqrt(hd))
+    k = k_ref[0, 0]  # [S, hd]
+    qq = q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32)
+    s = jax.lax.dot_general(
+        qq, k.astype(qq.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [G8, S]
+    # fresh-row score on the VPU (an N=1 MXU dot miscompiles in Mosaic);
+    # f32 accumulate — at least as accurate as the cache path's bf16 dot
+    s_new = jnp.sum(
+        q.astype(jnp.float32) * nk_ref[0, 0].astype(jnp.float32),
+        axis=-1, keepdims=True)  # [G8, 1]
+    if int8:
+        s = s * ks_ref[0, 0]
+        s_new = s_new * nks_ref[0, 0]
+
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(s_idx < pos, s, _NEG_INF)  # STRICT: row pos is stale
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+    e = jnp.exp(s - m)
+    e_new = jnp.exp(s_new - m)  # [G8, 1]
+    l = jnp.sum(e, axis=-1, keepdims=True) + e_new
+    p = e / l
+    p_new = e_new / l
+    if int8:
+        p = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
+        p_new = p_new * nvs_ref[0, 0]
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+        nv = nv_ref[0, 0].astype(jnp.float32)
+    else:
+        p = p.astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        nv = nv_ref[0, 0].astype(jnp.float32)
+    o_ref[0, 0] = (
+        jnp.dot(p, v, preferred_element_type=jnp.float32)
+        + p_new * nv
+    ).astype(o_ref.dtype)
+
+
+def _flash_decode_simple_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *,
+                                int8: bool, ks_ref=None, vs_ref=None):
+    """Single-pass variant: one (batch, head) cell reads its full [S, hd]
+    block and softmaxes in one shot — no scratch, no S-grid dimension, no
+    predication.  The online-softmax/blocked structure costs ~0.3-0.5 ms
+    per call in fixed overhead on this chip (tools/kernel_bench.py --alias);
+    this form measured ~0.1 ms over the pure DMA time in round 1."""
+    b = pl.program_id(0)
+    pos = s_ref[0, b]
+
+    q = q_ref[0, 0]  # [G8, hd] (pre-scaled by 1/sqrt(hd))
+    k = k_ref[0, 0]  # [S, hd]
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
+        k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G8, S]
+    if int8:
+        s = s * ks_ref[0, 0]  # [1, S] per-token K scales
+
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(s_idx <= pos, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / l
+    if int8:
+        p = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+    else:
+        p = p.astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype)
 
 
 def _pad_g(G: int) -> int:
@@ -105,7 +197,6 @@ def _decode_scalars(pos: jax.Array, layer) -> jax.Array:
                       jnp.broadcast_to(layer, pos.shape).astype(jnp.int32)])
 
 
-@functools.partial(jax.jit, static_argnames=("block_s",))
 def flash_decode_attention(
     q: jax.Array,  # [B, KVH, G, hd] — raw (unscaled) queries
     k_cache: jax.Array,  # [[L,] B, KVH, S, hd] fp or int8
@@ -135,6 +226,7 @@ def flash_decode_attention(
         if k_scale is not None:
             k_scale, v_scale = k_scale[None], v_scale[None]
         layer = None
+    L = k_cache.shape[0]
     S = k_cache.shape[3]
     int8 = k_cache.dtype == jnp.int8
     G8 = _pad_g(G)
@@ -148,20 +240,95 @@ def flash_decode_attention(
     if G8 != G:
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
 
+    # merge (L, B) -> one leading dim: free layout-preserving reshape; 4-D
+    # blocks cost far less per grid step than 5-D (kernel_bench --alias)
+    k4 = k_cache.reshape(L * B, KVH, S, hd)
+    v4 = v_cache.reshape(L * B, KVH, S, hd)
+
+    # a PYTHON-int layer makes every index map static: dynamic (scalar-
+    # dependent) block index maps cost ~0.4-0.5 ms per call on this chip
+    # (tools/kernel_bench.py --alias), static ones ~0.1 ms
+    lconst = layer if isinstance(layer, int) else None
+    scal = _decode_scalars(pos, 0 if lconst is not None else layer)
+
+    if n_sb == 1:
+        # the default: single-pass 2-D grid, no scratch/predication overhead
+        grid2 = (B, KVH)
+        qspec2 = pl.BlockSpec((1, 1, G8, hd), lambda b, k, *_: (b, k, 0, 0),
+                              memory_space=pltpu.VMEM)
+        if lconst is not None:
+            kvspec2 = pl.BlockSpec(
+                (1, 1, S, hd),
+                lambda b, k, s_ref: (lconst * B + b, k, 0, 0),
+                memory_space=pltpu.VMEM)
+            sspec2 = pl.BlockSpec(
+                (1, 1, 1, S),
+                lambda b, k, s_ref: (lconst * B + b, k, 0, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            kvspec2 = pl.BlockSpec(
+                (1, 1, S, hd),
+                lambda b, k, s_ref: (s_ref[1, 0] * B + b, k, 0, 0),
+                memory_space=pltpu.VMEM)
+            sspec2 = pl.BlockSpec(
+                (1, 1, 1, S),
+                lambda b, k, s_ref: (s_ref[1, 0] * B + b, k, 0, 0),
+                memory_space=pltpu.VMEM)
+        ospec2 = pl.BlockSpec((1, 1, G8, hd), lambda b, k, *_: (b, k, 0, 0),
+                              memory_space=pltpu.VMEM)
+        params2 = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+        if int8:
+            def kernel_s8(s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref):
+                _flash_decode_simple_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
+                                            int8=True, ks_ref=ks_ref,
+                                            vs_ref=vs_ref)
+
+            out = pl.pallas_call(
+                kernel_s8,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=grid2,
+                    in_specs=[qspec2, kvspec2, kvspec2, sspec2, sspec2],
+                    out_specs=ospec2,
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+                compiler_params=params2,
+                interpret=_interpret(),
+            )(scal, qs, k4, v4, k_scale.reshape(L * B, KVH, 1, S),
+              v_scale.reshape(L * B, KVH, 1, S))
+        else:
+            def kernel_sfp(s_ref, q_ref, k_ref, v_ref, o_ref):
+                _flash_decode_simple_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
+                                            int8=False)
+
+            out = pl.pallas_call(
+                kernel_sfp,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=grid2,
+                    in_specs=[qspec2, kvspec2, kvspec2],
+                    out_specs=ospec2,
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+                compiler_params=params2,
+                interpret=_interpret(),
+            )(scal, qs, k4, v4)
+        return out[:, :, :G, :]
+
     grid = (B, KVH, n_sb)
     qspec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
                          memory_space=pltpu.VMEM)
 
     def kv_index(b, k, j, s_ref):
-        return (s_ref[1, 0], b, k, jnp.minimum(j, s_ref[0, b] // TS), 0)
+        return (s_ref[1, 0] * B + b, k, jnp.minimum(j, s_ref[0, b] // TS), 0)
 
-    kvspec = pl.BlockSpec((1, 1, 1, TS, hd), kv_index,
-                          memory_space=pltpu.VMEM)
-    # scales as [L, B, KVH, 1, S]: unit sublane dim satisfies Mosaic's block
+    kvspec = pl.BlockSpec((1, 1, TS, hd), kv_index, memory_space=pltpu.VMEM)
+    # scales as [L*B, KVH, 1, S]: unit sublane dim satisfies Mosaic's block
     # divisibility (1 == full dim) with TS on lanes
-    sspec = pl.BlockSpec((1, 1, 1, 1, TS),
+    sspec = pl.BlockSpec((1, 1, 1, TS),
                          lambda b, k, j, s_ref: (
-                             s_ref[1, 0], b, k, 0,
+                             s_ref[1, 0] * B + b, k, 0,
                              jnp.minimum(j, s_ref[0, b] // TS)),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
@@ -173,7 +340,6 @@ def flash_decode_attention(
     ]
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
-    scal = _decode_scalars(pos, layer)
 
     if int8:
         kernel = functools.partial(_flash_decode_kernel, TS=TS, n_sb=n_sb,
@@ -196,8 +362,8 @@ def flash_decode_attention(
             out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
             compiler_params=params,
             interpret=_interpret(),
-        )(scal, qs, k_cache, v_cache,
-          k_scale[:, :, :, None, :], v_scale[:, :, :, None, :])
+        )(scal, qs, k4, v4,
+          k_scale.reshape(L * B, KVH, 1, S), v_scale.reshape(L * B, KVH, 1, S))
     else:
         def kernel_fp(s_ref, q_ref, k_ref, v_ref, o_ref,
                       m_ref, l_ref, acc_ref):
@@ -217,8 +383,105 @@ def flash_decode_attention(
             out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
             compiler_params=params,
             interpret=_interpret(),
-        )(scal, qs, k_cache, v_cache)
+        )(scal, qs, k4, v4)
 
+    return out[:, :, :G, :]
+
+
+def flash_decode_attention_fresh(
+    q: jax.Array,  # [B, KVH, G, hd] — raw (unscaled) queries
+    k_cache: jax.Array,  # [L, B, KVH, S, hd] or [LP, ...] pool, int8 or fp
+    v_cache: jax.Array,
+    pos: jax.Array,  # [B] int32
+    new_k: jax.Array,  # [B, KVH, hd] — current token's K (quantized if int8)
+    new_v: jax.Array,
+    k_scale: jax.Array | None = None,  # [L, B, KVH, S] f32
+    v_scale: jax.Array | None = None,
+    new_ks: jax.Array | None = None,  # [B, KVH] f32
+    new_vs: jax.Array | None = None,
+    layer: jax.Array | int | None = None,
+) -> jax.Array:
+    """Deferred-flush decode attention: cache rows < pos + the fresh row as
+    inputs.  Returns [B, KVH, G, hd] f32.  Dense caches only (paged decode
+    stays on the write-then-attend kernels)."""
+    B, KVH, G, hd = q.shape
+    if k_cache.ndim == 4:
+        k_cache, v_cache = k_cache[None], v_cache[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = None
+    L = k_cache.shape[0]
+    S = k_cache.shape[3]
+    int8 = k_cache.dtype == jnp.int8
+    G8 = _pad_g(G)
+
+    qs = q.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+    if G8 != G:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
+
+    k4 = k_cache.reshape(L * B, KVH, S, hd)
+    v4 = v_cache.reshape(L * B, KVH, S, hd)
+    nk4 = new_k.reshape(B, KVH, 1, hd)
+    nv4 = new_v.reshape(B, KVH, 1, hd)
+
+    lconst = layer if isinstance(layer, int) else None
+    scal = _decode_scalars(pos, 0 if lconst is not None else layer)
+
+    grid = (B, KVH)
+    if lconst is not None:
+        def kv_index(b, k, s_ref):
+            return (lconst * B + b, k, 0, 0)
+    else:
+        def kv_index(b, k, s_ref):
+            return (s_ref[1, 0] * B + b, k, 0, 0)
+
+    def small_index(b, k, *_):
+        return (b, k, 0, 0)
+
+    qspec = pl.BlockSpec((1, 1, G8, hd), small_index, memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, S, hd), kv_index, memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1, 1, S), kv_index, memory_space=pltpu.VMEM)
+    nkspec = pl.BlockSpec((1, 1, 1, hd), small_index, memory_space=pltpu.VMEM)
+    nsspec = pl.BlockSpec((1, 1, 1, 1), small_index, memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, G8, hd), small_index, memory_space=pltpu.VMEM)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"))
+
+    if int8:
+        def kern(s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, nk_ref, nv_ref,
+                 nks_ref, nvs_ref, o_ref):
+            _flash_decode_fresh_kernel(
+                s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref, o_ref, int8=True,
+                ks_ref=ks_ref, vs_ref=vs_ref, nks_ref=nks_ref,
+                nvs_ref=nvs_ref)
+
+        in_specs = [qspec, kvspec, kvspec, sspec, sspec, nkspec, nkspec,
+                    nsspec, nsspec]
+        args = (qs, k4, v4,
+                k_scale.reshape(L * B, KVH, 1, S),
+                v_scale.reshape(L * B, KVH, 1, S),
+                nk4, nv4,
+                new_ks.reshape(B, KVH, 1, 1), new_vs.reshape(B, KVH, 1, 1))
+    else:
+        def kern(s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref, o_ref):
+            _flash_decode_fresh_kernel(
+                s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref, o_ref, int8=False)
+
+        in_specs = [qspec, kvspec, kvspec, nkspec, nkspec]
+        args = (qs, k4, v4, nk4, nv4)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=ospec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+        compiler_params=params,
+        interpret=_interpret(),
+    )(scal, *args)
     return out[:, :, :G, :]
 
 
@@ -232,7 +495,6 @@ def flash_decode_attention(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
 def paged_flash_decode_attention(
     q: jax.Array,  # [B, KVH, G, hd] — raw (unscaled) queries
     k_pool: jax.Array,  # [L, P, KVH, ps, hd] int8
@@ -249,6 +511,7 @@ def paged_flash_decode_attention(
         k_pool, v_pool = k_pool[None], v_pool[None]
         k_scale, v_scale = k_scale[None], v_scale[None]
         layer = None
+    L, P = k_pool.shape[0], k_pool.shape[1]
     ps = k_pool.shape[3]
     MP = page_table.shape[1]
     G8 = _pad_g(G)
@@ -257,20 +520,25 @@ def paged_flash_decode_attention(
     if G8 != G:
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
 
+    # merge (L, P) -> one leading dim (free reshape; see flash_decode_attention)
+    k4 = k_pool.reshape(L * P, KVH, ps, hd)
+    v4 = v_pool.reshape(L * P, KVH, ps, hd)
+    ks4 = k_scale.reshape(L * P, KVH, 1, ps)
+    vs4 = v_scale.reshape(L * P, KVH, 1, ps)
+
     grid = (B, KVH, MP)
     qspec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
                          memory_space=pltpu.VMEM)
 
     def kv_index(b, k, j, pt_ref, s_ref):
         blk = jnp.minimum(j, s_ref[0, b] // ps)
-        return (s_ref[1, 0], pt_ref[b, blk], k, 0, 0)
+        return (s_ref[1, 0] * P + pt_ref[b, blk], k, 0, 0)
 
-    kvspec = pl.BlockSpec((1, 1, 1, ps, hd), kv_index,
-                          memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, ps, hd), kv_index, memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(
-        (1, 1, 1, 1, ps),
+        (1, 1, 1, ps),
         lambda b, k, j, pt_ref, s_ref: (
-            s_ref[1, 0], pt_ref[b, jnp.minimum(j, s_ref[0, b] // ps)],
+            s_ref[1, 0] * P + pt_ref[b, jnp.minimum(j, s_ref[0, b] // ps)],
             k, 0, 0),
         memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, 1, G8, hd), lambda b, k, j, *_: (b, k, 0, 0),
@@ -301,7 +569,7 @@ def paged_flash_decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(page_table.astype(jnp.int32), _decode_scalars(pos, layer), qs,
-      k_pool, v_pool, k_scale[:, :, :, None, :], v_scale[:, :, :, None, :])
+      k4, v4, ks4, vs4)
 
     return out[:, :, :G, :]
 
@@ -487,17 +755,17 @@ def _kv_write_kernel(row, srow, k_ref, v_ref, ik_ref, iv_ref, iks_ref,
     v = v_ref[0]
 
     def blend_kv(x, iref, oref, sref=None, s=None):
-        old = iref[0, 0]  # [KVH, RC, hd]
+        old = iref[0]  # [KVH, RC, hd]
         sel = jax.lax.broadcasted_iota(jnp.int32, old.shape, 1) == row
         if oref.dtype == jnp.int8:
             # int8 select: blend in f32 then round-trip exactly (values are
             # already integral in [-127, 127])
             new = jnp.where(sel, x[:, None, :], old.astype(jnp.float32))
-            oref[0, 0] = new.astype(jnp.int8)
+            oref[0] = new.astype(jnp.int8)
         else:
-            oref[0, 0] = jnp.where(sel, x[:, None, :].astype(old.dtype), old)
+            oref[0] = jnp.where(sel, x[:, None, :].astype(old.dtype), old)
         if sref is not None:
-            olds = sref[0, 0]  # [KVH, SC]
+            olds = sref[0]  # [KVH, SC]
             sels = jax.lax.broadcasted_iota(jnp.int32, olds.shape, 1) == srow
             return jnp.where(sels, s[:, None], olds)
         return None
@@ -511,8 +779,8 @@ def _kv_write_kernel(row, srow, k_ref, v_ref, ik_ref, iv_ref, iks_ref,
             inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
             q = jnp.clip(jnp.rint(x * inv), -127, 127)
             outs.append(blend_kv(q, iref, oref, isref, s[:, 0]))
-        oks_ref[0, 0] = outs[0]
-        ovs_ref[0, 0] = outs[1]
+        oks_ref[0] = outs[0]
+        ovs_ref[0] = outs[1]
     else:
         blend_kv(k, ik_ref, ok_ref)
         blend_kv(v, iv_ref, ov_ref)
@@ -525,7 +793,6 @@ def _row_chunks(S: int) -> tuple[int, int]:
     return rc, sc
 
 
-@functools.partial(jax.jit, donate_argnums=(4, 5, 6, 7))
 def kv_cache_write_decode(
     k: jax.Array,  # [B, KVH, hd] fp — this step's keys
     v: jax.Array,
@@ -539,19 +806,28 @@ def kv_cache_write_decode(
     """Returns the cache arrays with row (layer, b, pos[b]) updated; int8
     caches quantize in-kernel (absmax over hd)."""
     B, KVH, hd = k.shape
-    S = ck.shape[3]
+    L, S = ck.shape[0], ck.shape[3]
     int8 = ck.dtype == jnp.int8
     RC, SC = _row_chunks(S)
     scal = jnp.stack([pos.astype(jnp.int32),
                       jnp.broadcast_to(layer, pos.shape).astype(jnp.int32)])
+    shp5 = ck.shape
+    sshp5 = None if cks is None else cks.shape
+    # merge (L, B) -> one leading dim: 4-D blocks are far cheaper per grid
+    # step than 5-D on this chip (tools/kernel_bench.py --alias)
+    ck = ck.reshape(L * B, KVH, S, hd)
+    cv = cv.reshape(L * B, KVH, S, hd)
+    if cks is not None:
+        cks = cks.reshape(L * B, KVH, S)
+        cvs = cvs.reshape(L * B, KVH, S)
 
     kvspec = pl.BlockSpec(
-        (1, 1, KVH, RC, hd),
-        lambda b, s_ref: (s_ref[1, 0], b, 0, s_ref[0, b] // RC, 0),
+        (1, KVH, RC, hd),
+        lambda b, s_ref: (s_ref[1, 0] * B + b, 0, s_ref[0, b] // RC, 0),
         memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(
-        (1, 1, KVH, SC),
-        lambda b, s_ref: (s_ref[1, 0], b, 0, s_ref[0, b] // SC),
+        (1, KVH, SC),
+        lambda b, s_ref: (s_ref[1, 0] * B + b, 0, s_ref[0, b] // SC),
         memory_space=pltpu.VMEM)
     inspec = pl.BlockSpec((1, KVH, hd), lambda b, *_: (b, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -601,10 +877,15 @@ def kv_cache_write_decode(
         input_output_aliases=aliases,
         interpret=_interpret(),
     )(*args)
-    return out
+    out = list(out)
+    out[0] = out[0].reshape(shp5)
+    out[1] = out[1].reshape(shp5)
+    if int8:
+        out[2] = out[2].reshape(sshp5)
+        out[3] = out[3].reshape(sshp5)
+    return tuple(out)
 
 
-@functools.partial(jax.jit, donate_argnums=(5, 6, 7, 8))
 def kv_pool_write_decode(
     k: jax.Array,  # [B, KVH, hd] fp
     v: jax.Array,
@@ -619,8 +900,14 @@ def kv_pool_write_decode(
     """Paged variant: row ``pos[b] % ps`` of page ``page_table[b, pos//ps]``
     in layer ``layer``."""
     B, KVH, hd = k.shape
+    L, P = ck.shape[0], ck.shape[1]
     ps = ck.shape[3]
     RC, SC = _row_chunks(ps)
+    shp5, sshp5 = ck.shape, cks.shape
+    ck = ck.reshape(L * P, KVH, ps, hd)
+    cv = cv.reshape(L * P, KVH, ps, hd)
+    cks = cks.reshape(L * P, KVH, ps)
+    cvs = cvs.reshape(L * P, KVH, ps)
 
     def kernel_i8(pt_ref, s_ref, k_ref, v_ref, ik, iv, iks, ivs,
                   ok_ref, ov_ref, oks_ref, ovs_ref):
@@ -633,15 +920,15 @@ def kv_pool_write_decode(
                       jnp.broadcast_to(layer, pos.shape).astype(jnp.int32)])
 
     kvspec = pl.BlockSpec(
-        (1, 1, KVH, RC, hd),
+        (1, KVH, RC, hd),
         lambda b, pt_ref, s_ref: (
-            s_ref[1, 0], pt_ref[b, s_ref[0, b] // ps], 0,
+            s_ref[1, 0] * P + pt_ref[b, s_ref[0, b] // ps], 0,
             (s_ref[0, b] % ps) // RC, 0),
         memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(
-        (1, 1, KVH, SC),
+        (1, KVH, SC),
         lambda b, pt_ref, s_ref: (
-            s_ref[1, 0], pt_ref[b, s_ref[0, b] // ps], 0,
+            s_ref[1, 0] * P + pt_ref[b, s_ref[0, b] // ps], 0,
             (s_ref[0, b] % ps) // SC),
         memory_space=pltpu.VMEM)
     inspec = pl.BlockSpec((1, KVH, hd), lambda b, *_: (b, 0, 0),
@@ -660,7 +947,121 @@ def kv_pool_write_decode(
         interpret=_interpret(),
     )(page_table.astype(jnp.int32), scal,
       k.astype(jnp.float32), v.astype(jnp.float32), ck, cv, cks, cvs)
-    return out
+    return (out[0].reshape(shp5), out[1].reshape(shp5),
+            out[2].reshape(sshp5), out[3].reshape(sshp5))
+
+
+def _flush_kernel(s_ref, rk, rv, ik, iv, ok_ref, ov_ref, *, RC: int):
+    b = pl.program_id(1)
+    row = s_ref[0, b] % RC
+
+    def blend(x, iref, oref):  # x: [KVH, hd] (already target dtype / int8)
+        old = iref[0]  # [KVH, RC, hd]
+        sel = jax.lax.broadcasted_iota(jnp.int32, old.shape, 1) == row
+        if oref.dtype == jnp.int8:
+            new = jnp.where(sel, x.astype(jnp.float32)[:, None, :],
+                            old.astype(jnp.float32))
+            oref[0] = new.astype(jnp.int8)
+        else:
+            oref[0] = jnp.where(sel, x[:, None, :].astype(old.dtype), old)
+
+    blend(rk[0, 0], ik, ok_ref)
+    blend(rv[0, 0], iv, ov_ref)
+
+
+def _flush_scale_kernel(s_ref, rks, rvs, iks, ivs, oks_ref, ovs_ref, *,
+                        SC: int):
+    b = pl.program_id(1)
+    srow = s_ref[0, b] % SC
+
+    def blend(x, iref, oref):  # x: [KVH] f32
+        old = iref[0]  # [KVH, SC]
+        sel = jax.lax.broadcasted_iota(jnp.int32, old.shape, 1) == srow
+        oref[0] = jnp.where(sel, x[:, None], old)
+
+    blend(rks[0, 0, :, 0], iks, oks_ref)
+    blend(rvs[0, 0, :, 0], ivs, ovs_ref)
+
+
+def kv_cache_flush_rows(
+    rows_k: jax.Array,  # [L, B, KVH, hd] — the step's K rows (int8 or fp)
+    rows_v: jax.Array,
+    pos: jax.Array,  # [B] int32
+    ck: jax.Array,  # [L, B, KVH, S, hd] (donated by the caller's jit)
+    cv: jax.Array,
+    rows_ks: jax.Array | None = None,  # [L, B, KVH] f32 (int8 caches)
+    rows_vs: jax.Array | None = None,
+    cks: jax.Array | None = None,
+    cvs: jax.Array | None = None,
+):
+    """Blend ALL layers' freshly decoded rows into the cache in ONE call.
+
+    The deferred-flush half of the write scheme: per-layer aliased write
+    calls cost ~0.45 ms each in dynamic-index-map overhead on this chip
+    (tools/kernel_bench.py --alias); here layer and batch are GRID indices
+    (static map structure) and only the row position within S is dynamic —
+    one ~0.45 ms call amortizes over every layer."""
+    L, B, KVH, hd = rows_k.shape
+    S = ck.shape[3]
+    int8 = ck.dtype == jnp.int8
+    RC, SC = _row_chunks(S)
+    shp5 = ck.shape
+    ck4 = ck.reshape(L * B, KVH, S, hd)
+    cv4 = cv.reshape(L * B, KVH, S, hd)
+    scal = pos.astype(jnp.int32)[None, :]  # [1, B]
+
+    kvspec = pl.BlockSpec(
+        (1, KVH, RC, hd),
+        lambda l, b, s_ref: (l * B + b, 0, s_ref[0, b] // RC, 0),
+        memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, 1, KVH, hd), lambda l, b, *_: (l, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    ck4, cv4 = pl.pallas_call(
+        functools.partial(_flush_kernel, RC=RC),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B),
+            in_specs=[rowspec, rowspec, kvspec, kvspec],
+            out_specs=(kvspec, kvspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(ck4.shape, ck4.dtype),
+                   jax.ShapeDtypeStruct(cv4.shape, cv4.dtype)),
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(scal, rows_k, rows_v, ck4, cv4)
+    ck, cv = ck4.reshape(shp5), cv4.reshape(shp5)
+    if not int8:
+        return ck, cv
+
+    sshp = cks.shape
+    cks4 = cks.reshape(L * B, KVH, S)
+    cvs4 = cvs.reshape(L * B, KVH, S)
+    sspec = pl.BlockSpec(
+        (1, KVH, SC),
+        lambda l, b, s_ref: (l * B + b, 0, s_ref[0, b] // SC),
+        memory_space=pltpu.VMEM)
+    rsspec = pl.BlockSpec((1, 1, KVH, 1), lambda l, b, *_: (l, b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    cks4, cvs4 = pl.pallas_call(
+        functools.partial(_flush_scale_kernel, SC=SC),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B),
+            in_specs=[rsspec, rsspec, sspec, sspec],
+            out_specs=(sspec, sspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(cks4.shape, cks4.dtype),
+                   jax.ShapeDtypeStruct(cvs4.shape, cvs4.dtype)),
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(scal, rows_ks.reshape(L, B, KVH, 1), rows_vs.reshape(L, B, KVH, 1),
+      cks4, cvs4)
+    return ck, cv, cks4.reshape(sshp), cvs4.reshape(sshp)
 
 
 def quantize_kv(x: jax.Array):
