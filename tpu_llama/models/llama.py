@@ -556,71 +556,6 @@ def _attention_prefill(
 # ---------------------------------------------------------------------------
 
 
-_DUS_MAX_BATCH = 16  # unrolled-writes HLO size guard: B x 4 dus ops / layer
-
-
-def _write_decode_dus(arrs, k, v, pos, layer, page_table=None):
-    """B-unrolled dynamic_update_slice KV row writes on the carried stacked
-    cache — XLA's reliably-in-place pattern (~us/op) vs the Pallas row-write
-    kernel's ~450 us fixed per-call cost on this chip (tools/kernel_bench.py
-    --alias).  arrs: (k, v[, ks, vs]) stacked [L, B|P, KVH, S|ps, hd]
-    arrays; page_table routes writes through pages when given."""
-    B = k.shape[0]
-    int8 = arrs[0].dtype == jnp.int8
-    ps = arrs[0].shape[3]
-    if int8:
-        ck, cv, cks, cvs = arrs
-        kq, ks = quantize_kv(k)  # [B, KVH, hd] int8, [B, KVH]
-        vq, vs = quantize_kv(v)
-    else:
-        ck, cv = arrs
-        kq, vq = k.astype(ck.dtype), v.astype(ck.dtype)
-    for b in range(B):
-        if page_table is None:
-            row_ix, slot_ix = pos[b], b
-        else:
-            row_ix = pos[b] % ps
-            slot_ix = page_table[b, pos[b] // ps]
-        ix5 = (layer, slot_ix, 0, row_ix, 0)
-        ck = jax.lax.dynamic_update_slice(ck, kq[b][None, None, :, None, :],
-                                          ix5)
-        cv = jax.lax.dynamic_update_slice(cv, vq[b][None, None, :, None, :],
-                                          ix5)
-        if int8:
-            ix4 = ix5[:4]
-            cks = jax.lax.dynamic_update_slice(
-                cks, ks[b][None, None, :, None], ix4)
-            cvs = jax.lax.dynamic_update_slice(
-                cvs, vs[b][None, None, :, None], ix4)
-    return (ck, cv, cks, cvs) if int8 else (ck, cv)
-
-
-def _write_decode_paged(kv_l, page_table, k, v, pos, config: ModelConfig):
-    """Write one decoded token's K/V into the per-layer page pool.
-
-    kv_l: (k, v, ks, vs) pool slices [P, KVH, ps, hd] / [P, KVH, ps];
-    page_table: [B, MP]; k/v: [B, KVH, hd] fp.  The write lands at
-    (page_table[b, pos//ps], head, pos%ps).  Parked slots point at the
-    reserved trash page 0 — their garbage writes never alias live pages.
-    """
-    kp, vp, ksp, vsp = kv_l
-    ps = kp.shape[2]
-    B = k.shape[0]
-    page = page_table[jnp.arange(B), pos // ps]  # [B]
-    row = pos % ps
-    p_ix = page[:, None]  # [B, 1]
-    h_ix = jnp.arange(config.n_kv_heads)[None, :]  # [1, KVH]
-    r_ix = row[:, None]  # [B, 1]
-    kq, ks = quantize_kv(k)
-    vq, vs = quantize_kv(v)
-    return (
-        kp.at[p_ix, h_ix, r_ix].set(kq),
-        vp.at[p_ix, h_ix, r_ix].set(vq),
-        ksp.at[p_ix, h_ix, r_ix].set(ks),
-        vsp.at[p_ix, h_ix, r_ix].set(vs),
-    )
-
-
 def _write_decode(cache_l, k, v, pos, config: ModelConfig):
     """Write one decoded token's K/V into a per-layer cache slice.
 
@@ -712,38 +647,36 @@ def forward_decode(
     layer_ix = jnp.arange(L, dtype=jnp.int32)
 
     if paged:
-        # CARRY pattern: the full pool arrays ride the lax.scan carry and the
-        # layer-aware Pallas kernels read/write rows in place via page-table
-        # index maps.  (Passing the cache through scan xs/ys costs a full
-        # per-layer slice copy in AND out — tools/ablate.py, round 2.)
+        # DEFERRED FLUSH, paged: the pool is read-only during the layer scan
+        # (fresh rows join the softmax at the final page block); one
+        # kv_pool_flush_rows call per step blends every layer's row into its
+        # slot's page.  Same rationale as the dense path below.
         from tpu_llama.ops.attention import (
-            kv_pool_write_decode,
-            paged_flash_decode_attention,
+            kv_pool_flush_rows,
+            paged_flash_decode_attention_fresh,
         )
 
-        def layer_step(carry, scanned):
+        def layer_step(x, scanned):
             lp, l = scanned
-            x, arrs = carry
             q, k, v = project(x, lp)
             qg = q.reshape(B, config.n_kv_heads, config.group_size,
                            config.head_dim)
-            # writes: unrolled dus at small B (cheap, in-place), Pallas
-            # row-write kernel at large B (bounded program size)
-            arrs = (_write_decode_dus(arrs, k, v, pos, l,
-                                      cache.page_table)
-                    if B <= _DUS_MAX_BATCH else
-                    kv_pool_write_decode(k, v, pos, l, cache.page_table,
-                                         *arrs))
-            att = paged_flash_decode_attention(
-                qg, arrs[0], arrs[1], arrs[2], arrs[3],
-                cache.page_table, pos, layer=l)
+            kq, ks_ = quantize_kv(k)
+            vq, vs_ = quantize_kv(v)
+            att = paged_flash_decode_attention_fresh(
+                qg, cache.k, cache.v, cache.ks, cache.vs,
+                cache.page_table, pos, kq, vq, ks_, vs_, layer=l)
             att = att.reshape(B, config.dim).astype(x.dtype)
-            return (ffn_out(x, att, lp), arrs), None
+            return ffn_out(x, att, lp), (kq, ks_, vq, vs_)
 
-        arrs0 = (cache.k, cache.v, cache.ks, cache.vs)
-        (x, arrs), _ = jax.lax.scan(layer_step, (x, arrs0),
-                                    (params.layers, layer_ix), unroll=unroll)
-        new_cache = PagedKVCache(*arrs, page_table=cache.page_table)
+        x, rows = jax.lax.scan(layer_step, x, (params.layers, layer_ix),
+                               unroll=unroll)
+        kq, ks_, vq, vs_ = rows
+        ck, cv, cks, cvs = kv_pool_flush_rows(
+            kq, vq, ks_, vs_, pos, cache.page_table,
+            cache.k, cache.v, cache.ks, cache.vs)
+        new_cache = PagedKVCache(ck, cv, cks, cvs,
+                                 page_table=cache.page_table)
     elif attn == "flash":
         # DEFERRED FLUSH (the dense perf path): the cache is read-only during
         # the layer scan — each layer's fresh K/V row joins the softmax as an

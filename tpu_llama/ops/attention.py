@@ -36,7 +36,9 @@ _NEG_INF = -1e30  # python literal — jnp constants would be captured as kernel
 
 def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
                          m_ref, l_ref, acc_ref, *, TS: int, n_sb: int,
-                         int8: bool, ks_ref=None, vs_ref=None):
+                         int8: bool, ks_ref=None, vs_ref=None,
+                         nk_ref=None, nv_ref=None, nks_ref=None,
+                         nvs_ref=None):
     """Shared body for dense and paged flash decode.
 
     s_ref: [2, B] scalars — row 0 per-slot pos, row 1 layer index (used only
@@ -44,10 +46,16 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
     ([L*B or L*P, KVH, S, hd], a free layout-preserving reshape) and the
     index maps select layer*B+b — 4-D blocks measured ~10x cheaper per grid
     step than 5-D ones on this chip (tools/kernel_bench.py --alias).
+
+    When ``nk_ref`` is given (deferred-flush mode) the cache is masked
+    STRICTLY below ``pos`` and the current token's K/V row — supplied as
+    (1, 1, 1, hd) inputs — joins the softmax as one extra column merged at
+    the final block.
     """
     b = pl.program_id(0)
     j = pl.program_id(2)
     pos = s_ref[0, b]
+    fresh = nk_ref is not None
 
     @pl.when(j == 0)
     def _():
@@ -72,7 +80,7 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
             s = s * ks_ref[0, 0]  # [1, TS] per-token K scales
 
         kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * TS
-        mask = kpos <= pos
+        mask = (kpos < pos) if fresh else (kpos <= pos)
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(
             jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True))
@@ -92,8 +100,27 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j == n_sb - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)).astype(
-            o_ref.dtype)
+        if fresh:
+            q = q_ref[0, 0]
+            s_new = jnp.sum(
+                q.astype(jnp.float32) * nk_ref[0, 0].astype(jnp.float32),
+                axis=-1, keepdims=True)  # [G8, 1] — VPU (N=1 dot miscompiles)
+            if int8:
+                s_new = s_new * nks_ref[0, 0]
+            m_prev = m_ref[:, :1]
+            m_fin = jnp.maximum(m_prev, s_new)
+            corr = jnp.exp(m_prev - m_fin)
+            e_new = jnp.exp(s_new - m_fin)
+            l_fin = l_ref[:, :1] * corr + e_new
+            nv = nv_ref[0, 0].astype(jnp.float32)
+            if int8:
+                e_new = e_new * nvs_ref[0, 0]
+            o_ref[0, 0] = ((acc_ref[:] * corr + e_new * nv)
+                           / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+        else:
+            o_ref[0, 0] = (acc_ref[:]
+                           / jnp.maximum(l_ref[:, :1], 1e-30)).astype(
+                o_ref.dtype)
 
 
 def _flash_decode_fresh_kernel(s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref,
@@ -574,6 +601,194 @@ def paged_flash_decode_attention(
     return out[:, :, :G, :]
 
 
+def paged_flash_decode_attention_fresh(
+    q: jax.Array,  # [B, KVH, G, hd]
+    k_pool: jax.Array,  # [L, P, KVH, ps, hd] int8
+    v_pool: jax.Array,
+    k_scale: jax.Array,  # [L, P, KVH, ps] f32
+    v_scale: jax.Array,
+    page_table: jax.Array,  # [B, MP] int32
+    pos: jax.Array,  # [B] int32
+    new_k: jax.Array,  # [B, KVH, hd] int8 — current token's row (quantized)
+    new_v: jax.Array,
+    new_ks: jax.Array,  # [B, KVH] f32
+    new_vs: jax.Array,
+    layer: jax.Array | None = None,
+) -> jax.Array:
+    """Deferred-flush paged decode attention: pages hold rows < pos; the
+    fresh row joins the softmax at the final page block."""
+    B, KVH, G, hd = q.shape
+    if k_pool.ndim == 4:
+        k_pool, v_pool = k_pool[None], v_pool[None]
+        k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = None
+    L, P = k_pool.shape[0], k_pool.shape[1]
+    ps = k_pool.shape[3]
+    MP = page_table.shape[1]
+    G8 = _pad_g(G)
+
+    qs = q.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+    if G8 != G:
+        qs = jnp.pad(qs, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
+
+    k4 = k_pool.reshape(L * P, KVH, ps, hd)
+    v4 = v_pool.reshape(L * P, KVH, ps, hd)
+    ks4 = k_scale.reshape(L * P, KVH, 1, ps)
+    vs4 = v_scale.reshape(L * P, KVH, 1, ps)
+
+    grid = (B, KVH, MP)
+
+    def small_index(b, k, j, *_):
+        return (b, k, 0, 0)
+
+    def kv_index(b, k, j, pt_ref, s_ref):
+        blk = jnp.minimum(j, s_ref[0, b] // ps)
+        return (s_ref[1, 0] * P + pt_ref[b, blk], k, 0, 0)
+
+    qspec = pl.BlockSpec((1, 1, G8, hd), small_index, memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, ps, hd), kv_index, memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1, 1, ps), kv_index, memory_space=pltpu.VMEM)
+    nkspec = pl.BlockSpec((1, 1, 1, hd), small_index, memory_space=pltpu.VMEM)
+    nsspec = pl.BlockSpec((1, 1, 1, 1), small_index, memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, G8, hd), small_index, memory_space=pltpu.VMEM)
+
+    def kern(pt_ref, s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+             nk_ref, nv_ref, nks_ref, nvs_ref, o_ref, m_ref, l_ref, acc_ref):
+        _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
+                             m_ref, l_ref, acc_ref, TS=ps, n_sb=MP, int8=True,
+                             ks_ref=ks_ref, vs_ref=vs_ref, nk_ref=nk_ref,
+                             nv_ref=nv_ref, nks_ref=nks_ref, nvs_ref=nvs_ref)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec, sspec, sspec,
+                      nkspec, nkspec, nsspec, nsspec],
+            out_specs=ospec,
+            scratch_shapes=[
+                pltpu.VMEM((G8, 128), jnp.float32),
+                pltpu.VMEM((G8, 128), jnp.float32),
+                pltpu.VMEM((G8, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(page_table.astype(jnp.int32), _decode_scalars(pos, layer), qs,
+      k4, v4, ks4, vs4,
+      new_k.reshape(B, KVH, 1, hd), new_v.reshape(B, KVH, 1, hd),
+      new_ks.reshape(B, KVH, 1, 1), new_vs.reshape(B, KVH, 1, 1))
+    return out[:, :, :G, :]
+
+
+def kv_pool_flush_rows(
+    rows_k: jax.Array,  # [L, B, KVH, hd] int8 — the step's quantized rows
+    rows_v: jax.Array,
+    rows_ks: jax.Array,  # [L, B, KVH] f32
+    rows_vs: jax.Array,
+    pos: jax.Array,  # [B] int32
+    page_table: jax.Array,  # [B, MP] int32
+    ck: jax.Array,  # [L, P, KVH, ps, hd] int8 pool (donated by caller's jit)
+    cv: jax.Array,
+    cks: jax.Array,  # [L, P, KVH, ps] f32
+    cvs: jax.Array,
+):
+    """Paged deferred flush: ONE call blends every layer's row into its
+    slot's page (grid (L, B); only page id and in-page row are dynamic)."""
+    L, B, KVH, hd = rows_k.shape
+    P, ps = ck.shape[1], ck.shape[3]
+    RC, SC = _row_chunks(ps)
+    shp5, sshp = ck.shape, cks.shape
+    ck4 = ck.reshape(L * P, KVH, ps, hd)
+    cv4 = cv.reshape(L * P, KVH, ps, hd)
+    scal = pos.astype(jnp.int32)[None, :]  # [1, B]
+
+    kvspec = pl.BlockSpec(
+        (1, KVH, RC, hd),
+        lambda l, b, pt_ref, s_ref: (
+            l * P + pt_ref[b, s_ref[0, b] // ps], 0,
+            (s_ref[0, b] % ps) // RC, 0),
+        memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, 1, KVH, hd), lambda l, b, *_: (l, b, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kern(pt_ref, s_ref, rk, rv, ik, iv, ok_ref, ov_ref):
+        b = pl.program_id(1)
+        row = (s_ref[0, b] % ps) % RC
+
+        def blend(x, iref, oref):
+            old = iref[0]
+            sel = jax.lax.broadcasted_iota(jnp.int32, old.shape, 1) == row
+            new = jnp.where(sel, x.astype(jnp.float32)[:, None, :],
+                            old.astype(jnp.float32))
+            oref[0] = new.astype(jnp.int8)
+
+        blend(rk[0, 0], ik, ok_ref)
+        blend(rv[0, 0], iv, ov_ref)
+
+    ck4, cv4 = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L, B),
+            in_specs=[rowspec, rowspec, kvspec, kvspec],
+            out_specs=(kvspec, kvspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(ck4.shape, ck4.dtype),
+                   jax.ShapeDtypeStruct(cv4.shape, cv4.dtype)),
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(page_table.astype(jnp.int32), scal, rows_k, rows_v, ck4, cv4)
+
+    cks4 = cks.reshape(L * P, KVH, ps)
+    cvs4 = cvs.reshape(L * P, KVH, ps)
+    sspec = pl.BlockSpec(
+        (1, KVH, SC),
+        lambda l, b, pt_ref, s_ref: (
+            l * P + pt_ref[b, s_ref[0, b] // ps], 0,
+            (s_ref[0, b] % ps) // SC),
+        memory_space=pltpu.VMEM)
+    rsspec = pl.BlockSpec((1, 1, KVH, 1), lambda l, b, *_: (l, b, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def kern_s(pt_ref, s_ref, rks, rvs, iks, ivs, oks_ref, ovs_ref):
+        b = pl.program_id(1)
+        srow = (s_ref[0, b] % ps) % SC
+
+        def blend(x, iref, oref):
+            old = iref[0]
+            sel = jax.lax.broadcasted_iota(jnp.int32, old.shape, 1) == srow
+            oref[0] = jnp.where(sel, x[:, None], old)
+
+        blend(rks[0, 0, :, 0], iks, oks_ref)
+        blend(rvs[0, 0, :, 0], ivs, ovs_ref)
+
+    cks4, cvs4 = pl.pallas_call(
+        kern_s,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L, B),
+            in_specs=[rsspec, rsspec, sspec, sspec],
+            out_specs=(sspec, sspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(cks4.shape, cks4.dtype),
+                   jax.ShapeDtypeStruct(cvs4.shape, cvs4.dtype)),
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(page_table.astype(jnp.int32), scal,
+      rows_ks.reshape(L, B, KVH, 1), rows_vs.reshape(L, B, KVH, 1),
+      cks4, cvs4)
+    return (ck4.reshape(shp5), cv4.reshape(shp5),
+            cks4.reshape(sshp), cvs4.reshape(sshp))
+
+
 # ---------------------------------------------------------------------------
 # flash PREFILL attention: blockwise causal with online softmax — O(TQ x TS)
 # working set instead of the XLA path's O(T x S) scores tensor.
@@ -884,71 +1099,6 @@ def kv_cache_write_decode(
         out[2] = out[2].reshape(sshp5)
         out[3] = out[3].reshape(sshp5)
     return tuple(out)
-
-
-def kv_pool_write_decode(
-    k: jax.Array,  # [B, KVH, hd] fp
-    v: jax.Array,
-    pos: jax.Array,  # [B] int32
-    layer: jax.Array,  # scalar int32
-    page_table: jax.Array,  # [B, MP] int32
-    ck: jax.Array,  # [L, P, KVH, ps, hd] int8 pool (donated)
-    cv: jax.Array,
-    cks: jax.Array,  # [L, P, KVH, ps] f32
-    cvs: jax.Array,
-):
-    """Paged variant: row ``pos[b] % ps`` of page ``page_table[b, pos//ps]``
-    in layer ``layer``."""
-    B, KVH, hd = k.shape
-    L, P = ck.shape[0], ck.shape[1]
-    ps = ck.shape[3]
-    RC, SC = _row_chunks(ps)
-    shp5, sshp5 = ck.shape, cks.shape
-    ck = ck.reshape(L * P, KVH, ps, hd)
-    cv = cv.reshape(L * P, KVH, ps, hd)
-    cks = cks.reshape(L * P, KVH, ps)
-    cvs = cvs.reshape(L * P, KVH, ps)
-
-    def kernel_i8(pt_ref, s_ref, k_ref, v_ref, ik, iv, iks, ivs,
-                  ok_ref, ov_ref, oks_ref, ovs_ref):
-        b = pl.program_id(0)
-        _kv_write_kernel((s_ref[0, b] % ps) % RC, (s_ref[0, b] % ps) % SC,
-                         k_ref, v_ref, ik, iv, iks, ivs,
-                         ok_ref, ov_ref, oks_ref, ovs_ref, int8=True)
-
-    scal = jnp.stack([pos.astype(jnp.int32),
-                      jnp.broadcast_to(layer, pos.shape).astype(jnp.int32)])
-
-    kvspec = pl.BlockSpec(
-        (1, KVH, RC, hd),
-        lambda b, pt_ref, s_ref: (
-            s_ref[1, 0] * P + pt_ref[b, s_ref[0, b] // ps], 0,
-            (s_ref[0, b] % ps) // RC, 0),
-        memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec(
-        (1, KVH, SC),
-        lambda b, pt_ref, s_ref: (
-            s_ref[1, 0] * P + pt_ref[b, s_ref[0, b] // ps], 0,
-            (s_ref[0, b] % ps) // SC),
-        memory_space=pltpu.VMEM)
-    inspec = pl.BlockSpec((1, KVH, hd), lambda b, *_: (b, 0, 0),
-                          memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel_i8,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(B,),
-            in_specs=[inspec, inspec, kvspec, kvspec, sspec, sspec],
-            out_specs=(kvspec, kvspec, sspec, sspec),
-        ),
-        out_shape=tuple(jax.ShapeDtypeStruct(a.shape, a.dtype)
-                        for a in (ck, cv, cks, cvs)),
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
-        interpret=_interpret(),
-    )(page_table.astype(jnp.int32), scal,
-      k.astype(jnp.float32), v.astype(jnp.float32), ck, cv, cks, cvs)
-    return (out[0].reshape(shp5), out[1].reshape(shp5),
-            out[2].reshape(sshp5), out[3].reshape(sshp5))
 
 
 def _flush_kernel(s_ref, rk, rv, ik, iv, ok_ref, ov_ref, *, RC: int):
