@@ -68,15 +68,36 @@ def _build(config, dtype, quant, fuse):
     return params
 
 
+def _make_cache(config, batch, kv, seq_len, kv_layout="dense", page_size=512):
+    from tpu_llama.models import make_kv_cache
+
+    if kv_layout != "paged":
+        return make_kv_cache(config, batch=batch, kv_dtype=kv,
+                             seq_len=seq_len)
+    import dataclasses
+
+    from tpu_llama.runtime.paged import PagePool
+
+    S = seq_len or config.seq_len
+    mp = -(-S // page_size)
+    pool = PagePool(batch * mp + 1, page_size, batch, mp)
+    for s in range(batch):
+        assert pool.reserve(s, S) is not None
+    cache = make_kv_cache(config, batch=batch, kv_dtype="int8", seq_len=S,
+                          paged=True, num_pages=batch * mp + 1,
+                          page_size=page_size)
+    return dataclasses.replace(cache, page_table=jnp.asarray(pool.table))
+
+
 def bench_decode(params, config, batch, steps, dtype, seq_fill=512,
-                 kv_dtype=None, attn="auto", unroll=1, reps=5, seq_len=None):
+                 kv_dtype=None, attn="auto", unroll=1, reps=5, seq_len=None,
+                 kv_layout="dense", page_size=512):
     """Decode throughput via the fused on-device greedy loop.  Returns
     (median tok/s, spread, [times])."""
-    from tpu_llama.models import make_kv_cache
     from tpu_llama.models.llama import greedy_decode_loop
 
     kv = kv_dtype or dtype
-    cache = make_kv_cache(config, batch=batch, kv_dtype=kv, seq_len=seq_len)
+    cache = _make_cache(config, batch, kv, seq_len, kv_layout, page_size)
 
     tokens = jnp.zeros((batch,), jnp.int32)
     pos = jnp.full((batch,), seq_fill, jnp.int32)
@@ -152,6 +173,9 @@ def main():
                     help="comma list of batch sizes; writes BENCH_sweep.jsonl")
     ap.add_argument("--seq-len", type=int, default=None,
                     help="KV cache capacity (default: model seq_len)")
+    ap.add_argument("--kv-layout", default="dense", choices=["dense", "paged"],
+                    help="paged: page-pool INT8 KV (A/B the paged kernels)")
+    ap.add_argument("--page-size", type=int, default=512)
     args = ap.parse_args()
 
     from tpu_llama.config import LLAMA2_7B, LLAMA2_13B, STORIES15M, STORIES110M
@@ -177,6 +201,8 @@ def main():
     qtag = f"_{args.quant}" if args.quant else ""
     if args.kv:
         qtag += f"_kv{args.kv}"
+    if args.kv_layout == "paged":
+        qtag += "_paged"
 
     if args.sweep:
         batches = [int(b) for b in args.sweep.split(",")]
@@ -187,7 +213,8 @@ def main():
                         params, config, b, args.steps, dtype,
                         seq_fill=args.seq_fill, kv_dtype=args.kv,
                         attn=args.attn, unroll=args.unroll, reps=args.reps,
-                        seq_len=args.seq_len)
+                        seq_len=args.seq_len, kv_layout=args.kv_layout,
+                        page_size=args.page_size)
                     ttft_s, _ = bench_ttft(
                         params, config, b, args.prompt_len, dtype,
                         kv_dtype=args.kv, reps=max(3, args.reps - 2),
@@ -207,7 +234,8 @@ def main():
     toks, spread, _ = bench_decode(
         params, config, args.batch, args.steps, dtype, seq_fill=args.seq_fill,
         kv_dtype=args.kv, attn=args.attn, unroll=args.unroll, reps=args.reps,
-        seq_len=args.seq_len)
+        seq_len=args.seq_len, kv_layout=args.kv_layout,
+        page_size=args.page_size)
     rec = {
         "metric": f"decode_tokens_per_sec_{name}_{args.dtype}{qtag}_b{args.batch}",
         "value": round(toks, 3),

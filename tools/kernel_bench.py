@@ -230,14 +230,17 @@ def run_write_alias(L: int, B: int, KVH: int, S: int, hd: int,
                         cvs, sc[b][None, None, :, None], ix[:4])
                 arrs = (ck, cv, cks, cvs)
             if mode in ("read", "rw"):
-                att = flash_decode_attention(q, arrs[0], arrs[1], pos,
-                                             arrs[2], arrs[3], layer=l % L)
+                att = flash_decode_attention(q + acc * 1e-30, arrs[0],
+                                             arrs[1], pos, arrs[2], arrs[3],
+                                             layer=l % L)
                 acc = acc + jnp.sum(att) * 1e-30
             elif mode == "read_static":
-                # python-unrolled layers: STATIC index maps per call
+                # python-unrolled layers: STATIC index maps per call; the
+                # acc chain prevents hoisting out of the timing scan
                 for lc in range(L):
-                    att = flash_decode_attention(q, arrs[0], arrs[1], pos,
-                                                 arrs[2], arrs[3], layer=lc)
+                    att = flash_decode_attention(q + acc * 1e-30, arrs[0],
+                                                 arrs[1], pos, arrs[2],
+                                                 arrs[3], layer=lc)
                     acc = acc + jnp.sum(att) * 1e-30
             return (arrs, acc), None
         (arrs, acc), _ = jax.lax.scan(

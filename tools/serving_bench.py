@@ -25,6 +25,10 @@ def main() -> None:
     ap.add_argument("--prompt-len", type=int, default=31)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--kv", default="int8")
+    ap.add_argument("--kv-layout", default="dense", choices=["dense", "paged"])
+    ap.add_argument("--page-size", type=int, default=512)
+    ap.add_argument("--seq-len", type=int, default=None,
+                    help="engine KV capacity (default: model seq_len)")
     ap.add_argument("--quant", default=None, choices=[None, "int8", "w8a8"])
     ap.add_argument("--temperature", type=float, default=0.8)
     ap.add_argument("--occupancy-sweep", action="store_true",
@@ -58,7 +62,9 @@ def main() -> None:
         if args.quant:
             params = quantize_params(
                 params, mode="q8_0" if args.quant == "int8" else "w8a8")
-    engine = Engine(params, config, max_batch=args.slots, kv_dtype=args.kv)
+    engine = Engine(params, config, max_batch=args.slots, kv_dtype=args.kv,
+                    kv_layout=args.kv_layout, page_size=args.page_size,
+                    seq_len=args.seq_len)
     batcher = ContinuousBatcher(engine, max_chunk=args.chunk)
     rng = np.random.default_rng(0)
 
@@ -86,6 +92,7 @@ def main() -> None:
             "requests": n_requests,
             "occupancy": round(min(1.0, n_requests / args.slots), 2),
             "chunk": args.chunk, "kv": args.kv, "quant": args.quant,
+            "kv_layout": args.kv_layout, "seq_len": args.seq_len,
             "wall_s": round(wall, 2),
             "tokens_per_sec": round(rep.tokens_per_sec, 1),
             "per_request_tps_p50": round(rep.per_request_tps_p50, 2),
