@@ -135,6 +135,78 @@ def _prefill_continue_slots(
 
 
 @partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
+def _prefill_continue_paged(
+    params: LlamaParams,
+    cache: PagedKVCache,
+    tokens: jax.Array,  # [n, T] int32 — suffix tokens
+    starts: jax.Array,  # [n] int32 — absolute start positions (> 0)
+    lengths: jax.Array,  # [n] valid suffix length per row
+    slots: jax.Array,  # [n]
+    config: ModelConfig,
+    precision: str = "default",
+):
+    """Suffix prefill against paged slots (prefix-reuse admission on the
+    paged cache).  Gathers each slot's pages into a dense per-slot view,
+    prefills from ``starts``, and scatters the written positions back into
+    the pool — shared prefix pages are read but never written (suffix
+    positions land in the slot's private boundary/fresh pages)."""
+    n, T = tokens.shape
+    L, _, KVH, ps, hd = cache.k.shape
+    MP = cache.page_table.shape[1]
+    S = MP * ps
+    pt = cache.page_table[slots]  # [n, MP]
+
+    def gather(pool, has_hd):
+        sub = pool[:, pt]  # [L, n, MP, KVH, ps, (hd)]
+        if has_hd:
+            return sub.transpose(0, 1, 3, 2, 4, 5).reshape(L, n, KVH, S, hd)
+        return sub.transpose(0, 1, 3, 2, 4).reshape(L, n, KVH, S)
+
+    sub = QuantKVCache(
+        k=gather(cache.k, True), v=gather(cache.v, True),
+        ks=gather(cache.ks, False), vs=gather(cache.vs, False))
+    logits, sub = forward_prefill(
+        params, sub, tokens, start_pos=starts, lengths=lengths,
+        config=config, precision=precision, logits_mode="last")
+
+    # scatter positions [start, start+T) back to pool pages; positions past a
+    # slot's reservation hit table zeros (the trash page)
+    t_abs = jnp.minimum(starts[:, None] + jnp.arange(T)[None, :], S - 1)
+    pages = jnp.take_along_axis(pt, t_abs // ps, axis=1)  # [n, T]
+    p_ix = pages[:, None, :]  # [n, 1, T]
+    h_ix = jnp.arange(KVH)[None, :, None]
+    r_ix = (t_abs % ps)[:, None, :]  # [n, 1, T]
+
+    def written(arr, has_hd):
+        # rows of the dense view at the absolute suffix positions
+        if has_hd:
+            idx = t_abs[None, :, None, :, None]
+            return jnp.take_along_axis(arr, idx, axis=3)  # [L, n, KVH, T, hd]
+        return jnp.take_along_axis(arr, t_abs[None, :, None, :], axis=3)
+
+    cache = PagedKVCache(
+        k=cache.k.at[:, p_ix, h_ix, r_ix].set(written(sub.k, True)),
+        v=cache.v.at[:, p_ix, h_ix, r_ix].set(written(sub.v, True)),
+        ks=cache.ks.at[:, p_ix, h_ix, r_ix].set(written(sub.ks, False)),
+        vs=cache.vs.at[:, p_ix, h_ix, r_ix].set(written(sub.vs, False)),
+        page_table=cache.page_table,
+    )
+    return logits, cache
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _copy_pool_pages(cache: PagedKVCache, src: jax.Array, dst: jax.Array):
+    """Device page copy (prefix snapshot/restore boundary pages)."""
+    return dataclasses.replace(
+        cache,
+        k=cache.k.at[:, dst].set(cache.k[:, src]),
+        v=cache.v.at[:, dst].set(cache.v[:, src]),
+        ks=cache.ks.at[:, dst].set(cache.ks[:, src]),
+        vs=cache.vs.at[:, dst].set(cache.vs[:, src]),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
 def _decode_step(
     params: LlamaParams,
     cache: KVCache,
@@ -336,7 +408,9 @@ class Engine:
         toks = np.zeros((len(suffixes), T), np.int32)
         for i, s in enumerate(suffixes):
             toks[i, : len(s)] = s
-        logits, self.cache = _prefill_continue_slots(
+        fn = (_prefill_continue_paged if self.pool is not None
+              else _prefill_continue_slots)
+        logits, self.cache = fn(
             self.params, self.cache, jnp.asarray(toks),
             jnp.asarray(np.asarray(starts, np.int32)), jnp.asarray(lengths),
             jnp.asarray(np.asarray(slots, np.int32)),
@@ -422,12 +496,34 @@ class Engine:
                                  self.max_batch, self.pool.max_pages_per_slot)
 
     # ---- KV snapshot / prefix reuse (SURVEY §5.4c, capability extension) ----
-    def snapshot_slot(self, slot: int, length: int) -> dict:
-        """Copy one slot's KV prefix (positions [0, length)) to host arrays —
-        reusable across requests sharing a prompt prefix, or persistable."""
+    def snapshot_slot(self, slot: int, length: int) -> dict | None:
+        """Pin one slot's KV prefix (positions [0, length)) for reuse across
+        requests sharing a prompt prefix.
+
+        Dense layout: copies the rows to host arrays.  Paged layout: zero-copy
+        — pins the prefix's full pages by refcount (vLLM-style sharing) and
+        device-copies only the partial boundary page (the original slot keeps
+        appending into its own copy).  Returns None if the page pool can't
+        spare the boundary page right now (caller should simply not cache)."""
         if self.pool is not None:
-            raise NotImplementedError(
-                "KV snapshot/prefix reuse is dense-layout only for now")
+            pool = self.pool
+            n_pages = pool.pages_needed(length)
+            row = [int(p) for p in pool.table[slot, :n_pages]]
+            n_shared = length // pool.page_size
+            pin = row[:n_shared]
+            boundary = length % pool.page_size != 0
+            if boundary:
+                bp = pool.alloc_page()
+                if bp is None:
+                    return None
+                pool.retain(pin)
+                pin = pin + [bp]
+                self.cache = _copy_pool_pages(
+                    self.cache, jnp.asarray([row[n_shared]], jnp.int32),
+                    jnp.asarray([bp], jnp.int32))
+            else:
+                pool.retain(pin)
+            return {"paged": True, "length": int(length), "pages": pin}
         snap = {"length": int(length)}
         for name in ("k", "v", "ks", "vs"):
             arr = getattr(self.cache, name, None)
@@ -436,10 +532,40 @@ class Engine:
             snap[name] = np.asarray(arr[:, slot, :, :length])
         return snap
 
-    def restore_slot(self, slot: int, snap: dict) -> None:
+    def release_snapshot(self, snap: dict | None) -> None:
+        """Drop a snapshot's page pins (no-op for dense host-copy snapshots).
+        MUST be called when a prefix-cache entry is evicted, or its pages
+        leak until Engine.reset."""
+        if snap and snap.get("paged") and self.pool is not None:
+            self.pool.release_pages(snap["pages"])
+
+    def restore_slot(self, slot: int, snap: dict,
+                     reserve_tokens: int | None = None) -> None:
         """Write a snapshot back into a slot; the caller then decodes from
-        pos == snap['length'] without re-running prefill."""
+        pos == snap['length'] without re-running prefill.
+
+        Paged layout: maps the pinned full pages straight into the slot's
+        page-table row (shared, copy-on-nothing — decode only appends) and
+        copies the boundary page into a private fresh page; ``reserve_tokens``
+        sizes the slot's total reservation (prompt + generation budget)."""
         length = snap["length"]
+        if snap.get("paged"):
+            pool = self.pool
+            pool.release(slot)  # reclaim any stale holding
+            need = max(reserve_tokens or length, length)
+            res = pool.reserve_with_prefix(slot, need, snap["pages"], length)
+            if res is None:
+                raise RuntimeError(
+                    "page pool exhausted on prefix restore — gate admissions "
+                    "with Engine.can_admit")
+            _, copies = res
+            if copies:
+                self.cache = _copy_pool_pages(
+                    self.cache,
+                    jnp.asarray([c[0] for c in copies], jnp.int32),
+                    jnp.asarray([c[1] for c in copies], jnp.int32))
+            self._sync_page_table()
+            return
         updates = {}
         for name in ("k", "v", "ks", "vs"):
             arr = getattr(self.cache, name, None)

@@ -141,9 +141,10 @@ class ContinuousBatcher:
         # snapshots keyed by their token tuple; a new request whose fed
         # sequence starts with a cached prefix restores it and prefills only
         # the suffix (start_pos > 0) — generalizing the reference's
-        # always-from-pos-0 loop (llama2.ts:464).  Dense engines only
-        # (snapshots are per-slot row copies).
-        self.prefix_cache_size = prefix_cache_size if engine.pool is None else 0
+        # always-from-pos-0 loop (llama2.ts:464).  Dense snapshots are
+        # per-slot row copies; paged snapshots pin the prefix's pages by
+        # refcount and restores share them copy-free (Engine.snapshot_slot).
+        self.prefix_cache_size = prefix_cache_size
         self._prefix: dict[tuple, dict] = {}  # seq tuple -> {snap, logits}
         self.prefix_hits = 0
 
@@ -241,7 +242,8 @@ class ContinuousBatcher:
             self.prefix_hits += 1
             entry = self._prefix[key]
             self._prefix[key] = self._prefix.pop(key)  # LRU touch
-            self.engine.restore_slot(slot_ids[i], entry["snap"])
+            self.engine.restore_slot(slot_ids[i], entry["snap"],
+                                     reserve_tokens=reserves[i])
             if len(key) == len(prompts[i]):
                 last_logits[i] = entry["logits"]  # whole prompt cached
             else:
@@ -292,9 +294,12 @@ class ContinuousBatcher:
         except NotImplementedError:
             self.prefix_cache_size = 0
             return
+        if snap is None:  # paged pool too full to pin a boundary page
+            return
         self._prefix[seq] = {"snap": snap, "logits": np.array(logits)}
         while len(self._prefix) > self.prefix_cache_size:
-            self._prefix.pop(next(iter(self._prefix)))  # evict LRU
+            evicted = self._prefix.pop(next(iter(self._prefix)))  # LRU
+            self.engine.release_snapshot(evicted["snap"])
 
     def _decode_tick(self) -> None:
         active_slots = [i for i, s in enumerate(self.slots) if s is not None]
