@@ -148,6 +148,35 @@ def test_streaming_generate(server):
     assert "".join(pieces) == plain["text"]
 
 
+def test_streaming_logprobs(server):
+    """stream=true + logprobs: each piece event carries the sampled token's
+    logprob and top-N alternatives, matching the non-streaming response."""
+    plain = _post(server.port, "/generate",
+                  dict(prompt="Once", steps=12, temperature=0.0, seed=1,
+                       logprobs=2))[1]
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=json.dumps(dict(prompt="Once", steps=12, temperature=0.0,
+                             seed=1, stream=True, logprobs=2)).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    events, done = [], None
+    with urllib.request.urlopen(req, timeout=120) as r:
+        for line in r:
+            event = json.loads(line)
+            if event.get("done"):
+                done = event
+            else:
+                events.append(event)
+    assert done is not None and done["n_tokens"] == plain["n_tokens"]
+    assert [e["token"] for e in events] == plain["tokens"]
+    assert [e["logprob"] for e in events] == plain["logprobs"]
+    for e in events:
+        assert len(e["top_logprobs"]) == 2
+        assert e["top_logprobs"][0]["token"] == e["token"]  # greedy == top-1
+
+
 def test_generate_logprobs(server):
     status, body = _post(server.port, "/generate", {
         "prompt": "Once", "steps": 10, "temperature": 0.0, "seed": 1,

@@ -11,6 +11,9 @@ HTTP threads only enqueue and wait).
                      "device_sampling": bool, "stop_on_eos": bool}
         -> {"text": str, "tokens": [int], "ttft_s": float, "n_tokens": int,
             "logprobs": [float], "top_logprobs": [[{token, logprob}]]}
+        stream=true -> ndjson piece events ({"piece": str}, plus token/
+        logprob/top_logprobs fields when logprobs > 0) ending in a
+        {"done": true, ...} summary line
     GET  /healthz   -> {"ok": true, "active": int, "queued": int}
     GET  /metrics   -> ServingReport JSON over all finished requests
 """
@@ -146,25 +149,43 @@ class LlamaServer:
                         temperature: float = 1.0, topp: float = 1.0,
                         seed: int = 1, timeout: float = 600.0,
                         device_sampling: bool = False,
-                        stop_on_eos: bool = False, topk: int = 0):
+                        stop_on_eos: bool = False, topk: int = 0,
+                        logprobs: int = 0, priority: int = 0):
         """Yields detokenized pieces as they are produced, then a final
-        summary dict."""
+        summary dict.  With ``logprobs > 0`` each piece arrives as a dict
+        carrying the sampled token's logprob and the top-N alternatives
+        (this forces host-side sampling, same as non-streaming logprobs)."""
         import queue as _q
 
         pieces: "_q.Queue[int | None]" = _q.Queue()
         ptoks, req, ev = self._submit(
             prompt, steps, temperature, topp, seed, device_sampling,
-            stop_on_eos, on_token=pieces.put, topk=topk)
+            stop_on_eos, on_token=pieces.put, topk=topk, logprobs=logprobs,
+            priority=priority)
         prev = ptoks[-1] if ptoks else BOS
         done_watcher = threading.Thread(
             target=lambda: (ev.wait(timeout), pieces.put(None)), daemon=True)
         done_watcher.start()
+        idx = 0
         while True:
             tok = pieces.get()
             if tok is None:
                 break
-            yield self.tokenizer.decode_token(tok, prev_token=prev)
+            piece = self.tokenizer.decode_token(tok, prev_token=prev)
+            if logprobs > 0:
+                # _emit records logprobs for token i before on_token fires,
+                # so index i is always populated by the time we see it
+                lp = (req.out_logprobs[idx]
+                      if idx < len(req.out_logprobs) else None)
+                tops = (req.out_top_logprobs[idx]
+                        if idx < len(req.out_top_logprobs) else [])
+                yield {"piece": piece, "token": tok, "logprob": lp,
+                       "top_logprobs": [{"token": t, "logprob": l}
+                                        for t, l in tops]}
+            else:
+                yield piece
             prev = tok
+            idx += 1
         yield {"n_tokens": len(req.out_tokens), "ttft_s": req.ttft}
 
     def _make_handler(server_self):
@@ -210,9 +231,8 @@ class LlamaServer:
                         stop_on_eos=bool(body.get("stop_on_eos", False)),
                         topk=int(body.get("topk", 0)),
                     )
-                    if not body.get("stream"):
-                        kwargs["logprobs"] = int(body.get("logprobs", 0))
-                        kwargs["priority"] = int(body.get("priority", 0))
+                    kwargs["logprobs"] = int(body.get("logprobs", 0))
+                    kwargs["priority"] = int(body.get("priority", 0))
                     if body.get("stream"):
                         # newline-delimited JSON events; connection close ends
                         # the stream (HTTP/1.0 framing)
@@ -220,10 +240,12 @@ class LlamaServer:
                         self.send_header("Content-Type", "application/x-ndjson")
                         self.end_headers()
                         for piece in server_self.generate_stream(**kwargs):
-                            if isinstance(piece, dict):
-                                event = {"done": True, **piece}
-                            else:
+                            if isinstance(piece, str):
                                 event = {"piece": piece}
+                            elif "piece" in piece:  # logprobs-bearing event
+                                event = piece
+                            else:
+                                event = {"done": True, **piece}
                             self.wfile.write(json.dumps(event).encode() + b"\n")
                             self.wfile.flush()
                         return
