@@ -78,6 +78,37 @@ def test_flash_int8_close_to_fp(rng_np):
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("KHb", [2, 4])
+def test_fresh_head_fold_parity(rng_np, int8, KHb):
+    """Folding KV heads into one grid cell (head_block > 1) is bit-identical
+    to the per-head grid — the per-head math is unchanged."""
+    from tpu_llama.ops.attention import flash_decode_attention_fresh
+
+    B, KVH, G, S, hd = 2, 4, 2, 64, 64
+    L = 3
+    q = jnp.asarray(rng_np.standard_normal((B, KVH, G, hd)), jnp.float32)
+    k = jnp.asarray(rng_np.standard_normal((L, B, KVH, S, hd)), jnp.float32)
+    v = jnp.asarray(rng_np.standard_normal((L, B, KVH, S, hd)), jnp.float32)
+    nk = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    nv = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    pos = jnp.asarray(rng_np.integers(0, S, size=B), jnp.int32)
+
+    kw = dict(layer=1)
+    if int8:
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        nkq, nks = quantize_kv(nk)
+        nvq, nvs = quantize_kv(nv)
+        kw.update(k_scale=ks, v_scale=vs, new_ks=nks, new_vs=nvs)
+        k, v, nk, nv = kq, vq, nkq, nvq
+    base = flash_decode_attention_fresh(q, k, v, pos, nk, nv,
+                                        head_block=1, **kw)
+    fold = flash_decode_attention_fresh(q, k, v, pos, nk, nv,
+                                        head_block=KHb, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(fold))
+
+
 def test_quantize_kv_roundtrip(rng_np):
     x = rng_np.standard_normal((4, 2, 16, 64)).astype(np.float32)
     q, s = quantize_kv(jnp.asarray(x))

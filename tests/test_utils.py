@@ -43,6 +43,30 @@ def test_engine_config_build(tmp_path, tiny_weights, tiny_tokenizer):
     assert r.done
 
 
+def test_engine_config_build_paged(tmp_path, tiny_weights, tiny_tokenizer):
+    """Config-driven serving can run the paged KV layout end to end."""
+    from tpu_llama.io.checkpoint import write_checkpoint
+
+    write_checkpoint(tmp_path / "model.bin", tiny_weights)
+    tiny_tokenizer.save(tmp_path / "tok.bin")
+    cfg = EngineConfig(checkpoint=str(tmp_path / "model.bin"),
+                       tokenizer=str(tmp_path / "tok.bin"),
+                       max_batch=2, precision="highest",
+                       kv_layout="paged", page_size=8)
+    path = tmp_path / "engine.json"
+    cfg.save(path)
+    cfg = EngineConfig.load(path)
+    engine, tok = cfg.build_engine()
+    assert engine.pool is not None and engine.pool.page_size == 8
+
+    from tpu_llama.runtime import ContinuousBatcher, Request
+    b = ContinuousBatcher(engine)
+    r = Request(prompt_tokens=tok.encode("Once"), steps=8, temperature=0.0)
+    b.submit(r)
+    b.run()
+    assert r.done and r.out_tokens
+
+
 def test_profile_trace_noop_and_capture(tmp_path):
     with profile_trace(None):
         pass  # no-op path

@@ -178,6 +178,60 @@ def run_attention(B: int, KVH: int, S: int, hd: int, pos_fill: int,
     }), flush=True)
 
 
+def run_fresh_attention(L: int, B: int, KVH: int, S: int, hd: int,
+                        pos_fill: int, iters: int, reps: int,
+                        head_block: int):
+    """Deferred-flush fresh attention: head-fold A/B (NEXT r2 #3).
+
+    Times flash_decode_attention_fresh over a stacked [L, ...] cache with a
+    chained q dependency (reads cannot be hoisted); layer cycles through the
+    stack like the decode scan does."""
+    from tpu_llama.ops.attention import flash_decode_attention_fresh
+
+    key = jax.random.PRNGKey(0)
+    G = 1
+    q = jax.random.normal(key, (B, KVH, G, hd), jnp.float32)
+    kc = jax.random.randint(key, (L, B, KVH, S, hd), -127, 127, jnp.int8)
+    vc = jax.random.randint(key, (L, B, KVH, S, hd), -127, 127, jnp.int8)
+    ks = jnp.full((L, B, KVH, S), 1e-2, jnp.float32)
+    vs = jnp.full((L, B, KVH, S), 1e-2, jnp.float32)
+    nk = jax.random.randint(key, (B, KVH, hd), -127, 127, jnp.int8)
+    nv = jax.random.randint(key, (B, KVH, hd), -127, 127, jnp.int8)
+    nks = jnp.full((B, KVH), 1e-2, jnp.float32)
+    nvs = jnp.full((B, KVH), 1e-2, jnp.float32)
+    pos = jnp.full((B,), pos_fill, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("hb",))
+    def loop(q, pos, hb):
+        def body(carry, l):
+            q, _ = carry, None
+            out = flash_decode_attention_fresh(
+                q, kc, vc, pos, nk, nv, ks, vs, nks, nvs,
+                layer=l % L, head_block=hb)
+            q2 = q + jnp.sum(out) * 1e-30
+            return q2, out[0, 0, 0, :1]
+        return jax.lax.scan(body, q, jnp.arange(iters, dtype=jnp.int32))
+
+    q1, outs = loop(q, pos, head_block)
+    np.asarray(outs)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, outs = loop(q, pos, head_block)
+        np.asarray(outs)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times)) / iters
+    full = 2 * B * KVH * S * hd  # int8 K+V block bytes per call
+    print(json.dumps({
+        "case": f"fresh_attn_hb{head_block}",
+        "L": L, "B": B, "KVH": KVH, "S": S, "pos": pos_fill,
+        "ms_per_iter": round(med * 1e3, 4),
+        "cells": B * (KVH // max(1, head_block)),
+        "full_GB_s": round(full / med / 1e9, 1),
+        "spread": round((max(times) - min(times)) / (med * iters), 3),
+    }), flush=True)
+
+
 def run_write_alias(L: int, B: int, KVH: int, S: int, hd: int,
                     iters: int, reps: int, mode: str):
     """Does the aliased in-place KV write stay in place inside a scan?
@@ -275,7 +329,23 @@ def main():
     ap.add_argument("--attn-S", type=int, default=2048)
     ap.add_argument("--alias", default="", help="comma list of write|read|rw")
     ap.add_argument("--alias-L", type=int, default=32)
+    ap.add_argument("--fresh", default="",
+                    help="comma list of pos:head_block for the deferred-"
+                         "flush attention head-fold A/B")
     args = ap.parse_args()
+
+    if args.fresh:
+        for spec in args.fresh.split(","):
+            posf, hb = map(int, spec.split(":"))
+            try:
+                run_fresh_attention(args.alias_L, args.batch, 32, args.attn_S,
+                                    128, posf, max(8, args.iters // 4),
+                                    args.reps, hb)
+            except Exception as e:
+                print(json.dumps({"case": f"fresh_{spec}",
+                                  "error": f"{type(e).__name__}: {e}"[:300]}),
+                      flush=True)
+        return
 
     if args.probe:
         bandwidth_probe()

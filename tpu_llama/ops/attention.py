@@ -124,7 +124,8 @@ def _flash_decode_kernel(s_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _flash_decode_fresh_kernel(s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref,
-                               o_ref, *, int8: bool, ks_ref=None, vs_ref=None,
+                               o_ref, *, int8: bool, KH: int = 1,
+                               ks_ref=None, vs_ref=None,
                                nks_ref=None, nvs_ref=None):
     """Single-pass decode attention where the CURRENT token's K/V row arrives
     as explicit inputs instead of being pre-written to the cache.
@@ -135,46 +136,52 @@ def _flash_decode_fresh_kernel(s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref,
     ``pos`` (row ``pos`` may hold stale data); the fresh row joins the
     softmax as one extra column.  Equals the write-then-attend kernel
     bit-for-bit because the fresh row arrives already quantized.
+
+    ``KH`` folds that many KV heads into one grid cell (statically unrolled
+    head loop): at large batch the (B, KVH) grid's fixed per-cell cost
+    dominates — e.g. b64 x 32 heads = 2048 cells/layer — and folding divides
+    the cell count without changing any per-head math.
     """
     b = pl.program_id(0)
     pos = s_ref[0, b]
 
-    q = q_ref[0, 0]  # [G8, hd] (pre-scaled by 1/sqrt(hd))
-    k = k_ref[0, 0]  # [S, hd]
-    qq = q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32)
-    s = jax.lax.dot_general(
-        qq, k.astype(qq.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [G8, S]
-    # fresh-row score on the VPU (an N=1 MXU dot miscompiles in Mosaic);
-    # f32 accumulate — at least as accurate as the cache path's bf16 dot
-    s_new = jnp.sum(
-        q.astype(jnp.float32) * nk_ref[0, 0].astype(jnp.float32),
-        axis=-1, keepdims=True)  # [G8, 1]
-    if int8:
-        s = s * ks_ref[0, 0]
-        s_new = s_new * nks_ref[0, 0]
+    for h in range(KH):
+        q = q_ref[0, h]  # [G8, hd] (pre-scaled by 1/sqrt(hd))
+        k = k_ref[0, h]  # [S, hd]
+        qq = q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qq, k.astype(qq.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [G8, S]
+        # fresh-row score on the VPU (an N=1 MXU dot miscompiles in Mosaic);
+        # f32 accumulate — at least as accurate as the cache path's bf16 dot
+        s_new = jnp.sum(
+            q.astype(jnp.float32) * nk_ref[0, h].astype(jnp.float32),
+            axis=-1, keepdims=True)  # [G8, 1]
+        if int8:
+            s = s * ks_ref[0, h]
+            s_new = s_new * nks_ref[0, h]
 
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(s_idx < pos, s, _NEG_INF)  # STRICT: row pos is stale
-    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
-    e = jnp.exp(s - m)
-    e_new = jnp.exp(s_new - m)  # [G8, 1]
-    l = jnp.sum(e, axis=-1, keepdims=True) + e_new
-    p = e / l
-    p_new = e_new / l
-    if int8:
-        p = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
-        p_new = p_new * nvs_ref[0, 0]
-        v = v_ref[0, 0].astype(jnp.bfloat16)
-        nv = nv_ref[0, 0].astype(jnp.float32)
-    else:
-        p = p.astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        nv = nv_ref[0, 0].astype(jnp.float32)
-    o_ref[0, 0] = (
-        jnp.dot(p, v, preferred_element_type=jnp.float32)
-        + p_new * nv
-    ).astype(o_ref.dtype)
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(s_idx < pos, s, _NEG_INF)  # STRICT: row pos is stale
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_new)
+        e = jnp.exp(s - m)
+        e_new = jnp.exp(s_new - m)  # [G8, 1]
+        l = jnp.sum(e, axis=-1, keepdims=True) + e_new
+        p = e / l
+        p_new = e_new / l
+        if int8:
+            p = (p * vs_ref[0, h]).astype(jnp.bfloat16)
+            p_new = p_new * nvs_ref[0, h]
+            v = v_ref[0, h].astype(jnp.bfloat16)
+            nv = nv_ref[0, h].astype(jnp.float32)
+        else:
+            p = p.astype(jnp.float32)
+            v = v_ref[0, h].astype(jnp.float32)
+            nv = nv_ref[0, h].astype(jnp.float32)
+        o_ref[0, h] = (
+            jnp.dot(p, v, preferred_element_type=jnp.float32)
+            + p_new * nv
+        ).astype(o_ref.dtype)
 
 
 def _flash_decode_simple_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *,
@@ -427,10 +434,15 @@ def flash_decode_attention_fresh(
     new_ks: jax.Array | None = None,  # [B, KVH] f32
     new_vs: jax.Array | None = None,
     layer: jax.Array | int | None = None,
+    head_block: int | str = "auto",
 ) -> jax.Array:
     """Deferred-flush decode attention: cache rows < pos + the fresh row as
     inputs.  Returns [B, KVH, G, hd] f32.  Dense caches only (paged decode
-    stays on the write-then-attend kernels)."""
+    stays on the write-then-attend kernels).
+
+    ``head_block``: KV heads folded per grid cell (see kernel docstring);
+    "auto" picks the largest divisor of KVH whose K+V block fits ~4 MB of
+    VMEM (capped at 8)."""
     B, KVH, G, hd = q.shape
     if k_cache.ndim == 4:
         k_cache, v_cache = k_cache[None], v_cache[None]
@@ -441,6 +453,15 @@ def flash_decode_attention_fresh(
     S = k_cache.shape[3]
     int8 = k_cache.dtype == jnp.int8
     G8 = _pad_g(G)
+    if head_block == "auto":
+        per_head = 2 * S * hd * (1 if int8 else k_cache.dtype.itemsize)
+        head_block = 1
+        for cand in (2, 4, 8):
+            if KVH % cand == 0 and cand * per_head <= (4 << 20):
+                head_block = cand
+    KHb = max(1, int(head_block))
+    if KVH % KHb != 0:
+        KHb = 1
 
     qs = q.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
     if G8 != G:
@@ -454,7 +475,7 @@ def flash_decode_attention_fresh(
     lconst = layer if isinstance(layer, int) else None
     scal = _decode_scalars(pos, 0 if lconst is not None else layer)
 
-    grid = (B, KVH)
+    grid = (B, KVH // KHb)
     if lconst is not None:
         def kv_index(b, k, s_ref):
             return (lconst * B + b, k, 0, 0)
@@ -465,12 +486,16 @@ def flash_decode_attention_fresh(
     def small_index(b, k, *_):
         return (b, k, 0, 0)
 
-    qspec = pl.BlockSpec((1, 1, G8, hd), small_index, memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, 1, S, hd), kv_index, memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 1, 1, S), kv_index, memory_space=pltpu.VMEM)
-    nkspec = pl.BlockSpec((1, 1, 1, hd), small_index, memory_space=pltpu.VMEM)
-    nsspec = pl.BlockSpec((1, 1, 1, 1), small_index, memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 1, G8, hd), small_index, memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, KHb, G8, hd), small_index,
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, KHb, S, hd), kv_index, memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, KHb, 1, S), kv_index, memory_space=pltpu.VMEM)
+    nkspec = pl.BlockSpec((1, KHb, 1, hd), small_index,
+                          memory_space=pltpu.VMEM)
+    nsspec = pl.BlockSpec((1, KHb, 1, 1), small_index,
+                          memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, KHb, G8, hd), small_index,
+                         memory_space=pltpu.VMEM)
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel"))
 
@@ -479,7 +504,7 @@ def flash_decode_attention_fresh(
                  nks_ref, nvs_ref, o_ref):
             _flash_decode_fresh_kernel(
                 s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref, o_ref, int8=True,
-                ks_ref=ks_ref, vs_ref=vs_ref, nks_ref=nks_ref,
+                KH=KHb, ks_ref=ks_ref, vs_ref=vs_ref, nks_ref=nks_ref,
                 nvs_ref=nvs_ref)
 
         in_specs = [qspec, kvspec, kvspec, sspec, sspec, nkspec, nkspec,
@@ -492,7 +517,8 @@ def flash_decode_attention_fresh(
     else:
         def kern(s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref, o_ref):
             _flash_decode_fresh_kernel(
-                s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref, o_ref, int8=False)
+                s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref, o_ref,
+                int8=False, KH=KHb)
 
         in_specs = [qspec, kvspec, kvspec, nkspec, nkspec]
         args = (qs, k4, v4, nk4, nv4)

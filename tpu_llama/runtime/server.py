@@ -261,7 +261,8 @@ class LlamaServer:
 def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
           port: int = 8000, max_batch: int = 8, quant: str | None = None,
           kv_dtype: str = "float32", request_log: str | None = None,
-          watchdog_s: float | None = None):
+          watchdog_s: float | None = None, kv_layout: str = "dense",
+          page_size: int = 512):
     """Blocking entry point: tpu-llama-serve."""
     from tpu_llama.io import Tokenizer, load_checkpoint
     from tpu_llama.models import params_from_raw, quantize_params
@@ -272,7 +273,8 @@ def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
     if quant in ("int8", "w8a8"):
         params = quantize_params(
             params, mode="q8_0" if quant == "int8" else "w8a8")
-    engine = Engine(params, raw.config, max_batch=max_batch, kv_dtype=kv_dtype)
+    engine = Engine(params, raw.config, max_batch=max_batch, kv_dtype=kv_dtype,
+                    kv_layout=kv_layout, page_size=page_size)
     srv = LlamaServer(engine, tok, port=port, request_log=request_log,
                       watchdog_s=watchdog_s).start()
     print(f"serving on :{srv.port} (config={raw.config})")
@@ -294,6 +296,8 @@ def serve_cli() -> None:
     ap.add_argument("--max-batch", type=int)
     ap.add_argument("--quant", choices=["int8", "w8a8"])
     ap.add_argument("--kv-dtype", choices=["float32", "bfloat16", "int8"])
+    ap.add_argument("--kv-layout", choices=["dense", "paged"])
+    ap.add_argument("--page-size", type=int)
     ap.add_argument("--request-log")
     ap.add_argument("--watchdog-s", type=float)
     args = ap.parse_args()
@@ -306,6 +310,8 @@ def serve_cli() -> None:
                            ("tokenizer", args.tokenizer),
                            ("quant", args.quant),
                            ("kv_dtype", args.kv_dtype),
+                           ("kv_layout", args.kv_layout),
+                           ("page_size", args.page_size),
                            ("max_batch", args.max_batch)):
             if val is not None:
                 setattr(cfg, field, val)
@@ -336,4 +342,6 @@ def serve_cli() -> None:
         kv_dtype=args.kv_dtype or "float32",
         request_log=args.request_log,
         watchdog_s=args.watchdog_s,
+        kv_layout=args.kv_layout or "dense",
+        page_size=args.page_size or 512,
     )

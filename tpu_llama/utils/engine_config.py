@@ -40,6 +40,9 @@ class EngineConfig:
     max_batch: int = 8
     precision: str = "default"  # "default" | "highest"
     seq_len: int | None = None
+    kv_layout: str = "dense"  # "dense" | "paged" (paged implies int8 KV)
+    page_size: int = 512
+    num_pages: int | None = None  # paged pool size (default: dense-equiv)
     mesh_data: int = 1
     mesh_model: int = 1
     server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
@@ -88,5 +91,7 @@ class EngineConfig:
             params = shard_params(params, mesh)
         engine = Engine(params, raw.config, max_batch=self.max_batch,
                         kv_dtype=self.kv_dtype, precision=self.precision,
-                        seq_len=self.seq_len, mesh=mesh)
+                        seq_len=self.seq_len, mesh=mesh,
+                        kv_layout=self.kv_layout, page_size=self.page_size,
+                        num_pages=self.num_pages)
         return engine, tok
