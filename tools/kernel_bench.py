@@ -202,7 +202,7 @@ def run_fresh_attention(L: int, B: int, KVH: int, S: int, hd: int,
     pos = jnp.full((B,), pos_fill, jnp.int32)
 
     @functools.partial(jax.jit, static_argnames=("hb",))
-    def loop(q, pos, hb):
+    def loop(q, kc, vc, ks, vs, pos, hb):
         def body(carry, l):
             q, _ = carry, None
             out = flash_decode_attention_fresh(
@@ -212,12 +212,17 @@ def run_fresh_attention(L: int, B: int, KVH: int, S: int, hd: int,
             return q2, out[0, 0, 0, :1]
         return jax.lax.scan(body, q, jnp.arange(iters, dtype=jnp.int32))
 
-    q1, outs = loop(q, pos, head_block)
+    loop = functools.partial(loop, q, kc, vc, ks, vs)
+
+    def run(hb):
+        return loop(pos, hb)
+
+    q1, outs = run(head_block)
     np.asarray(outs)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        _, outs = loop(q, pos, head_block)
+        _, outs = run(head_block)
         np.asarray(outs)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times)) / iters
