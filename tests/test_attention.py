@@ -184,3 +184,103 @@ def test_flash_prefill_int8_kv_matches_dequant():
     want = ref_prefill_attention(q, kf, vf, start)
     # int8 path scores ride bf16 on the MXU: ~3 decimal digits
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("block_s", [16, 64])
+def test_dma_decode_matches_fresh(rng_np, int8, block_s):
+    """Manual-DMA pos-proportional decode attention equals the fresh kernel
+    (fp exactly; int8 to bf16 accumulation-order tolerance — the DMA kernel
+    normalizes after online accumulation, the fresh kernel before)."""
+    from tpu_llama.ops.attention import (
+        flash_decode_attention_dma,
+        flash_decode_attention_fresh,
+    )
+
+    B, KVH, G, S, hd = 3, 4, 2, 64, 64
+    L = 2
+    q = jnp.asarray(rng_np.standard_normal((B, KVH, G, hd)), jnp.float32)
+    k = jnp.asarray(rng_np.standard_normal((L, B, KVH, S, hd)), jnp.float32)
+    v = jnp.asarray(rng_np.standard_normal((L, B, KVH, S, hd)), jnp.float32)
+    nk = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    nv = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    pos = jnp.asarray([0, 17, S - 1], jnp.int32)  # empty, partial, full
+
+    kw = dict()
+    if int8:
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        nkq, nks = quantize_kv(nk)
+        nvq, nvs = quantize_kv(nv)
+        kw.update(k_scale=ks, v_scale=vs, new_ks=nks, new_vs=nvs)
+        k, v, nk, nv = kq, vq, nkq, nvq
+    for layer in range(L):
+        base = flash_decode_attention_fresh(q, k, v, pos, nk, nv,
+                                            layer=layer, **kw)
+        dma = flash_decode_attention_dma(q, k, v, pos, nk, nv,
+                                         layer=jnp.int32(layer),
+                                         block_s=block_s, **kw)
+        if int8:
+            np.testing.assert_allclose(np.asarray(base), np.asarray(dma),
+                                       rtol=2e-2, atol=2e-2)
+        else:
+            np.testing.assert_allclose(np.asarray(base), np.asarray(dma),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_dma_decode_ignores_rows_at_and_beyond_pos(rng_np):
+    """Strict < pos masking: rows at/past pos can hold garbage."""
+    from tpu_llama.ops.attention import flash_decode_attention_dma
+
+    B, KVH, G, S, hd = 2, 2, 1, 64, 64
+    q = jnp.asarray(rng_np.standard_normal((B, KVH, G, hd)), jnp.float32)
+    k = rng_np.standard_normal((1, B, KVH, S, hd)).astype(np.float32)
+    v = rng_np.standard_normal((1, B, KVH, S, hd)).astype(np.float32)
+    nk = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    nv = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    pos = np.array([5, 33], np.int32)
+
+    base = np.asarray(flash_decode_attention_dma(
+        q, jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos), nk, nv,
+        layer=jnp.int32(0), block_s=16))
+    k2, v2 = k.copy(), v.copy()
+    for b in range(B):
+        k2[0, b, :, pos[b]:] = 1e9
+        v2[0, b, :, pos[b]:] = -1e9
+    poisoned = np.asarray(flash_decode_attention_dma(
+        q, jnp.asarray(k2), jnp.asarray(v2), jnp.asarray(pos), nk, nv,
+        layer=jnp.int32(0), block_s=16))
+    np.testing.assert_array_equal(base, poisoned)
+
+
+def test_paged_dma_matches_paged_fresh(rng_np):
+    """Paged manual-DMA kernel is bit-identical to the index-map-clamped
+    paged fresh kernel (identical online block structure)."""
+    from tpu_llama.ops.attention import (
+        paged_flash_decode_attention_dma,
+        paged_flash_decode_attention_fresh,
+    )
+
+    L, B, KVH, G, hd = 2, 3, 4, 2, 128
+    P, ps, MP = 8, 16, 4
+    kf = jnp.asarray(rng_np.standard_normal((L, P, KVH, ps, hd)), jnp.float32)
+    vf = jnp.asarray(rng_np.standard_normal((L, P, KVH, ps, hd)), jnp.float32)
+    kq, ks = quantize_kv(kf)
+    vq, vs = quantize_kv(vf)
+    q = jnp.asarray(rng_np.standard_normal((B, KVH, G, hd)), jnp.float32)
+    nk = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    nv = jnp.asarray(rng_np.standard_normal((B, KVH, hd)), jnp.float32)
+    nkq, nks = quantize_kv(nk)
+    nvq, nvs = quantize_kv(nv)
+    pt = jnp.asarray([[0, 3, 5, 7], [1, 2, 4, 6], [7, 0, 1, 2]], jnp.int32)
+    pos = jnp.asarray([0, 19, P * ps // 2 - 1][:B], jnp.int32)
+    pos = jnp.minimum(pos, MP * ps - 1)
+
+    for layer in range(L):
+        a = paged_flash_decode_attention_fresh(
+            q, kq, vq, ks, vs, pt, pos, nkq, nvq, nks, nvs,
+            layer=jnp.int32(layer))
+        b = paged_flash_decode_attention_dma(
+            q, kq, vq, ks, vs, pt, pos, nkq, nvq, nks, nvs,
+            layer=jnp.int32(layer))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -237,6 +237,59 @@ def run_fresh_attention(L: int, B: int, KVH: int, S: int, hd: int,
     }), flush=True)
 
 
+def run_dma_attention(L: int, B: int, KVH: int, S: int, hd: int,
+                      pos_fill: int, iters: int, reps: int, block_s: int):
+    """Manual-DMA decode attention A/B vs the fresh kernel: same harness as
+    run_fresh_attention, but reads are pos-proportional."""
+    from tpu_llama.ops.attention import flash_decode_attention_dma
+
+    key = jax.random.PRNGKey(0)
+    G = 1
+    q = jax.random.normal(key, (B, KVH, G, hd), jnp.float32)
+    kc = jax.random.randint(key, (L, B, KVH, S, hd), -127, 127, jnp.int8)
+    vc = jax.random.randint(key, (L, B, KVH, S, hd), -127, 127, jnp.int8)
+    ks = jnp.full((L, B, KVH, S), 1e-2, jnp.float32)
+    vs = jnp.full((L, B, KVH, S), 1e-2, jnp.float32)
+    nk = jax.random.randint(key, (B, KVH, hd), -127, 127, jnp.int8)
+    nv = jax.random.randint(key, (B, KVH, hd), -127, 127, jnp.int8)
+    nks = jnp.full((B, KVH), 1e-2, jnp.float32)
+    nvs = jnp.full((B, KVH), 1e-2, jnp.float32)
+    pos = jnp.full((B,), pos_fill, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("bs",))
+    def loop(q, kc, vc, ks, vs, pos, bs):
+        def body(carry, l):
+            out = flash_decode_attention_dma(
+                carry, kc, vc, pos, nk, nv, ks, vs, nks, nvs,
+                layer=l % L, block_s=bs)
+            q2 = carry + jnp.sum(out) * 1e-30
+            return q2, out[0, 0, 0, :1]
+        return jax.lax.scan(body, q, jnp.arange(iters, dtype=jnp.int32))
+
+    def run():
+        return loop(q, kc, vc, ks, vs, pos, block_s)
+
+    q1, outs = run()
+    np.asarray(outs)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, outs = run()
+        np.asarray(outs)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times)) / iters
+    # traffic actually read: ceil(pos/TS) blocks of K+V (+f32 scales)
+    nb = -(-pos_fill // block_s)
+    touched = 2 * B * KVH * nb * block_s * (hd + 4)
+    print(json.dumps({
+        "case": f"dma_attn_bs{block_s}",
+        "L": L, "B": B, "KVH": KVH, "S": S, "pos": pos_fill,
+        "ms_per_iter": round(med * 1e3, 4),
+        "touched_GB_s": round(touched / med / 1e9, 1),
+        "spread": round((max(times) - min(times)) / (med * iters), 3),
+    }), flush=True)
+
+
 def run_write_alias(L: int, B: int, KVH: int, S: int, hd: int,
                     iters: int, reps: int, mode: str):
     """Does the aliased in-place KV write stay in place inside a scan?
@@ -337,7 +390,23 @@ def main():
     ap.add_argument("--fresh", default="",
                     help="comma list of pos:head_block for the deferred-"
                          "flush attention head-fold A/B")
+    ap.add_argument("--dyn", default="",
+                    help="comma list of pos:block_s for the manual-DMA "
+                         "pos-proportional decode attention A/B")
     args = ap.parse_args()
+
+    if args.dyn:
+        for spec in args.dyn.split(","):
+            posf, bs = map(int, spec.split(":"))
+            try:
+                run_dma_attention(args.alias_L, args.batch, 32, args.attn_S,
+                                  128, posf, max(8, args.iters // 4),
+                                  args.reps, bs)
+            except Exception as e:
+                print(json.dumps({"case": f"dyn_{spec}",
+                                  "error": f"{type(e).__name__}: {e}"[:300]}),
+                      flush=True)
+        return
 
     if args.fresh:
         for spec in args.fresh.split(","):

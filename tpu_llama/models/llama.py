@@ -677,7 +677,7 @@ def forward_decode(
             cache.k, cache.v, cache.ks, cache.vs)
         new_cache = PagedKVCache(ck, cv, cks, cvs,
                                  page_table=cache.page_table)
-    elif attn == "flash":
+    elif attn in ("flash", "flash_dma"):
         # DEFERRED FLUSH (the dense perf path): the cache is read-only during
         # the layer scan — each layer's fresh K/V row joins the softmax as an
         # explicit extra column (flash_decode_attention_fresh) and the rows
@@ -685,10 +685,16 @@ def forward_decode(
         # into the cache: per-layer aliased writes cost ~0.45 ms each in
         # dynamic-index-map overhead on this chip; the flush amortizes it
         # across all layers (tools/kernel_bench.py --alias).
+        # "flash_dma" swaps in the manual-DMA kernel whose HBM reads are
+        # proportional to each slot's pos, not the allocated seq_len.
         from tpu_llama.ops.attention import (
+            flash_decode_attention_dma,
             flash_decode_attention_fresh,
             kv_cache_flush_rows,
         )
+
+        attend = (flash_decode_attention_dma if attn == "flash_dma"
+                  else flash_decode_attention_fresh)
 
         def layer_step(x, scanned):
             lp, l = scanned
@@ -698,14 +704,14 @@ def forward_decode(
             if quant:
                 kq, ks_ = quantize_kv(k)
                 vq, vs_ = quantize_kv(v)
-                att = flash_decode_attention_fresh(
+                att = attend(
                     qg, cache.k, cache.v, pos, kq, vq,
                     cache.ks, cache.vs, ks_, vs_, layer=l)
                 rows = (kq, ks_, vq, vs_)
             else:
                 kc = k.astype(cache.k.dtype)
                 vc = v.astype(cache.v.dtype)
-                att = flash_decode_attention_fresh(
+                att = attend(
                     qg, cache.k, cache.v, pos, kc, vc, layer=l)
                 rows = (kc, vc)
             att = att.reshape(B, config.dim).astype(x.dtype)
