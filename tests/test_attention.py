@@ -254,8 +254,9 @@ def test_dma_decode_ignores_rows_at_and_beyond_pos(rng_np):
 
 
 def test_paged_dma_matches_paged_fresh(rng_np):
-    """Paged manual-DMA kernel is bit-identical to the index-map-clamped
-    paged fresh kernel (identical online block structure)."""
+    """Paged manual-DMA kernel matches the index-map-clamped paged fresh
+    kernel (same online block structure; the DMA kernel's fresh-column merge
+    runs in an XLA epilogue, so reductions may associate differently)."""
     from tpu_llama.ops.attention import (
         paged_flash_decode_attention_dma,
         paged_flash_decode_attention_fresh,
@@ -283,4 +284,5 @@ def test_paged_dma_matches_paged_fresh(rng_np):
         b = paged_flash_decode_attention_dma(
             q, kq, vq, ks, vs, pt, pos, nkq, nvq, nks, nvs,
             layer=jnp.int32(layer))
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -407,3 +407,26 @@ def test_priority_policy_rejects_unknown():
     with _pytest.raises(ValueError):
         ContinuousBatcher.__new__(ContinuousBatcher).__init__(
             engine=None, policy="wrong")
+
+
+@pytest.mark.parametrize("kv_layout", ["dense", "paged"])
+def test_engine_flash_dma_matches_default(tiny_weights, tiny_tokenizer,
+                                          kv_layout):
+    """attn='flash_dma' threads through Engine/scheduler and produces the
+    same greedy stream as the default attention path."""
+    prompt = tiny_tokenizer.encode("Once upon a time")
+
+    def run(attn):
+        eng = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                     max_batch=2, precision="highest", attn=attn,
+                     kv_layout=kv_layout, page_size=16,
+                     kv_dtype="int8" if kv_layout == "paged" else "float32")
+        b = ContinuousBatcher(eng)
+        req = Request(prompt_tokens=prompt, steps=20, temperature=0.0, seed=1)
+        b.submit(req)
+        b.run()
+        return req.out_tokens
+
+    base = run("auto")
+    dma = run("flash_dma")
+    assert base == dma

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--kv", default="int8")
     ap.add_argument("--kv-layout", default="dense", choices=["dense", "paged"])
     ap.add_argument("--page-size", type=int, default=512)
+    ap.add_argument("--attn", default="auto",
+                    choices=["auto", "flash", "flash_dma", "xla"])
     ap.add_argument("--seq-len", type=int, default=None,
                     help="engine KV capacity (default: model seq_len)")
     ap.add_argument("--quant", default=None, choices=[None, "int8", "w8a8"])
@@ -64,7 +66,7 @@ def main() -> None:
                 params, mode="q8_0" if args.quant == "int8" else "w8a8")
     engine = Engine(params, config, max_batch=args.slots, kv_dtype=args.kv,
                     kv_layout=args.kv_layout, page_size=args.page_size,
-                    seq_len=args.seq_len)
+                    seq_len=args.seq_len, attn=args.attn)
     batcher = ContinuousBatcher(engine, max_chunk=args.chunk)
     rng = np.random.default_rng(0)
 
@@ -93,6 +95,7 @@ def main() -> None:
             "occupancy": round(min(1.0, n_requests / args.slots), 2),
             "chunk": args.chunk, "kv": args.kv, "quant": args.quant,
             "kv_layout": args.kv_layout, "seq_len": args.seq_len,
+            "attn": args.attn,
             "wall_s": round(wall, 2),
             "tokens_per_sec": round(rep.tokens_per_sec, 1),
             "per_request_tps_p50": round(rep.per_request_tps_p50, 2),

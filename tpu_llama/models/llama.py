@@ -651,10 +651,17 @@ def forward_decode(
         # (fresh rows join the softmax at the final page block); one
         # kv_pool_flush_rows call per step blends every layer's row into its
         # slot's page.  Same rationale as the dense path below.
+        # "flash_dma" walks only the pages below each slot's pos with manual
+        # async copies instead of index-map-clamped grid blocks.
         from tpu_llama.ops.attention import (
             kv_pool_flush_rows,
+            paged_flash_decode_attention_dma,
             paged_flash_decode_attention_fresh,
         )
+
+        attend_paged = (paged_flash_decode_attention_dma
+                        if attn == "flash_dma"
+                        else paged_flash_decode_attention_fresh)
 
         def layer_step(x, scanned):
             lp, l = scanned
@@ -663,7 +670,7 @@ def forward_decode(
                            config.head_dim)
             kq, ks_ = quantize_kv(k)
             vq, vs_ = quantize_kv(v)
-            att = paged_flash_decode_attention_fresh(
+            att = attend_paged(
                 qg, cache.k, cache.v, cache.ks, cache.vs,
                 cache.page_table, pos, kq, vq, ks_, vs_, layer=l)
             att = att.reshape(B, config.dim).astype(x.dtype)

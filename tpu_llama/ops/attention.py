@@ -184,11 +184,9 @@ def _flash_decode_fresh_kernel(s_ref, q_ref, k_ref, v_ref, nk_ref, nv_ref,
         ).astype(o_ref.dtype)
 
 
-def _dma_decode_kernel(s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
-                       kbuf, vbuf, sem, *, B: int, TS: int, KVH: int,
-                       int8: bool, ks_hbm=None, vs_hbm=None,
-                       ksbuf=None, vsbuf=None, nks_ref=None, nvs_ref=None,
-                       src_of=None):
+def _dma_decode_kernel(s_ref, q_ref, o_ref, st_ref, kbuf, vbuf, sem, *,
+                       B: int, TS: int, KVH: int, int8: bool, src_of,
+                       ksbuf=None, vsbuf=None):
     """Manual-DMA decode attention body: grid (B,), ONE cell per slot.
 
     The K/V operands stay in HBM (``memory_space=ANY``); the kernel streams
@@ -201,27 +199,26 @@ def _dma_decode_kernel(s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
     grids run sequentially on the one TensorCore, so collapsing (B, KVH)
     cells into (B,) loses no parallelism.
 
-    Fresh-row semantics match ``_flash_decode_fresh_kernel``: cache rows
-    STRICTLY below ``pos``; the current token's K/V joins as an extra
-    softmax column.
+    Two measured fixed costs are engineered out (tools/mdma_probe.py):
+
+    * the fresh-row merge (32 per-head VPU lane reductions, ~35 us/cell) is
+      NOT done here — the kernel emits the unnormalized accumulator plus
+      per-head online-softmax stats (m, l) and the current token's column is
+      merged in one batched XLA epilogue (:func:`_fresh_tail_merge`);
+    * each cell's block-0 DMA is issued one grid cell AHEAD (alternating
+      entry slots 2/3; slots 0/1 double-buffer blocks j>=1 within the cell),
+      so the first block streams while the previous cell computes instead of
+      stalling ~18 us at cell entry.
+
+    ``src_of(bb, j)`` maps (cell, block) to HBM slices — dense rows or
+    page-table lookups.  Cache rows STRICTLY below ``pos`` participate.
     """
     b = pl.program_id(0)
     pos = s_ref[0, b]
     nb = jax.lax.div(pos + TS - 1, TS)  # strict < pos: ceil(pos / TS)
 
-    if src_of is None:
-        row = s_ref[1, 0] * B + b  # layer*B + slot in the merged [L*B, ...]
-
-        def src_of(j):  # noqa: F811 — dense [L*B, KVH, S, hd] source slices
-            return (k_hbm.at[row, :, pl.ds(j * TS, TS), :],
-                    v_hbm.at[row, :, pl.ds(j * TS, TS), :],
-                    None if ks_hbm is None
-                    else ks_hbm.at[row, :, pl.ds(j * TS, TS)],
-                    None if vs_hbm is None
-                    else vs_hbm.at[row, :, pl.ds(j * TS, TS)])
-
-    def copies(j, slot):
-        ksrc, vsrc, kssrc, vssrc = src_of(j)
+    def copies(bb, j, slot):
+        ksrc, vsrc, kssrc, vssrc = src_of(bb, j)
         cps = [pltpu.make_async_copy(ksrc, kbuf.at[slot], sem.at[slot, 0]),
                pltpu.make_async_copy(vsrc, vbuf.at[slot], sem.at[slot, 1])]
         if int8:
@@ -230,17 +227,27 @@ def _dma_decode_kernel(s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
                 pltpu.make_async_copy(vssrc, vsbuf.at[slot], sem.at[slot, 3])]
         return cps
 
-    def start(j, slot):
-        for cp in copies(j, slot):
+    def start(bb, j, slot):
+        for cp in copies(bb, j, slot):
             cp.start()
 
-    def wait(j, slot):
-        for cp in copies(j, slot):
+    def wait(bb, j, slot):
+        for cp in copies(bb, j, slot):
             cp.wait()
 
-    @pl.when(nb > 0)
+    entry = 2 + jax.lax.rem(b, 2)
+
+    # Cell 0 has nobody to prefetch for it; every other cell's block 0 was
+    # issued by its predecessor below.
+    @pl.when(jnp.logical_and(b == 0, nb > 0))
     def _():
-        start(0, 0)
+        start(b, 0, entry)
+
+    bn = jnp.minimum(b + 1, B - 1)  # clamp: address math stays in bounds
+
+    @pl.when(jnp.logical_and(b + 1 < B, s_ref[0, bn] > 0))
+    def _():
+        start(bn, 0, 2 + jax.lax.rem(b + 1, 2))
 
     G8 = q_ref.shape[2]
     hd = q_ref.shape[3]
@@ -250,13 +257,13 @@ def _dma_decode_kernel(s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
                  for _ in range(KVH))
 
     def body(j, carry):
-        slot = jax.lax.rem(j, 2)
+        slot = jnp.where(j == 0, entry, jax.lax.rem(j, 2))
 
         @pl.when(j + 1 < nb)
         def _():
-            start(j + 1, jax.lax.rem(j + 1, 2))
+            start(b, j + 1, jax.lax.rem(j + 1, 2))
 
-        wait(j, slot)
+        wait(b, j, slot)
         base = j * TS
         out = []
         for h in range(KVH):
@@ -292,21 +299,36 @@ def _dma_decode_kernel(s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
 
     for h in range(KVH):
         m, l, acc = carry[h]
-        q = q_ref[0, h]
-        s_new = jnp.sum(
-            q.astype(jnp.float32) * nk_ref[0, h].astype(jnp.float32),
-            axis=-1, keepdims=True)  # [G8, 1] — VPU (N=1 MXU dot miscompiles)
-        if int8:
-            s_new = s_new * nks_ref[0, h]
-        m_fin = jnp.maximum(m, s_new)
-        corr = jnp.exp(m - m_fin)
-        e_new = jnp.exp(s_new - m_fin)
-        l_fin = l * corr + e_new
-        nv = nv_ref[0, h].astype(jnp.float32)
-        if int8:
-            e_new = e_new * nvs_ref[0, h]
-        o_ref[0, h] = ((acc * corr + e_new * nv)
-                       / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+        o_ref[0, h] = acc.astype(o_ref.dtype)
+        st_ref[0, h] = jnp.concatenate([m, l], axis=1)  # [G8, 2]
+
+
+def _fresh_tail_merge(acc, st, qs, new_k, new_v, new_ks, new_vs, G):
+    """Merge the current token's K/V column into the kernel's online-softmax
+    state — batched XLA epilogue shared by the manual-DMA kernels.
+
+    ``acc`` [B, KVH, G8, hd] is the unnormalized weighted-V accumulator;
+    ``st[..., 0]``/``st[..., 1]`` are the running max / denominator.  Doing
+    this outside the kernel replaces KVH sequential per-head VPU reductions
+    per grid cell with one batched einsum over all (B, KVH) cells.
+    """
+    acc = acc[:, :, :G]
+    m = st[:, :, :G, 0:1]
+    l = st[:, :, :G, 1:2]
+    s_new = jnp.einsum(
+        "bhgd,bhd->bhg", qs[:, :, :G], new_k.astype(jnp.float32),
+        preferred_element_type=jnp.float32)[..., None]  # [B, KVH, G, 1]
+    if new_ks is not None:
+        s_new = s_new * new_ks[:, :, None, None]
+    m_fin = jnp.maximum(m, s_new)
+    corr = jnp.exp(m - m_fin)
+    e_new = jnp.exp(s_new - m_fin)
+    l_fin = l * corr + e_new
+    nv = new_v.astype(jnp.float32)
+    if new_vs is not None:
+        nv = nv * new_vs[..., None]
+    return (acc * corr + e_new * nv[:, :, None, :]) / jnp.maximum(l_fin,
+                                                                  1e-30)
 
 
 def flash_decode_attention_dma(
@@ -321,7 +343,7 @@ def flash_decode_attention_dma(
     new_ks: jax.Array | None = None,  # [B, KVH] f32
     new_vs: jax.Array | None = None,
     layer: jax.Array | int | None = None,
-    block_s: int = 256,
+    block_s: int | None = None,
 ) -> jax.Array:
     """Deferred-flush decode attention with POS-PROPORTIONAL HBM reads.
 
@@ -330,7 +352,8 @@ def flash_decode_attention_dma(
     in HBM and the kernel DMAs only ``ceil(pos/block_s)`` blocks per slot —
     decode traffic scales with the token's context, not the allocated
     ``seq_len`` (the reference scans ``t <= pos`` for the same reason,
-    llama2.ts:249)."""
+    llama2.ts:249).  ``block_s`` defaults to ~1 MB copies per KV buffer
+    (256 rows int8, 64 rows f32)."""
     B, KVH, G, hd = q.shape
     if k_cache.ndim == 4:
         k_cache, v_cache = k_cache[None], v_cache[None]
@@ -342,10 +365,11 @@ def flash_decode_attention_dma(
     int8 = k_cache.dtype == jnp.int8
     G8 = _pad_g(G)
 
+    if block_s is None:
+        block_s = max(64, 256 // jnp.dtype(k_cache.dtype).itemsize)
     TS = min(block_s, S)
     while S % TS != 0:
         TS //= 2
-    n_sb = S // TS
 
     qs = q.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
     if G8 != G:
@@ -353,8 +377,6 @@ def flash_decode_attention_dma(
 
     k4 = k_cache.reshape(L * B, KVH, S, hd)
     v4 = v_cache.reshape(L * B, KVH, S, hd)
-    nk4 = new_k.reshape(B, KVH, 1, hd)
-    nv4 = new_v.reshape(B, KVH, 1, hd)
 
     scal = _decode_scalars(pos, layer)
 
@@ -363,70 +385,78 @@ def flash_decode_attention_dma(
 
     qspec = pl.BlockSpec((1, KVH, G8, hd), small_index,
                          memory_space=pltpu.VMEM)
-    hbmspec = pl.BlockSpec(memory_space=pltpu.ANY)
-    nkspec = pl.BlockSpec((1, KVH, 1, hd), small_index,
-                          memory_space=pltpu.VMEM)
-    nsspec = pl.BlockSpec((1, KVH, 1, 1), small_index,
-                          memory_space=pltpu.VMEM)
+    hbmspec = pl.BlockSpec(memory_space=pl.ANY)
     ospec = pl.BlockSpec((1, KVH, G8, hd), small_index,
                          memory_space=pltpu.VMEM)
+    stspec = pl.BlockSpec((1, KVH, G8, 2), small_index,
+                          memory_space=pltpu.VMEM)
 
     kv_dt = k_cache.dtype
+    # Slots 0/1: in-cell double buffer (blocks j>=1); slots 2/3: alternating
+    # cell-entry slots (block 0, prefetched one grid cell ahead).
     scratch = [
-        pltpu.VMEM((2, KVH, TS, hd), kv_dt),  # K double buffer
-        pltpu.VMEM((2, KVH, TS, hd), kv_dt),  # V double buffer
+        pltpu.VMEM((4, KVH, TS, hd), kv_dt),  # K ring
+        pltpu.VMEM((4, KVH, TS, hd), kv_dt),  # V ring
     ]
     if int8:
         scratch += [
-            pltpu.VMEM((2, KVH, TS), jnp.float32),  # K scales
-            pltpu.VMEM((2, KVH, TS), jnp.float32),  # V scales
+            pltpu.VMEM((4, KVH, TS), jnp.float32),  # K scales
+            pltpu.VMEM((4, KVH, TS), jnp.float32),  # V scales
         ]
-    scratch += [pltpu.SemaphoreType.DMA((2, 4))]
+    scratch += [pltpu.SemaphoreType.DMA((4, 4))]
 
     kern_kw = dict(B=B, TS=TS, KVH=KVH, int8=int8)
 
     if int8:
+        ks3 = k_scale.reshape(L * B, KVH, S)
+        vs3 = v_scale.reshape(L * B, KVH, S)
+
         def kern(s_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
-                 nk_ref, nv_ref, nks_ref, nvs_ref, o_ref,
-                 kbuf, vbuf, ksbuf, vsbuf, sem):
-            _dma_decode_kernel(
-                s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
-                kbuf, vbuf, sem, ks_hbm=ks_hbm, vs_hbm=vs_hbm,
-                ksbuf=ksbuf, vsbuf=vsbuf, nks_ref=nks_ref,
-                nvs_ref=nvs_ref, **kern_kw)
+                 o_ref, st_ref, kbuf, vbuf, ksbuf, vsbuf, sem):
+            def src_of(bb, j):
+                row = s_ref[1, 0] * B + bb  # layer*B + slot in [L*B, ...]
+                return (k_hbm.at[row, :, pl.ds(j * TS, TS), :],
+                        v_hbm.at[row, :, pl.ds(j * TS, TS), :],
+                        ks_hbm.at[row, :, pl.ds(j * TS, TS)],
+                        vs_hbm.at[row, :, pl.ds(j * TS, TS)])
 
-        in_specs = [qspec, hbmspec, hbmspec, hbmspec, hbmspec,
-                    nkspec, nkspec, nsspec, nsspec]
-        args = (qs, k4, v4,
-                k_scale.reshape(L * B, KVH, S),
-                v_scale.reshape(L * B, KVH, S),
-                nk4, nv4,
-                new_ks.reshape(B, KVH, 1, 1), new_vs.reshape(B, KVH, 1, 1))
+            _dma_decode_kernel(s_ref, q_ref, o_ref, st_ref,
+                               kbuf, vbuf, sem, src_of=src_of,
+                               ksbuf=ksbuf, vsbuf=vsbuf, **kern_kw)
+
+        in_specs = [qspec, hbmspec, hbmspec, hbmspec, hbmspec]
+        args = (qs, k4, v4, ks3, vs3)
     else:
-        def kern(s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
+        def kern(s_ref, q_ref, k_hbm, v_hbm, o_ref, st_ref,
                  kbuf, vbuf, sem):
-            _dma_decode_kernel(
-                s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
-                kbuf, vbuf, sem, **kern_kw)
+            def src_of(bb, j):
+                row = s_ref[1, 0] * B + bb
+                return (k_hbm.at[row, :, pl.ds(j * TS, TS), :],
+                        v_hbm.at[row, :, pl.ds(j * TS, TS), :],
+                        None, None)
 
-        in_specs = [qspec, hbmspec, hbmspec, nkspec, nkspec]
-        args = (qs, k4, v4, nk4, nv4)
+            _dma_decode_kernel(s_ref, q_ref, o_ref, st_ref,
+                               kbuf, vbuf, sem, src_of=src_of, **kern_kw)
 
-    out = pl.pallas_call(
+        in_specs = [qspec, hbmspec, hbmspec]
+        args = (qs, k4, v4)
+
+    acc, st = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=in_specs,
-            out_specs=ospec,
+            out_specs=(ospec, stspec),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((B, KVH, G8, 2), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(scal, *args)
-    return out[:, :, :G, :]
+    return _fresh_tail_merge(acc, st, qs, new_k, new_v, new_ks, new_vs, G)
 
 
 def paged_flash_decode_attention_dma(
@@ -446,10 +476,11 @@ def paged_flash_decode_attention_dma(
     """Paged deferred-flush decode attention with manual page DMA.
 
     Same contract as :func:`paged_flash_decode_attention_fresh`, but each
-    slot walks only its ``ceil(pos/page_size)`` pages with double-buffered
-    async copies — no grid steps are spent on pages past ``pos`` (the
+    slot walks only the pages below its ``pos`` with double-buffered async
+    copies — no grid steps are spent on pages past ``pos`` (the
     index-map-clamped grid still pays ~0.5 us bookkeeping per masked page
-    block per cell)."""
+    block per cell).  Pages larger than 256 rows are streamed in sub-page
+    blocks so the 4-slot VMEM ring stays ~1 MB per copy."""
     B, KVH, G, hd = q.shape
     if k_pool.ndim == 4:
         k_pool, v_pool = k_pool[None], v_pool[None]
@@ -459,6 +490,11 @@ def paged_flash_decode_attention_dma(
     ps = k_pool.shape[3]
     G8 = _pad_g(G)
 
+    TS = min(256, ps)
+    while ps % TS != 0:
+        TS //= 2
+    bpp = ps // TS  # DMA blocks per page
+
     qs = q.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
     if G8 != G:
         qs = jnp.pad(qs, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
@@ -467,8 +503,6 @@ def paged_flash_decode_attention_dma(
     v4 = v_pool.reshape(L * P, KVH, ps, hd)
     ks3 = k_scale.reshape(L * P, KVH, ps)
     vs3 = v_scale.reshape(L * P, KVH, ps)
-    nk4 = new_k.reshape(B, KVH, 1, hd)
-    nv4 = new_v.reshape(B, KVH, 1, hd)
 
     scal = _decode_scalars(pos, layer)
 
@@ -477,56 +511,53 @@ def paged_flash_decode_attention_dma(
 
     qspec = pl.BlockSpec((1, KVH, G8, hd), small_index,
                          memory_space=pltpu.VMEM)
-    hbmspec = pl.BlockSpec(memory_space=pltpu.ANY)
-    nkspec = pl.BlockSpec((1, KVH, 1, hd), small_index,
-                          memory_space=pltpu.VMEM)
-    nsspec = pl.BlockSpec((1, KVH, 1, 1), small_index,
-                          memory_space=pltpu.VMEM)
+    hbmspec = pl.BlockSpec(memory_space=pl.ANY)
     ospec = pl.BlockSpec((1, KVH, G8, hd), small_index,
                          memory_space=pltpu.VMEM)
+    stspec = pl.BlockSpec((1, KVH, G8, 2), small_index,
+                          memory_space=pltpu.VMEM)
 
     scratch = [
-        pltpu.VMEM((2, KVH, ps, hd), k_pool.dtype),
-        pltpu.VMEM((2, KVH, ps, hd), k_pool.dtype),
-        pltpu.VMEM((2, KVH, ps), jnp.float32),
-        pltpu.VMEM((2, KVH, ps), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.VMEM((4, KVH, TS, hd), k_pool.dtype),
+        pltpu.VMEM((4, KVH, TS, hd), k_pool.dtype),
+        pltpu.VMEM((4, KVH, TS), jnp.float32),
+        pltpu.VMEM((4, KVH, TS), jnp.float32),
+        pltpu.SemaphoreType.DMA((4, 4)),
     ]
 
     def kern(pt_ref, s_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
-             nk_ref, nv_ref, nks_ref, nvs_ref, o_ref,
-             kbuf, vbuf, ksbuf, vsbuf, sem):
-        b = pl.program_id(0)
+             o_ref, st_ref, kbuf, vbuf, ksbuf, vsbuf, sem):
         base = s_ref[1, 0] * P  # layer offset into the merged [L*P, ...]
 
-        def src_of(j):
-            row = base + pt_ref[b, j]
-            return (k_hbm.at[row], v_hbm.at[row],
-                    ks_hbm.at[row], vs_hbm.at[row])
+        def src_of(bb, j):
+            row = base + pt_ref[bb, jax.lax.div(j, bpp)]
+            off = jax.lax.rem(j, bpp) * TS
+            return (k_hbm.at[row, :, pl.ds(off, TS), :],
+                    v_hbm.at[row, :, pl.ds(off, TS), :],
+                    ks_hbm.at[row, :, pl.ds(off, TS)],
+                    vs_hbm.at[row, :, pl.ds(off, TS)])
 
         _dma_decode_kernel(
-            s_ref, q_ref, k_hbm, v_hbm, nk_ref, nv_ref, o_ref,
-            kbuf, vbuf, sem, B=B, TS=ps, KVH=KVH, int8=True,
-            ks_hbm=ks_hbm, vs_hbm=vs_hbm, ksbuf=ksbuf, vsbuf=vsbuf,
-            nks_ref=nks_ref, nvs_ref=nvs_ref, src_of=src_of)
+            s_ref, q_ref, o_ref, st_ref, kbuf, vbuf, sem,
+            B=B, TS=TS, KVH=KVH, int8=True, src_of=src_of,
+            ksbuf=ksbuf, vsbuf=vsbuf)
 
-    out = pl.pallas_call(
+    acc, st = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B,),
-            in_specs=[qspec, hbmspec, hbmspec, hbmspec, hbmspec,
-                      nkspec, nkspec, nsspec, nsspec],
-            out_specs=ospec,
+            in_specs=[qspec, hbmspec, hbmspec, hbmspec, hbmspec],
+            out_specs=(ospec, stspec),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, KVH, G8, hd), jnp.float32),
+                   jax.ShapeDtypeStruct((B, KVH, G8, 2), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(page_table.astype(jnp.int32), scal, qs, k4, v4, ks3, vs3,
-      nk4, nv4, new_ks.reshape(B, KVH, 1, 1), new_vs.reshape(B, KVH, 1, 1))
-    return out[:, :, :G, :]
+    )(page_table.astype(jnp.int32), scal, qs, k4, v4, ks3, vs3)
+    return _fresh_tail_merge(acc, st, qs, new_k, new_v, new_ks, new_vs, G)
 
 
 def _flash_decode_simple_kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *,

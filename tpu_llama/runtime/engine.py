@@ -206,7 +206,8 @@ def _copy_pool_pages(cache: PagedKVCache, src: jax.Array, dst: jax.Array):
     )
 
 
-@partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("config", "precision", "attn"),
+         donate_argnums=(1,))
 def _decode_step(
     params: LlamaParams,
     cache: KVCache,
@@ -214,11 +215,14 @@ def _decode_step(
     pos: jax.Array,  # [B]
     config: ModelConfig,
     precision: str = "default",
+    attn: str = "auto",
 ):
-    return forward_decode(params, cache, tokens, pos, config, precision=precision)
+    return forward_decode(params, cache, tokens, pos, config,
+                          precision=precision, attn=attn)
 
 
-@partial(jax.jit, static_argnames=("config", "precision"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("config", "precision", "attn"),
+         donate_argnums=(1,))
 def _decode_sample_step(
     params: LlamaParams,
     cache: KVCache,
@@ -230,18 +234,19 @@ def _decode_sample_step(
     keys: jax.Array,  # [B] typed PRNG keys
     config: ModelConfig,
     precision: str = "default",
+    attn: str = "auto",
 ):
     """Fused decode + on-device sampling: only [B] int32 tokens leave the
     device (the perf path — no 32k-logit transfer per step)."""
     from tpu_llama.ops.sampling import sample
 
     logits, cache = forward_decode(params, cache, tokens, pos, config,
-                                   precision=precision)
+                                   precision=precision, attn=attn)
     next_tokens = sample(logits, keys, temps, topps, topks)
     return next_tokens, cache
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "steps"),
+@partial(jax.jit, static_argnames=("config", "precision", "steps", "attn"),
          donate_argnums=(1,))
 def _decode_sample_chunk(
     params: LlamaParams,
@@ -255,6 +260,7 @@ def _decode_sample_chunk(
     config: ModelConfig,
     steps: int,
     precision: str = "default",
+    attn: str = "auto",
 ):
     """``steps`` fused decode+sample steps in one dispatch.
 
@@ -266,7 +272,7 @@ def _decode_sample_chunk(
     def body(carry, _):
         toks, cache, p = carry
         logits, cache = forward_decode(params, cache, toks, p, config,
-                                       precision=precision)
+                                       precision=precision, attn=attn)
         # same stateless derivation as the single-step path: key = fold_in
         # (seed_key, fed position) — chunked and stepwise runs sample alike
         keys = jax.vmap(jax.random.fold_in)(base_keys, p)
@@ -300,11 +306,13 @@ class Engine:
         kv_layout: str = "dense",  # "dense" | "paged"
         page_size: int = 512,
         num_pages: int | None = None,  # paged: pool size (default: dense-equiv)
+        attn: str = "auto",  # "auto" | "flash" | "flash_dma" | "xla"
     ):
         self.params = params
         self.config = config
         self.max_batch = max_batch
         self.precision = precision
+        self.attn = attn
         self.seq_len = seq_len or config.seq_len
         self.mesh = mesh
         self.pool: PagePool | None = None
@@ -423,14 +431,15 @@ class Engine:
         logits, self.cache = _decode_step(
             self.params, self.cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
-            self.config, self.precision,
+            self.config, self.precision, self.attn,
         )
         return np.asarray(logits)
 
     def decode_device(self, tokens: jax.Array, pos: jax.Array):
         """Device-resident decode step (no host transfer) for tight loops."""
         logits, self.cache = _decode_step(
-            self.params, self.cache, tokens, pos, self.config, self.precision
+            self.params, self.cache, tokens, pos, self.config,
+            self.precision, self.attn,
         )
         return logits
 
@@ -443,7 +452,8 @@ class Engine:
             self.params, self.cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
             jnp.asarray(temps, jnp.float32), jnp.asarray(topps, jnp.float32),
-            jnp.asarray(topks, jnp.int32), keys, self.config, self.precision,
+            jnp.asarray(topks, jnp.int32), keys, self.config,
+            self.precision, self.attn,
         )
         return np.asarray(next_tokens)
 
@@ -457,7 +467,7 @@ class Engine:
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
             jnp.asarray(temps, jnp.float32), jnp.asarray(topps, jnp.float32),
             jnp.asarray(topks, jnp.int32), base_keys, self.config, steps,
-            self.precision,
+            self.precision, self.attn,
         )
         return np.asarray(out)
 

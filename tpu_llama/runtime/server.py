@@ -262,7 +262,7 @@ def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
           port: int = 8000, max_batch: int = 8, quant: str | None = None,
           kv_dtype: str = "float32", request_log: str | None = None,
           watchdog_s: float | None = None, kv_layout: str = "dense",
-          page_size: int = 512):
+          page_size: int = 512, attn: str = "auto"):
     """Blocking entry point: tpu-llama-serve."""
     from tpu_llama.io import Tokenizer, load_checkpoint
     from tpu_llama.models import params_from_raw, quantize_params
@@ -274,7 +274,7 @@ def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
         params = quantize_params(
             params, mode="q8_0" if quant == "int8" else "w8a8")
     engine = Engine(params, raw.config, max_batch=max_batch, kv_dtype=kv_dtype,
-                    kv_layout=kv_layout, page_size=page_size)
+                    kv_layout=kv_layout, page_size=page_size, attn=attn)
     srv = LlamaServer(engine, tok, port=port, request_log=request_log,
                       watchdog_s=watchdog_s).start()
     print(f"serving on :{srv.port} (config={raw.config})")
@@ -298,6 +298,7 @@ def serve_cli() -> None:
     ap.add_argument("--kv-dtype", choices=["float32", "bfloat16", "int8"])
     ap.add_argument("--kv-layout", choices=["dense", "paged"])
     ap.add_argument("--page-size", type=int)
+    ap.add_argument("--attn", choices=["auto", "flash", "flash_dma", "xla"])
     ap.add_argument("--request-log")
     ap.add_argument("--watchdog-s", type=float)
     args = ap.parse_args()
@@ -312,6 +313,7 @@ def serve_cli() -> None:
                            ("kv_dtype", args.kv_dtype),
                            ("kv_layout", args.kv_layout),
                            ("page_size", args.page_size),
+                           ("attn", args.attn),
                            ("max_batch", args.max_batch)):
             if val is not None:
                 setattr(cfg, field, val)
@@ -344,4 +346,5 @@ def serve_cli() -> None:
         watchdog_s=args.watchdog_s,
         kv_layout=args.kv_layout or "dense",
         page_size=args.page_size or 512,
+        attn=args.attn or "auto",
     )

@@ -43,6 +43,7 @@ class EngineConfig:
     kv_layout: str = "dense"  # "dense" | "paged" (paged implies int8 KV)
     page_size: int = 512
     num_pages: int | None = None  # paged pool size (default: dense-equiv)
+    attn: str = "auto"  # "auto" | "flash" | "flash_dma" | "xla"
     mesh_data: int = 1
     mesh_model: int = 1
     server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
@@ -93,5 +94,5 @@ class EngineConfig:
                         kv_dtype=self.kv_dtype, precision=self.precision,
                         seq_len=self.seq_len, mesh=mesh,
                         kv_layout=self.kv_layout, page_size=self.page_size,
-                        num_pages=self.num_pages)
+                        num_pages=self.num_pages, attn=self.attn)
         return engine, tok
