@@ -290,6 +290,66 @@ def run_dma_attention(L: int, B: int, KVH: int, S: int, hd: int,
     }), flush=True)
 
 
+def run_paged_attention(L: int, B: int, KVH: int, S: int, hd: int,
+                        pos_fill: int, iters: int, reps: int, ps: int,
+                        impl: str):
+    """Paged decode attention A/B: index-map-clamped fresh kernel vs the
+    manual page-DMA kernel, identical pool/page-table inputs."""
+    from tpu_llama.ops.attention import (
+        paged_flash_decode_attention_dma,
+        paged_flash_decode_attention_fresh,
+    )
+
+    fn = (paged_flash_decode_attention_dma if impl == "dma"
+          else paged_flash_decode_attention_fresh)
+    key = jax.random.PRNGKey(0)
+    G = 1
+    MP = S // ps
+    P = B * MP + 1  # pool sized like Engine's dense-equivalent default
+    q = jax.random.normal(key, (B, KVH, G, hd), jnp.float32)
+    kp = jax.random.randint(key, (L, P, KVH, ps, hd), -127, 127, jnp.int8)
+    vp = jax.random.randint(key, (L, P, KVH, ps, hd), -127, 127, jnp.int8)
+    ks = jnp.full((L, P, KVH, ps), 1e-2, jnp.float32)
+    vs = jnp.full((L, P, KVH, ps), 1e-2, jnp.float32)
+    nk = jax.random.randint(key, (B, KVH, hd), -127, 127, jnp.int8)
+    nv = jax.random.randint(key, (B, KVH, hd), -127, 127, jnp.int8)
+    nks = jnp.full((B, KVH), 1e-2, jnp.float32)
+    nvs = jnp.full((B, KVH), 1e-2, jnp.float32)
+    pt = jnp.arange(B * MP, dtype=jnp.int32).reshape(B, MP)  # disjoint pages
+    pos = jnp.full((B,), pos_fill, jnp.int32)
+
+    @jax.jit
+    def loop(q, kp, vp, ks, vs, pt, pos):
+        def body(carry, l):
+            out = fn(carry, kp, vp, ks, vs, pt, pos, nk, nv, nks, nvs,
+                     layer=l % L)
+            q2 = carry + jnp.sum(out) * 1e-30
+            return q2, out[0, 0, 0, :1]
+        return jax.lax.scan(body, q, jnp.arange(iters, dtype=jnp.int32))
+
+    def run():
+        return loop(q, kp, vp, ks, vs, pt, pos)
+
+    _, outs = run()
+    np.asarray(outs)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, outs = run()
+        np.asarray(outs)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times)) / iters
+    np_used = -(-pos_fill // ps)
+    touched = 2 * B * KVH * np_used * ps * (hd + 4)
+    print(json.dumps({
+        "case": f"paged_{impl}_ps{ps}",
+        "L": L, "B": B, "KVH": KVH, "S": S, "pos": pos_fill,
+        "ms_per_iter": round(med * 1e3, 4),
+        "touched_GB_s": round(touched / med / 1e9, 1),
+        "spread": round((max(times) - min(times)) / (med * iters), 3),
+    }), flush=True)
+
+
 def run_write_alias(L: int, B: int, KVH: int, S: int, hd: int,
                     iters: int, reps: int, mode: str):
     """Does the aliased in-place KV write stay in place inside a scan?
@@ -393,7 +453,23 @@ def main():
     ap.add_argument("--dyn", default="",
                     help="comma list of pos:block_s for the manual-DMA "
                          "pos-proportional decode attention A/B")
+    ap.add_argument("--paged", default="",
+                    help="comma list of pos:page_size:impl (impl=fresh|dma) "
+                         "for the paged decode attention A/B")
     args = ap.parse_args()
+
+    if args.paged:
+        for spec in args.paged.split(","):
+            posf, ps, impl = spec.split(":")
+            try:
+                run_paged_attention(args.alias_L, args.batch, 32, args.attn_S,
+                                    128, int(posf), max(8, args.iters // 4),
+                                    args.reps, int(ps), impl)
+            except Exception as e:
+                print(json.dumps({"case": f"paged_{spec}",
+                                  "error": f"{type(e).__name__}: {e}"[:300]}),
+                      flush=True)
+        return
 
     if args.dyn:
         for spec in args.dyn.split(","):

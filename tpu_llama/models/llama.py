@@ -616,7 +616,10 @@ def forward_decode(
     """One decode step for a batch. Returns (logits [B, V], new cache)."""
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
     if attn == "auto":
-        attn = "flash" if jax.default_backend() == "tpu" else "xla"
+        if isinstance(cache, PagedKVCache):
+            attn = "flash_dma"  # beats the clamped grid at every pos (TPU r2)
+        else:
+            attn = "flash" if jax.default_backend() == "tpu" else "xla"
     B = tokens.shape[0]
     x = params.tok_emb[tokens]  # [B, D]
     cos = params.rope_cos[pos]  # [B, hd/2]
@@ -651,17 +654,19 @@ def forward_decode(
         # (fresh rows join the softmax at the final page block); one
         # kv_pool_flush_rows call per step blends every layer's row into its
         # slot's page.  Same rationale as the dense path below.
-        # "flash_dma" walks only the pages below each slot's pos with manual
-        # async copies instead of index-map-clamped grid blocks.
+        # The manual-DMA kernel (walks only the pages below each slot's pos
+        # with async copies) is the DEFAULT: it beats the index-map-clamped
+        # grid at every pos on TPU — 5.2x at pos 64, 1.7x at full context
+        # (tools/kernel_bench.py --paged, b64/L4/S2048/ps512 round 2).
         from tpu_llama.ops.attention import (
             kv_pool_flush_rows,
             paged_flash_decode_attention_dma,
             paged_flash_decode_attention_fresh,
         )
 
-        attend_paged = (paged_flash_decode_attention_dma
-                        if attn == "flash_dma"
-                        else paged_flash_decode_attention_fresh)
+        attend_paged = (paged_flash_decode_attention_fresh
+                        if attn == "flash" else
+                        paged_flash_decode_attention_dma)
 
         def layer_step(x, scanned):
             lp, l = scanned
