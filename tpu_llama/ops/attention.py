@@ -251,12 +251,17 @@ def _dma_decode_kernel(s_ref, q_ref, o_ref, st_ref, kbuf, vbuf, sem, *,
 
     G8 = q_ref.shape[2]
     hd = q_ref.shape[3]
-    init = tuple((jnp.full((G8, 1), _NEG_INF, jnp.float32),
-                  jnp.zeros((G8, 1), jnp.float32),
-                  jnp.zeros((G8, hd), jnp.float32))
-                 for _ in range(KVH))
+    init = (jnp.full((KVH, G8, 1), _NEG_INF, jnp.float32),
+            jnp.zeros((KVH, G8, 1), jnp.float32),
+            jnp.zeros((KVH, G8, hd), jnp.float32))
 
+    # All heads share ONE stacked softmax chain ([KVH, G8, TS] elementwise/
+    # reduce ops) instead of 32 sequential per-head chains — per-VPU-op
+    # issue overhead is the cell floor (tools/mdma_probe.py), so op COUNT,
+    # not lane work, is what matters.  The QK/PV dots stay per-head 2-D
+    # (a KVH-batched dot_general hangs the Mosaic compile).
     def body(j, carry):
+        m, l, acc = carry
         slot = jnp.where(j == 0, entry, jax.lax.rem(j, 2))
 
         @pl.when(j + 1 < nb)
@@ -265,42 +270,37 @@ def _dma_decode_kernel(s_ref, q_ref, o_ref, st_ref, kbuf, vbuf, sem, *,
 
         wait(b, j, slot)
         base = j * TS
-        out = []
-        for h in range(KVH):
-            m, l, acc = carry[h]
-            q = q_ref[0, h]  # [G8, hd] f32, pre-scaled by 1/sqrt(hd)
-            k = kbuf[slot, h]  # [TS, hd]
-            s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
-                k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
+        dt = jnp.bfloat16 if int8 else jnp.float32
+        s = jnp.stack([
+            jax.lax.dot_general(
+                q_ref[0, h].astype(dt), kbuf[slot, h].astype(dt),
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [G8, TS]
-            if int8:
-                s = s * ksbuf[slot, h][None, :]
-            kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-            mask = kpos < pos
-            m_new = jnp.maximum(m, jnp.max(
-                jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True))
-            corr = jnp.exp(m - m_new)
-            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            if int8:
-                p = (p * vsbuf[slot, h][None, :]).astype(jnp.bfloat16)
-                v = vbuf[slot, h].astype(jnp.bfloat16)
-            else:
-                p = p.astype(jnp.float32)
-                v = vbuf[slot, h].astype(jnp.float32)
-            acc = acc * corr + jnp.dot(p, v,
-                                       preferred_element_type=jnp.float32)
-            out.append((m_new, l, acc))
-        return tuple(out)
+                preferred_element_type=jnp.float32)
+            for h in range(KVH)])  # [KVH, G8, TS]
+        if int8:
+            s = s * ksbuf[slot][:, None, :]
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + base
+        mask = kpos < pos
+        m_new = jnp.maximum(m, jnp.max(
+            jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if int8:
+            p = (p * vsbuf[slot][:, None, :]).astype(jnp.bfloat16)
+            v = vbuf[slot].astype(jnp.bfloat16)
+        else:
+            p = p.astype(jnp.float32)
+            v = vbuf[slot].astype(jnp.float32)
+        pv = jnp.stack([
+            jnp.dot(p[h], v[h], preferred_element_type=jnp.float32)
+            for h in range(KVH)])  # [KVH, G8, hd]
+        return m_new, l, acc * corr + pv
 
-    carry = jax.lax.fori_loop(0, nb, body, init)
+    m, l, acc = jax.lax.fori_loop(0, nb, body, init)
 
-    for h in range(KVH):
-        m, l, acc = carry[h]
-        o_ref[0, h] = acc.astype(o_ref.dtype)
-        st_ref[0, h] = jnp.concatenate([m, l], axis=1)  # [G8, 2]
+    o_ref[0] = acc.astype(o_ref.dtype)
+    st_ref[0] = jnp.concatenate([m, l], axis=2)  # [KVH, G8, 2]
 
 
 def _fresh_tail_merge(acc, st, qs, new_k, new_v, new_ks, new_vs, G):
