@@ -158,10 +158,10 @@ def main():
     ap.add_argument("--config", default="7b", choices=["7b", "13b", "110m", "15m"])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quant", default="w8a8", choices=["none", "int8", "w8a8"])
-    # flash_dma (pos-proportional manual-DMA reads) wins the headline config
-    # 353 vs 307 tok/s; the index-map "flash" kernel only wins at fill>~1200
-    # where it streams full-S at higher bandwidth (kernel_bench --dyn/--fresh)
-    ap.add_argument("--attn", default="flash_dma",
+    # "auto" resolves to the measured winner per config (models/llama.py):
+    # manual-DMA flash_dma everywhere except dense B=1 (389.7 vs 307.4 tok/s
+    # on the b8 headline; see kernel_bench --dyn/--fresh/--paged A/Bs)
+    ap.add_argument("--attn", default="auto",
                     choices=["auto", "flash", "flash_dma", "xla"])
     ap.add_argument("--kv", default="int8", choices=["same", "float32", "bfloat16", "int8"],
                     help="KV cache dtype (default: int8)")

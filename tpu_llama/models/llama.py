@@ -615,12 +615,19 @@ def forward_decode(
 ):
     """One decode step for a batch. Returns (logits [B, V], new cache)."""
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
-    if attn == "auto":
-        if isinstance(cache, PagedKVCache):
-            attn = "flash_dma"  # beats the clamped grid at every pos (TPU r2)
-        else:
-            attn = "flash" if jax.default_backend() == "tpu" else "xla"
     B = tokens.shape[0]
+    if attn == "auto":
+        # Measured policy (TPU r2, tools/kernel_bench.py --dyn/--fresh/--paged
+        # + BENCH_sweep.jsonl): the manual-DMA kernel wins every paged config
+        # and every dense batch except B=1, where the single grid cell gets
+        # no cross-cell DMA overlap and the full-S index-map kernel's
+        # pipelining wins (69.8 vs 57.2 tok/s at 7B).
+        if isinstance(cache, PagedKVCache):
+            attn = "flash_dma"
+        elif jax.default_backend() == "tpu":
+            attn = "flash_dma" if B > 1 else "flash"
+        else:
+            attn = "xla"
     x = params.tok_emb[tokens]  # [B, D]
     cos = params.rope_cos[pos]  # [B, hd/2]
     sin = params.rope_sin[pos]
