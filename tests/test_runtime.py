@@ -430,3 +430,26 @@ def test_engine_flash_dma_matches_default(tiny_weights, tiny_tokenizer,
     base = run("auto")
     dma = run("flash_dma")
     assert base == dma
+
+
+def test_ragged_budget_pow2_chunks_match_stepwise(tiny_weights,
+                                                 tiny_tokenizer):
+    """Mixed step budgets force the scheduler down the power-of-two chunk
+    ladder (8 -> ... -> 1); streams must equal single-step decoding."""
+    ptoks = tiny_tokenizer.encode("Once upon a time")
+    outs = []
+    for chunk in (1, 8):
+        e = Engine(params_from_raw(tiny_weights), tiny_weights.config,
+                   max_batch=3, precision="highest")
+        b = ContinuousBatcher(e, max_chunk=chunk)
+        rs = [Request(prompt_tokens=ptoks, steps=s, temperature=0.7,
+                      topp=0.9, seed=s, device_sampling=True)
+              for s in (29, 21, 14)]  # none a multiple of the chunk
+        for r in rs:
+            b.submit(r)
+        b.run()
+        outs.append([r.out_tokens for r in rs])
+    assert outs[0] == outs[1]
+    # steps budgets count prompt positions (reference semantics): 6-token
+    # prompt -> 23/15/8 sampled tokens
+    assert [len(t) for t in outs[0]] == [23, 15, 8]

@@ -493,9 +493,11 @@ class Engine:
             keys = jnp.stack([jax.random.key(0)] * B)
             self.decode_sample(zeros, zeros, np.zeros(B, np.float32),
                                np.ones(B, np.float32), keys)
-            if chunk > 1:
+            k = 2
+            while k <= chunk:  # every power-of-two chunk the scheduler uses
                 self.decode_sample_chunk(zeros, zeros, np.zeros(B, np.float32),
-                                         np.ones(B, np.float32), keys, chunk)
+                                         np.ones(B, np.float32), keys, k)
+                k *= 2
         self.reset()
         return buckets
 

@@ -332,10 +332,14 @@ class ContinuousBatcher:
                 base_keys.append(jax.random.key(a.req.seed if a else 0))
             keys = jnp.stack(base_keys)
 
-            # chunk size: max_chunk when every active request has the budget,
-            # else single-step — exactly two compiled programs, no tail churn
+            # chunk size: the largest power of two that fits every active
+            # request's remaining budget, capped at max_chunk — log2(max_chunk)
+            # compiled programs (pre-warmed by Engine.warmup) instead of
+            # collapsing to 1-step tails, which cost the full ~27 ms dispatch
+            # overhead PER TOKEN on this relay
             min_budget = min(self.slots[i].budget for i in active_slots)
-            k = self.max_chunk if min_budget >= self.max_chunk else 1
+            lim = min(self.max_chunk, max(1, min_budget))
+            k = 1 << (lim.bit_length() - 1)
             if k > 1:
                 chunk = self.engine.decode_sample_chunk(
                     tokens, pos, temps, topps, keys, k, topks=topks)
