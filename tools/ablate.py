@@ -75,6 +75,8 @@ def main():
                 run(case, c7, batch=args.batch, kv="bfloat16")
             elif case == "attnxla":
                 run(case, c7, batch=args.batch, attn="xla")
+            elif case == "attnflash":
+                run(case, c7, batch=args.batch, attn="flash")
             elif case == "nofuse":
                 run(case, c7, batch=args.batch, fuse=False)
             elif case == "q8":

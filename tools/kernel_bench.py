@@ -36,6 +36,7 @@ SHAPES = {
     "7b_w13": (4096, 22016),
     "7b_ffn": (11008, 4096),   # w2 — the IN-heavy one
     "7b_cls": (4096, 32000),
+    "tiny": (512, 512),  # ~launch-cost floor: 256 KB of weights
 }
 
 
@@ -58,6 +59,18 @@ def make_case(name: str, IN: int, OUT: int, B: int, key):
         return quantize_channel(wf), lambda x, w: w8a8_matmul_xla(x, w)
     if name == "w8a8":
         return quantize_channel(wf), lambda x, w: w8a8_matmul(x, w)
+    if name == "w8a8_cast":
+        # trivial activation "quant" (one cast, fixed scale): the delta vs
+        # "w8a8" is the cost of the XLA absmax/rint/clip quant chain
+        from tpu_llama.ops.matmul import w8a8_matmul_prequant
+
+        def cast_step(x, w):
+            B = x.shape[0]
+            Bp = max(32, -(-B // 32) * 32)
+            xq = jnp.pad(x, ((0, Bp - B), (0, 0))).astype(jnp.int8)
+            return w8a8_matmul_prequant(
+                xq, jnp.full((Bp,), 0.01, jnp.float32), w)[:B]
+        return quantize_channel(wf), cast_step
     if name.startswith("w8a8_t"):  # w8a8_t<TI>x<TO>
         ti, to = map(int, name[6:].split("x"))
         return quantize_channel(wf), lambda x, w: w8a8_matmul(

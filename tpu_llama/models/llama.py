@@ -602,7 +602,142 @@ def _attend_decode(cache_l, q, pos, config: ModelConfig, prec, attn: str):
     return _attention_decode(q, cache_l.k, cache_l.v, pos, config, prec)
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "attn", "unroll"))
+def _fused_path_ok(params: LlamaParams, config: ModelConfig) -> bool:
+    """True when the one-Pallas-call-per-layer decode path applies: W8A8
+    weights in the fused qkv/w13 layouts with 128-aligned dims (see
+    ops/fused_layer.py — each Pallas launch costs ~75 us on this chip, so
+    collapsing the four per-layer matmul calls into one is worth ~9 ms on
+    the 7B b8 step)."""
+    lp = params.layers
+    D, KVD, H = config.dim, config.kv_dim, config.hidden_dim
+    QO = D + 2 * KVD
+    if not all(isinstance(w, ChannelQuantTensor)
+               for w in (lp.wq, lp.wo, lp.w1, lp.w2)):
+        return False
+    if lp.wq.q.shape[-1] != QO or lp.w1.q.shape[-1] != 2 * H:
+        return False  # requires fuse_projections layouts
+    if any(w.q.shape[-1] != w.logical_out or w.q.shape[-2] != w.logical_in
+           for w in (lp.wq, lp.wo, lp.w1, lp.w2)):
+        return False  # padded quant dims — block maps assume exact shapes
+    if D % 128 or H % 128 or QO % 128:
+        return False
+    from tpu_llama.ops.fused_layer import _pick_fused_blocks
+
+    return _pick_fused_blocks(32, D, H, QO) is not None
+
+
+def _forward_decode_fused(params, cache, tokens, pos, config: ModelConfig,
+                          attn: str, unroll: int):
+    """Decode step with ONE fused linear Pallas call per layer (plus
+    attention): see ops/fused_layer.py.  The scan carry holds the residual
+    stream AND the next layer's qkv projection, which the fused kernel
+    emits as its final phase."""
+    from tpu_llama.ops.fused_layer import fused_layer_linear, w8a8_matmul_stacked
+    from tpu_llama.ops.quant import quantize_activations
+
+    lp = params.layers
+    B = tokens.shape[0]
+    D, KVD = config.dim, config.kv_dim
+    L = lp.rms_att.shape[0]
+    Bp = max(32, -(-B // 32) * 32)
+    layer_ix = jnp.arange(L, dtype=jnp.int32)
+    cos = params.rope_cos[pos]
+    sin = params.rope_sin[pos]
+    paged = isinstance(cache, PagedKVCache)
+    quant = isinstance(cache, QuantKVCache)
+
+    x0 = params.tok_emb[tokens].astype(jnp.float32)  # [B, D]
+    if Bp != B:
+        x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
+    h0 = rmsnorm(x0, lp.rms_att[0])
+    xq0, sx0 = quantize_activations(h0)
+    qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
+
+    if paged:
+        from tpu_llama.ops.attention import (
+            kv_pool_flush_rows,
+            paged_flash_decode_attention_dma,
+            paged_flash_decode_attention_fresh,
+        )
+
+        attend_paged = (paged_flash_decode_attention_fresh
+                        if attn == "flash" else
+                        paged_flash_decode_attention_dma)
+    else:
+        from tpu_llama.ops.attention import (
+            flash_decode_attention_dma,
+            flash_decode_attention_fresh,
+            kv_cache_flush_rows,
+        )
+
+        attend = (flash_decode_attention_dma if attn == "flash_dma"
+                  else flash_decode_attention_fresh)
+
+    def layer_step(carry, l):
+        xp, qkv = carry  # [Bp, D] f32, [Bp, QO] f32
+        qb = qkv[:B]
+        q = apply_rope(
+            qb[:, :D].reshape(B, config.n_heads, config.head_dim), cos, sin)
+        k = apply_rope(
+            qb[:, D:D + KVD].reshape(B, config.n_kv_heads, config.head_dim),
+            cos, sin)
+        v = qb[:, D + KVD:].reshape(B, config.n_kv_heads, config.head_dim)
+        qg = q.reshape(B, config.n_kv_heads, config.group_size,
+                       config.head_dim)
+        if paged:
+            kq, ks_ = quantize_kv(k)
+            vq, vs_ = quantize_kv(v)
+            att = attend_paged(
+                qg, cache.k, cache.v, cache.ks, cache.vs,
+                cache.page_table, pos, kq, vq, ks_, vs_, layer=l)
+            rows = (kq, ks_, vq, vs_)
+        elif quant:
+            kq, ks_ = quantize_kv(k)
+            vq, vs_ = quantize_kv(v)
+            att = attend(qg, cache.k, cache.v, pos, kq, vq,
+                         cache.ks, cache.vs, ks_, vs_, layer=l)
+            rows = (kq, ks_, vq, vs_)
+        else:
+            kc = k.astype(cache.k.dtype)
+            vc = v.astype(cache.v.dtype)
+            att = attend(qg, cache.k, cache.v, pos, kc, vc, layer=l)
+            rows = (kc, vc)
+        att2 = att.reshape(B, D).astype(jnp.float32)
+        if Bp != B:
+            att2 = jnp.pad(att2, ((0, Bp - B), (0, 0)))
+        attq, satt = quantize_activations(att2)
+        x_next, qkv_next = fused_layer_linear(
+            xp, attq, satt,
+            lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
+            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L)
+        return (x_next, qkv_next), rows
+
+    (xp, _), rows = jax.lax.scan(layer_step, (x0, qkv0), layer_ix,
+                                 unroll=unroll)
+    if paged:
+        kq, ks_, vq, vs_ = rows
+        ck, cv, cks, cvs = kv_pool_flush_rows(
+            kq, vq, ks_, vs_, pos, cache.page_table,
+            cache.k, cache.v, cache.ks, cache.vs)
+        new_cache = PagedKVCache(ck, cv, cks, cvs,
+                                 page_table=cache.page_table)
+    elif quant:
+        kq, ks_, vq, vs_ = rows
+        ck, cv, cks, cvs = kv_cache_flush_rows(
+            kq, vq, pos, cache.k, cache.v, ks_, vs_, cache.ks, cache.vs)
+        new_cache = QuantKVCache(ck, cv, cks, cvs)
+    else:
+        ck, cv = kv_cache_flush_rows(rows[0], rows[1], pos,
+                                     cache.k, cache.v)
+        new_cache = KVCache(ck, cv)
+
+    x = rmsnorm(xp[:B], params.rms_final)
+    logits = matmul_any(x, params.wcls, jax.lax.Precision("default"))
+    return logits.astype(jnp.float32), new_cache
+
+
+@partial(jax.jit, static_argnames=("config", "precision", "attn", "unroll",
+                                   "fused"))
 def forward_decode(
     params: LlamaParams,
     cache: KVCache,
@@ -612,6 +747,7 @@ def forward_decode(
     precision: str = "highest",
     attn: str = "auto",  # "auto" | "flash" | "xla" (int8 caches always flash)
     unroll: int = 1,  # layer-scan unroll factor (latency-bound decode lever)
+    fused: str | bool = "auto",  # one-Pallas-call-per-layer linear path
 ):
     """One decode step for a batch. Returns (logits [B, V], new cache)."""
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
@@ -628,6 +764,15 @@ def forward_decode(
             attn = "flash_dma" if B > 1 else "flash"
         else:
             attn = "xla"
+    if fused == "auto":
+        fused = (attn in ("flash", "flash_dma")
+                 and jax.default_backend() == "tpu"
+                 and _fused_path_ok(params, config))
+    if fused:
+        if attn not in ("flash", "flash_dma"):
+            raise ValueError("fused decode requires a flash attention impl")
+        return _forward_decode_fused(params, cache, tokens, pos, config,
+                                     attn, unroll)
     x = params.tok_emb[tokens]  # [B, D]
     cos = params.rope_cos[pos]  # [B, hd/2]
     sin = params.rope_sin[pos]

@@ -217,6 +217,27 @@ def w8a8_matmul(
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
 
     xq, sx = quantize_activations(xb)  # int8 [Bp, IN], f32 [Bp]
+    out = w8a8_matmul_prequant(xq, sx, w, out_dtype=out_dtype,
+                               block_out=block_out, block_in=block_in)
+    eff_out = min(w.logical_out, OUT)
+    return out[:B, :eff_out].reshape(*lead, eff_out)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_out", "block_in"))
+def w8a8_matmul_prequant(
+    xq: jax.Array,  # [Bp, IN] int8 — already padded to the 32-row tile
+    sx: jax.Array,  # [Bp] f32 per-row activation scales
+    w: ChannelQuantTensor,
+    out_dtype=jnp.float32,
+    block_out: int | None = None,
+    block_in: int | None = None,
+) -> jax.Array:
+    """The Pallas int8-MXU contraction alone (activations pre-quantized) —
+    lets callers amortize one activation-quant chain over several matmuls
+    that share the same input (qkv fused, gate/up fused) and gives the
+    kernel bench a no-quant-chain probe.  Returns [Bp, OUT] (padded)."""
+    IN, OUT = w.q.shape
+    Bp = xq.shape[0]
 
     if block_out or block_in:
         TO = block_out or 256
@@ -234,7 +255,7 @@ def w8a8_matmul(
     n_out = OUT // TO
 
     kernel = functools.partial(_w8a8_kernel, n_in=n_in)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_m, n_out, n_in),
         in_specs=[
@@ -255,5 +276,3 @@ def w8a8_matmul(
         ),
         interpret=_interpret(),
     )(xq, sx[:, None], w.q, w.s[None, :])
-    eff_out = min(w.logical_out, OUT)
-    return out[:B, :eff_out].reshape(*lead, eff_out)
