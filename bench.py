@@ -129,13 +129,23 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
     tokens = jnp.zeros((batch, prompt_len), jnp.int32)
     start = jnp.zeros((batch,), jnp.int32)
     lengths = jnp.full((batch,), prompt_len, jnp.int32)
+    # large B*T one-shot prefill OOMs on activations; the serving path
+    # (runtime/engine.py) chunks long prompts for the same reason
+    chunked = batch * prompt_len > 4096 and prompt_len % 256 == 0
 
     def once():
         cache = make_kv_cache(config, batch=batch, kv_dtype=kv,
                               seq_len=seq_len)
-        logits, cache = forward_prefill(
-            params, cache, tokens, start, lengths, config,
-            precision="default", logits_mode="last")
+        if chunked:
+            from tpu_llama.models.llama import forward_prefill_chunked
+
+            logits, cache = forward_prefill_chunked(
+                params, cache, tokens, lengths, config,
+                precision="default", chunk=256)
+        else:
+            logits, cache = forward_prefill(
+                params, cache, tokens, start, lengths, config,
+                precision="default", logits_mode="last")
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logits2, cache = forward_decode(
             params, cache, nxt, lengths, config, precision="default")
@@ -219,16 +229,23 @@ def main():
                         attn=args.attn, unroll=args.unroll, reps=args.reps,
                         seq_len=args.seq_len, kv_layout=args.kv_layout,
                         page_size=args.page_size)
-                    ttft_s, _ = bench_ttft(
-                        params, config, b, args.prompt_len, dtype,
-                        kv_dtype=args.kv, reps=max(3, args.reps - 2),
-                        seq_len=args.seq_len)
                     rec = {"metric": f"decode_tokens_per_sec_{name}_{args.dtype}{qtag}_b{b}",
                            "value": round(toks, 3), "unit": "tok/s/chip",
                            "spread": round(spread, 3),
-                           "p50_ttft_ms": round(ttft_s * 1e3, 1),
                            "steps": args.steps, "seq_fill": args.seq_fill,
                            "prompt_len": args.prompt_len}
+                    if args.seq_len:
+                        rec["seq_len"] = args.seq_len
+                    # TTFT failing (e.g. prefill OOM at a batch the decode
+                    # path handles) must not discard the decode number
+                    try:
+                        ttft_s, _ = bench_ttft(
+                            params, config, b, args.prompt_len, dtype,
+                            kv_dtype=args.kv, reps=max(3, args.reps - 2),
+                            seq_len=args.seq_len)
+                        rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
+                    except Exception as e:
+                        rec["ttft_error"] = f"{type(e).__name__}: {e}"[:120]
                 except Exception as e:
                     rec = {"metric": f"sweep_b{b}", "error": f"{type(e).__name__}: {e}"[:200]}
                 print(json.dumps(rec), flush=True)

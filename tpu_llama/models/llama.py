@@ -758,10 +758,14 @@ def forward_decode(
         # and every dense batch except B=1, where the single grid cell gets
         # no cross-cell DMA overlap and the full-S index-map kernel's
         # pipelining wins (69.8 vs 57.2 tok/s at 7B).
+        # The DMA kernels' VMEM ring slices need a 128-aligned head_dim
+        # (Mosaic rejects sub-tile lane slices); small-head models (stories
+        # checkpoints, hd 12-64) take the index-map kernels instead.
+        dma_ok = config.head_dim % 128 == 0
         if isinstance(cache, PagedKVCache):
-            attn = "flash_dma"
+            attn = "flash_dma" if dma_ok else "flash"
         elif jax.default_backend() == "tpu":
-            attn = "flash_dma" if B > 1 else "flash"
+            attn = "flash_dma" if (B > 1 and dma_ok) else "flash"
         else:
             attn = "xla"
     if fused == "auto":

@@ -155,7 +155,10 @@ def _block_candidates(OUT: int) -> list[int]:
 
 @functools.lru_cache(maxsize=64)
 def _pick_fused_blocks(Bp: int, D: int, H: int, QO: int,
-                       budget: int = 12 << 20):
+                       # real VMEM limit is 16 MB; the compiler needs ~2 MB
+                       # beyond what this model counts (measured: a 14 MB
+                       # pick hit "16.09M > 16.00M" at Bp=64)
+                       budget: int = 13 << 20):
     """(TOA, TOB, TOC, TOD) such that the double-buffered operand streams
     plus scratch fit the VMEM budget.  Greedy: grow the widest phase first
     (fewest grid steps for the same bytes)."""

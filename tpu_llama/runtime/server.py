@@ -262,7 +262,7 @@ def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
           port: int = 8000, max_batch: int = 8, quant: str | None = None,
           kv_dtype: str = "float32", request_log: str | None = None,
           watchdog_s: float | None = None, kv_layout: str = "dense",
-          page_size: int = 512, attn: str = "auto"):
+          page_size: int = 512, attn: str = "auto", fuse: bool = True):
     """Blocking entry point: tpu-llama-serve."""
     from tpu_llama.io import Tokenizer, load_checkpoint
     from tpu_llama.models import params_from_raw, quantize_params
@@ -270,6 +270,10 @@ def serve(checkpoint: str, tokenizer_path: str = "tokenizer.bin",
     raw = load_checkpoint(checkpoint)
     tok = Tokenizer.load(tokenizer_path, vocab_size=raw.config.vocab_size)
     params = params_from_raw(raw)
+    if fuse:
+        from tpu_llama.models.llama import fuse_projections
+
+        params = fuse_projections(params)
     if quant in ("int8", "w8a8"):
         params = quantize_params(
             params, mode="q8_0" if quant == "int8" else "w8a8")

@@ -44,6 +44,7 @@ class EngineConfig:
     page_size: int = 512
     num_pages: int | None = None  # paged pool size (default: dense-equiv)
     attn: str = "auto"  # "auto" | "flash" | "flash_dma" | "xla"
+    fuse: bool = True  # fuse qkv / gate-up projections (off for model-TP)
     mesh_data: int = 1
     mesh_model: int = 1
     server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
@@ -78,6 +79,14 @@ class EngineConfig:
         raw = load_checkpoint(self.checkpoint)
         tok = Tokenizer.load(self.tokenizer, vocab_size=raw.config.vocab_size)
         params = params_from_raw(raw)
+        if self.fuse and self.mesh_model == 1:
+            # fused qkv/w13 layouts halve per-layer launch count and enable
+            # the one-Pallas-call-per-layer decode path (ops/fused_layer.py);
+            # skipped under model-TP, where the fused column order would
+            # split q/k/v unevenly across shards
+            from tpu_llama.models.llama import fuse_projections
+
+            params = fuse_projections(params)
         if self.quant == "int8":
             params = quantize_params(params)
         elif self.quant == "w8a8":
