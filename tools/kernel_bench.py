@@ -303,6 +303,61 @@ def run_dma_attention(L: int, B: int, KVH: int, S: int, hd: int,
     }), flush=True)
 
 
+def run_fused_layer(L: int, B: int, D: int, H: int, QO: int,
+                    iters: int, reps: int):
+    """Per-call cost of ops/fused_layer.py's one-call-per-layer kernel at
+    model shapes (layer cycling, data-dependent chain)."""
+    from tpu_llama.ops.fused_layer import fused_layer_linear
+    from tpu_llama.ops.quant import ChannelQuantTensor, quantize_activations
+
+    key = jax.random.PRNGKey(0)
+    Bp = max(32, -(-B // 32) * 32)
+
+    def mk(k, i, o):  # int8 directly — the f32 intermediates exceed HBM
+        return ChannelQuantTensor(
+            q=jax.random.randint(k, (L, i, o), -127, 127, jnp.int8),
+            s=jnp.full((L, o), 1e-4, jnp.float32), logical_in=i,
+            logical_out=o)
+
+    ks = jax.random.split(key, 6)
+    wo, w13, w2, qkv = (mk(ks[0], D, D), mk(ks[1], D, 2 * H),
+                        mk(ks[2], H, D), mk(ks[3], D, QO))
+    rmsf = jnp.ones((L, D), jnp.float32)
+    rmsa = jnp.ones((L, D), jnp.float32)
+    x0 = jax.random.normal(ks[4], (Bp, D), jnp.float32)
+    attq, satt = quantize_activations(
+        jax.random.normal(ks[5], (Bp, D), jnp.float32))
+
+    @jax.jit
+    def loop(x, attq, satt, wo, w13, w2, qkv):
+        def body(x, l):
+            xn, qk = fused_layer_linear(
+                x, attq, satt, wo.q, wo.s, w13.q, w13.s, w2.q, w2.s,
+                qkv.q, qkv.s, rmsf, rmsa, l % L, L)
+            return xn * 1e-3, qk[0, :1]
+        return jax.lax.scan(body, x, jnp.arange(iters, dtype=jnp.int32))
+
+    def run():
+        return loop(x0, attq, satt, wo, w13, w2, qkv)
+
+    _, outs = run()
+    np.asarray(outs)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, outs = run()
+        np.asarray(outs)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times)) / iters
+    wbytes = D * D + 2 * D * H + H * D + D * QO  # int8 weights per layer
+    print(json.dumps({
+        "case": "fused_layer", "L": L, "Bp": Bp,
+        "ms_per_iter": round(med * 1e3, 4),
+        "weight_GB_s": round(wbytes / med / 1e9, 1),
+        "spread": round((max(times) - min(times)) / (med * iters), 3),
+    }), flush=True)
+
+
 def run_paged_attention(L: int, B: int, KVH: int, S: int, hd: int,
                         pos_fill: int, iters: int, reps: int, ps: int,
                         impl: str):
@@ -469,7 +524,15 @@ def main():
     ap.add_argument("--paged", default="",
                     help="comma list of pos:page_size:impl (impl=fresh|dma) "
                          "for the paged decode attention A/B")
+    ap.add_argument("--fusedlayer", type=int, default=0,
+                    help="probe the fused one-call-per-layer kernel at 7B "
+                         "shapes (value = 1 enables)")
     args = ap.parse_args()
+
+    if args.fusedlayer:
+        run_fused_layer(32, args.batch, 4096, 11008, 12288,
+                        max(16, args.iters), args.reps)
+        return
 
     if args.paged:
         for spec in args.paged.split(","):
