@@ -186,3 +186,43 @@ def test_fused_path_ok_rejects_unaligned():
     config = _tiny_config(dim=96, n_heads=2, n_kv_heads=2, hidden_dim=256)
     params = _fused_model(config)
     assert not _fused_path_ok(params, config)
+
+
+def test_forward_decode_fused_gqa():
+    """GQA (n_kv_heads < n_heads): the fused carry splits qkv at D/KVD and
+    attention runs grouped — must match the unfused path."""
+    from tpu_llama.models import make_kv_cache
+    from tpu_llama.models.llama import _fused_path_ok, forward_decode
+
+    config = _tiny_config(n_heads=2, n_kv_heads=1)  # hd=64, KVD=64, QO=256
+    params = _fused_model(config)
+    assert _fused_path_ok(params, config)
+    B = 2
+    tokens = jnp.array([3, 5], jnp.int32)
+    pos = jnp.array([4, 9], jnp.int32)
+
+    def run(fused):
+        cache = make_kv_cache(config, batch=B, kv_dtype="int8")
+        from tpu_llama.models.llama import forward_prefill
+        warm = jnp.tile(jnp.arange(10, dtype=jnp.int32)[None], (B, 1))
+        _, cache = forward_prefill(params, cache, warm,
+                                   jnp.zeros((B,), jnp.int32),
+                                   jnp.array([4, 9], jnp.int32), config)
+        return forward_decode(params, cache, tokens, pos, config,
+                              attn="flash", fused=fused)[0]
+
+    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_fused_blocks_infeasible_at_70b():
+    """70B's w2 minimum block (28672 x 128 int8 = 3.6 MB, double-buffered)
+    exceeds the VMEM budget — the picker must return None so
+    _fused_path_ok falls back to the unfused path instead of a compile-time
+    VMEM OOM (70B runs TP-sharded with unfused layouts anyway)."""
+    from tpu_llama.ops.fused_layer import _pick_fused_blocks
+
+    assert _pick_fused_blocks(32, 8192, 28672, 10240) is None
+    # 7B and 13B must stay feasible
+    assert _pick_fused_blocks(32, 4096, 11008, 12288) is not None
+    assert _pick_fused_blocks(32, 5120, 13824, 15360) is not None
