@@ -352,8 +352,11 @@ def flash_decode_attention_dma(
     in HBM and the kernel DMAs only ``ceil(pos/block_s)`` blocks per slot —
     decode traffic scales with the token's context, not the allocated
     ``seq_len`` (the reference scans ``t <= pos`` for the same reason,
-    llama2.ts:249).  ``block_s`` defaults to ~1 MB copies per KV buffer
-    (256 rows int8, 64 rows f32)."""
+    llama2.ts:249).  ``block_s`` defaults to 128 rows int8 / 64 rows f32:
+    kernel_bench --dyn (b8, S2048) measured 128-row blocks faster than 256
+    at every pos (84.8 vs 94.5 us at pos 128, 138.6 vs 154.4 at 640, tie at
+    2048) — finer blocks waste less read-up at short contexts and the extra
+    trip count stays hidden behind the double buffer."""
     B, KVH, G, hd = q.shape
     if k_cache.ndim == 4:
         k_cache, v_cache = k_cache[None], v_cache[None]
@@ -366,7 +369,7 @@ def flash_decode_attention_dma(
     G8 = _pad_g(G)
 
     if block_s is None:
-        block_s = max(64, 256 // jnp.dtype(k_cache.dtype).itemsize)
+        block_s = max(64, 128 // jnp.dtype(k_cache.dtype).itemsize)
     TS = min(block_s, S)
     while S % TS != 0:
         TS //= 2
@@ -480,7 +483,9 @@ def paged_flash_decode_attention_dma(
     copies — no grid steps are spent on pages past ``pos`` (the
     index-map-clamped grid still pays ~0.5 us bookkeeping per masked page
     block per cell).  Pages larger than 256 rows are streamed in sub-page
-    blocks so the 4-slot VMEM ring stays ~1 MB per copy."""
+    blocks; 128-row blocks (the dense kernel's measured winner at b8)
+    A/B'd SLOWER here at the b64 serving shape (3118 vs 3139 tok/s) — the
+    b64 grid already amortizes read-up waste across 64 cells."""
     B, KVH, G, hd = q.shape
     if k_pool.ndim == 4:
         k_pool, v_pool = k_pool[None], v_pool[None]
