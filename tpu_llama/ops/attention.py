@@ -1216,42 +1216,52 @@ def _flash_prefill_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # [TQ, hd], pre-scaled by 1/sqrt(hd); int8 K/V ride the MXU as bf16
-    # (exact for |q| <= 127) with per-token scales folded into score /
-    # probability columns — no element-wise dequant materializes
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
-        k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [TQ, TS]
-    if int8:
-        s = s * ks_ref[0, 0]  # [1, TS] per-token K scales
-
+    # CAUSAL BLOCK SKIP: an S-block whose first key position exceeds the
+    # block's highest query position is fully masked — skip its entire
+    # update (its index map also clamps, so it was never DMA'd).  At
+    # prefill-from-zero with S >> T most (qb, sb) cells are in this class
+    # (e.g. 6/8 at T=512, S=2048): skip + 512-row blocks took the 7B b8
+    # T512 prefill from 683 to 540 ms (measured round 2; the remaining gap
+    # to the ~265 ms matmul floor is scan slice copies + softmax chains).
     start = start_ref[b]
-    row = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 0) + qb * TQ
-    qpos = start + row // G
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 1) + sb * TS
-    mask = kpos <= qpos
 
-    m_prev = m_ref[:, :1]
-    s_max = jnp.max(jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, s_max)
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # masked -> exact zeros
-    l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    if int8:
-        p = p * vs_ref[0, 0]  # [1, TS] per-token V scales fold into probs
-        p = p.astype(jnp.bfloat16)
-        v = v_ref[0, 0].astype(jnp.bfloat16)
-    else:
-        p = p.astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-    acc_ref[:] = acc_ref[:] * corr + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+    @pl.when(sb * TS <= start + (qb * TQ + TQ - 1) // G)
+    def _():
+        # [TQ, hd], pre-scaled by 1/sqrt(hd); int8 K/V ride the MXU as bf16
+        # (exact for |q| <= 127) with per-token scales folded into score /
+        # probability columns — no element-wise dequant materializes
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
+            k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TQ, TS]
+        if int8:
+            s = s * ks_ref[0, 0]  # [1, TS] per-token K scales
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 0) + qb * TQ
+        qpos = start + row // G
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 1) + sb * TS
+        mask = kpos <= qpos
+
+        m_prev = m_ref[:, :1]
+        s_max = jnp.max(jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, s_max)
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # masked -> exact zeros
+        l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if int8:
+            p = p * vs_ref[0, 0]  # [1, TS] per-token V scales fold into probs
+            p = p.astype(jnp.bfloat16)
+            v = v_ref[0, 0].astype(jnp.bfloat16)
+        else:
+            p = p.astype(jnp.float32)
+            v = v_ref[0, 0].astype(jnp.float32)
+        acc_ref[:] = acc_ref[:] * corr + jnp.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(sb == n_s - 1)
     def _():
@@ -1267,8 +1277,8 @@ def flash_prefill_attention(
     start_pos: jax.Array,  # [B] — absolute position of q[:, 0]
     k_scale: jax.Array | None = None,  # [B, KVH, S] f32 (int8 caches)
     v_scale: jax.Array | None = None,
-    block_q: int = 256,
-    block_s: int = 256,
+    block_q: int = 512,
+    block_s: int = 512,
 ) -> jax.Array:
     """Returns [B, T, NH*hd] f32. Causality: key s attends iff
     s <= start_pos[b] + t (matches _attention_prefill's mask).
@@ -1298,12 +1308,23 @@ def flash_prefill_attention(
     n_s = S // TS
 
     grid = (B, KVH, rows_p // TQ, n_s)
+
+    def sb_clamp(b, qb, sb, start_ref):
+        # fully-masked S-blocks clamp to the causal boundary block: no DMA
+        # is issued for them and the kernel predicates their update off
+        hi = (start_ref[b] + (qb * TQ + TQ - 1) // G) // TS
+        return jnp.minimum(sb, hi)
+
     qspec = pl.BlockSpec((1, 1, TQ, hd), lambda b, h, qb, sb, *_: (b, h, qb, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, 1, TS, hd), lambda b, h, qb, sb, *_: (b, h, sb, 0),
-                          memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 1, 1, TS), lambda b, h, qb, sb, *_: (b, h, 0, sb),
-                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec(
+        (1, 1, TS, hd),
+        lambda b, h, qb, sb, start_ref: (b, h, sb_clamp(b, qb, sb, start_ref), 0),
+        memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(
+        (1, 1, 1, TS),
+        lambda b, h, qb, sb, start_ref: (b, h, 0, sb_clamp(b, qb, sb, start_ref)),
+        memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, 1, TQ, hd), lambda b, h, qb, sb, *_: (b, h, qb, 0),
                          memory_space=pltpu.VMEM)
     scratch = [
