@@ -12,6 +12,11 @@ and RoPE tables stay floating point.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# Allow running from a checkout without `pip install -e .`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
