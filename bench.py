@@ -89,9 +89,13 @@ def _make_cache(config, batch, kv, seq_len, kv_layout="dense", page_size=512):
     return dataclasses.replace(cache, page_table=jnp.asarray(pool.table))
 
 
+def _fused_arg(args):
+    return {"true": True, "false": False}.get(args.fused, args.fused)
+
+
 def bench_decode(params, config, batch, steps, dtype, seq_fill=512,
                  kv_dtype=None, attn="auto", unroll=1, reps=5, seq_len=None,
-                 kv_layout="dense", page_size=512):
+                 kv_layout="dense", page_size=512, fused="auto"):
     """Decode throughput via the fused on-device greedy loop.  Returns
     (median tok/s, spread, [times])."""
     from tpu_llama.models.llama import greedy_decode_loop
@@ -103,14 +107,14 @@ def bench_decode(params, config, batch, steps, dtype, seq_fill=512,
     pos = jnp.full((batch,), seq_fill, jnp.int32)
 
     out, cache = greedy_decode_loop(params, cache, tokens, pos, steps, config,
-                                    attn=attn, unroll=unroll)
+                                    attn=attn, unroll=unroll, fused=fused)
     np.asarray(out)  # compile + warm; HOST READBACK forces real completion
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
         out, cache = greedy_decode_loop(
             params, cache, tokens, pos, steps, config,
-            attn=attn, unroll=unroll)
+            attn=attn, unroll=unroll, fused=fused)
         np.asarray(out)  # sync
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
@@ -119,9 +123,13 @@ def bench_decode(params, config, batch, steps, dtype, seq_fill=512,
 
 
 def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
-               reps=5, seq_len=None):
+               reps=5, seq_len=None, kv_layout="dense", page_size=512):
     """p50 time-to-first-token: one batched prefill (logits_mode=last) plus
-    one decode step, timed with readback."""
+    one decode step, timed with readback.
+
+    kv_layout="paged" prefills through the engine's compact-prefill +
+    page-scatter path (runtime/engine.py) — a dense bench cache alongside
+    the decode working set OOMs at b64 on 7B, the page pool does not."""
     from tpu_llama.models import make_kv_cache
     from tpu_llama.models.llama import forward_decode, forward_prefill
 
@@ -134,18 +142,28 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
     chunked = batch * prompt_len > 4096 and prompt_len % 256 == 0
 
     def once():
-        cache = make_kv_cache(config, batch=batch, kv_dtype=kv,
-                              seq_len=seq_len)
-        if chunked:
-            from tpu_llama.models.llama import forward_prefill_chunked
+        if kv_layout == "paged":
+            from tpu_llama.runtime.engine import _prefill_into_slots
 
-            logits, cache = forward_prefill_chunked(
-                params, cache, tokens, lengths, config,
-                precision="default", chunk=256)
-        else:
-            logits, cache = forward_prefill(
-                params, cache, tokens, start, lengths, config,
+            cache = _make_cache(config, batch, "int8", seq_len, "paged",
+                                page_size)
+            slots = jnp.arange(batch, dtype=jnp.int32)
+            logits, _, cache = _prefill_into_slots(
+                params, cache, tokens, lengths, slots, config,
                 precision="default", logits_mode="last")
+        else:
+            cache = make_kv_cache(config, batch=batch, kv_dtype=kv,
+                                  seq_len=seq_len)
+            if chunked:
+                from tpu_llama.models.llama import forward_prefill_chunked
+
+                logits, cache = forward_prefill_chunked(
+                    params, cache, tokens, lengths, config,
+                    precision="default", chunk=256)
+            else:
+                logits, cache = forward_prefill(
+                    params, cache, tokens, start, lengths, config,
+                    precision="default", logits_mode="last")
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logits2, cache = forward_decode(
             params, cache, nxt, lengths, config, precision="default")
@@ -171,6 +189,10 @@ def main():
     # "auto" resolves to the measured winner per config (models/llama.py):
     # manual-DMA flash_dma everywhere except dense B=1 (389.7 vs 307.4 tok/s
     # on the b8 headline; see kernel_bench --dyn/--fresh/--paged A/Bs)
+    ap.add_argument("--fused", default="auto",
+                    choices=["auto", "true", "false", "mega"],
+                    help="decode path: auto | true (two-launch fused) | "
+                         "false (unfused) | mega (one-launch merged kernel)")
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "flash", "flash_dma", "xla"])
     ap.add_argument("--kv", default="int8", choices=["same", "float32", "bfloat16", "int8"],
@@ -228,7 +250,7 @@ def main():
                         seq_fill=args.seq_fill, kv_dtype=args.kv,
                         attn=args.attn, unroll=args.unroll, reps=args.reps,
                         seq_len=args.seq_len, kv_layout=args.kv_layout,
-                        page_size=args.page_size)
+                        page_size=args.page_size, fused=_fused_arg(args))
                     rec = {"metric": f"decode_tokens_per_sec_{name}_{args.dtype}{qtag}_b{b}",
                            "value": round(toks, 3), "unit": "tok/s/chip",
                            "spread": round(spread, 3),
@@ -242,7 +264,8 @@ def main():
                         ttft_s, _ = bench_ttft(
                             params, config, b, args.prompt_len, dtype,
                             kv_dtype=args.kv, reps=max(3, args.reps - 2),
-                            seq_len=args.seq_len)
+                            seq_len=args.seq_len, kv_layout=args.kv_layout,
+                            page_size=args.page_size)
                         rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
                     except Exception as e:
                         rec["ttft_error"] = f"{type(e).__name__}: {e}"[:120]
@@ -256,7 +279,7 @@ def main():
         params, config, args.batch, args.steps, dtype, seq_fill=args.seq_fill,
         kv_dtype=args.kv, attn=args.attn, unroll=args.unroll, reps=args.reps,
         seq_len=args.seq_len, kv_layout=args.kv_layout,
-        page_size=args.page_size)
+        page_size=args.page_size, fused=_fused_arg(args))
     rec = {
         "metric": f"decode_tokens_per_sec_{name}_{args.dtype}{qtag}_b{args.batch}",
         "value": round(toks, 3),
@@ -269,7 +292,9 @@ def main():
         try:
             ttft_s, _ = bench_ttft(params, config, args.batch, args.prompt_len,
                                    dtype, kv_dtype=args.kv, reps=args.reps,
-                                   seq_len=args.seq_len)
+                                   seq_len=args.seq_len,
+                                   kv_layout=args.kv_layout,
+                                   page_size=args.page_size)
             rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
             rec["prompt_len"] = args.prompt_len
         except Exception as e:

@@ -626,12 +626,34 @@ def _fused_path_ok(params: LlamaParams, config: ModelConfig) -> bool:
     return _pick_fused_blocks(32, D, H, QO) is not None
 
 
+def _mega_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
+    """True when the ONE-launch-per-layer merged kernel applies: the fused
+    linear layouts (see _fused_path_ok) + a dense INT8 stacked cache +
+    128-aligned head_dim (per-head lane writes + DMA ring slices) + a
+    VMEM-feasible merged tiling (ops/fused_step.py)."""
+    if not isinstance(cache, QuantKVCache) or isinstance(cache, PagedKVCache):
+        return False
+    if config.head_dim % 128 != 0:
+        return False
+    from tpu_llama.ops.fused_step import _pick_step_tiling
+
+    Bp = max(32, -(-B // 32) * 32)
+    S = cache.k.shape[-2]
+    return _pick_step_tiling(
+        Bp, config.dim, config.hidden_dim,
+        config.dim + 2 * config.kv_dim, config.n_kv_heads,
+        config.group_size, config.head_dim, S) is not None
+
+
 def _forward_decode_fused(params, cache, tokens, pos, config: ModelConfig,
-                          attn: str, unroll: int):
+                          attn: str, unroll: int, mega: bool = False):
     """Decode step with ONE fused linear Pallas call per layer (plus
     attention): see ops/fused_layer.py.  The scan carry holds the residual
     stream AND the next layer's qkv projection, which the fused kernel
-    emits as its final phase."""
+    emits as its final phase.
+
+    ``mega=True`` (dense INT8 caches): attention itself is folded into the
+    fused kernel (ops/fused_step.py) — ONE Pallas launch per layer total."""
     from tpu_llama.ops.fused_layer import fused_layer_linear, w8a8_matmul_stacked
     from tpu_llama.ops.quant import quantize_activations
 
@@ -653,7 +675,10 @@ def _forward_decode_fused(params, cache, tokens, pos, config: ModelConfig,
     xq0, sx0 = quantize_activations(h0)
     qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
 
-    if paged:
+    if mega:
+        from tpu_llama.ops.attention import kv_cache_flush_rows
+        from tpu_llama.ops.fused_step import fused_step_layer
+    elif paged:
         from tpu_llama.ops.attention import (
             kv_pool_flush_rows,
             paged_flash_decode_attention_dma,
@@ -684,6 +709,15 @@ def _forward_decode_fused(params, cache, tokens, pos, config: ModelConfig,
         v = qb[:, D + KVD:].reshape(B, config.n_kv_heads, config.head_dim)
         qg = q.reshape(B, config.n_kv_heads, config.group_size,
                        config.head_dim)
+        if mega:
+            kq, ks_ = quantize_kv(k)
+            vq, vs_ = quantize_kv(v)
+            x_next, qkv_next = fused_step_layer(
+                xp, qg, kq, vq, ks_, vs_,
+                cache.k, cache.v, cache.ks, cache.vs, pos,
+                lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
+                lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L)
+            return (x_next, qkv_next), (kq, ks_, vq, vs_)
         if paged:
             kq, ks_ = quantize_kv(k)
             vq, vs_ = quantize_kv(v)
@@ -772,6 +806,20 @@ def forward_decode(
         fused = (attn in ("flash", "flash_dma")
                  and jax.default_backend() == "tpu"
                  and _fused_path_ok(params, config))
+        # Merged one-launch kernel (ops/fused_step.py): measured by bench.py
+        # --fused A/B on TPU (7B fill512): b1 95.7 vs 93.6 tok/s (mega wins
+        # +2.3%), b2 164.6 vs 170.0 (loses), b8 probe 779 vs 695 us/layer
+        # (loses) — the shared VMEM budget shrinks the weight tiles and the
+        # B serial attention cells eat the saved launch.  Auto only at B=1.
+        if fused and B == 1 and _mega_path_ok(params, config, cache, B):
+            fused = "mega"
+    if fused == "mega":
+        if not (_fused_path_ok(params, config)
+                and _mega_path_ok(params, config, cache, B)):
+            raise ValueError("mega decode requires fused W8A8 layouts, a "
+                             "dense INT8 cache, and 128-aligned head_dim")
+        return _forward_decode_fused(params, cache, tokens, pos, config,
+                                     attn, unroll, mega=True)
     if fused:
         if attn not in ("flash", "flash_dma"):
             raise ValueError("fused decode requires a flash attention impl")
@@ -953,7 +1001,7 @@ def forward_prefill_chunked(
 
 
 @partial(jax.jit, static_argnames=("config", "steps", "precision", "attn",
-                                   "unroll"), donate_argnums=(1,))
+                                   "unroll", "fused"), donate_argnums=(1,))
 def greedy_decode_loop(
     params: LlamaParams,
     cache,
@@ -964,6 +1012,7 @@ def greedy_decode_loop(
     precision: str = "default",
     attn: str = "auto",
     unroll: int = 1,
+    fused: str | bool = "auto",
 ):
     """``steps`` greedy decode steps fused into one jitted lax.scan.
 
@@ -977,7 +1026,7 @@ def greedy_decode_loop(
         toks, cache, p = carry
         logits, cache = forward_decode(params, cache, toks, p, config,
                                        precision=precision, attn=attn,
-                                       unroll=unroll)
+                                       unroll=unroll, fused=fused)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, cache, p + 1), nxt
 
