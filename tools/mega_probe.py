@@ -39,19 +39,27 @@ def main():
     ap.add_argument("--budget-mb", type=float, default=None,
                     help="override the merged kernel's VMEM budget")
     ap.add_argument("--variant", default="both",
-                    choices=["both", "mega", "composed"])
+                    choices=["both", "all", "mega", "mega2", "composed"])
     args = ap.parse_args()
 
     if args.budget_mb is not None:
-        import tpu_llama.ops.fused_step as fs
-        orig = fs._pick_step_blocks.__wrapped__
-
-        def patched(Bp, D, H, QO, KVH, G, hd, TS,
-                    budget=int(args.budget_mb * (1 << 20))):
-            return orig(Bp, D, H, QO, KVH, G, hd, TS, budget)
-
         import functools
+
+        import tpu_llama.ops.fused_step as fs
+        import tpu_llama.ops.fused_step2 as fs2
+        budget = int(args.budget_mb * (1 << 20))
+        orig = fs._pick_step_blocks.__wrapped__
+        orig2 = fs2._pick_step2_blocks.__wrapped__
+
+        def patched(Bp, D, H, QO, KVH, G, hd, TS, b=budget):
+            return orig(Bp, D, H, QO, KVH, G, hd, TS, b)
+
+        def patched2(Bp, D, H, QO, KVH, G, hd, TS, b=budget):
+            return orig2(Bp, D, H, QO, KVH, G, hd, TS, b)
+
         fs._pick_step_blocks = functools.lru_cache(maxsize=64)(patched)
+        fs2._pick_step2_blocks = functools.lru_cache(maxsize=64)(patched2)
+        import tpu_llama.models.llama  # noqa: F401 — pickers resolved lazily
 
     from tpu_llama.ops.attention import (
         flash_decode_attention_dma,
@@ -59,14 +67,23 @@ def main():
     )
     from tpu_llama.ops.fused_layer import fused_layer_linear
     from tpu_llama.ops.fused_step import _pick_step_tiling, fused_step_layer
+    from tpu_llama.ops.fused_step2 import (
+        _pick_step2_blocks,
+        decode_dma_descs,
+        fused_step2_layer,
+        rope_tables,
+        step2_block_s,
+    )
     from tpu_llama.ops.quant import quantize_activations
 
     L, B, S = args.layers, args.batch, args.seq
     D, H, KVH, G, hd = 4096, 11008, 32, 1, 128
     QO = D + 2 * KVH * hd
     Bp = max(32, -(-B // 32) * 32)
+    TS2 = step2_block_s(S)
     print("tiling:", _pick_step_tiling(Bp, D, H, QO, KVH, G, hd, S),
-          flush=True)
+          "| mega2:", TS2,
+          _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, TS2), flush=True)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 16)
@@ -88,10 +105,12 @@ def main():
 
     x = jax.random.normal(ks[4], (Bp, D), jnp.float32)
     q = jax.random.normal(ks[5], (B, KVH, G, hd), jnp.float32)
-    kc = jax.random.randint(ks[6], (L, B, KVH, S, hd), -127, 128, jnp.int8)
-    vc = jax.random.randint(ks[7], (L, B, KVH, S, hd), -127, 128, jnp.int8)
-    kss = jnp.full((L, B, KVH, S), 0.01, jnp.float32)
-    vss = jnp.full((L, B, KVH, S), 0.01, jnp.float32)
+    # L+1 cache layers: mega2's trailing cells read layer l+1 (up to L when
+    # the probe pins n_layers=L+1 to keep phase D live on every call)
+    kc = jax.random.randint(ks[6], (L + 1, B, KVH, S, hd), -127, 128, jnp.int8)
+    vc = jax.random.randint(ks[7], (L + 1, B, KVH, S, hd), -127, 128, jnp.int8)
+    kss = jnp.full((L + 1, B, KVH, S), 0.01, jnp.float32)
+    vss = jnp.full((L + 1, B, KVH, S), 0.01, jnp.float32)
     nk, nks = quantize_kv(jax.random.normal(ks[8], (B, KVH, hd)))
     nv, nvs = quantize_kv(jax.random.normal(ks[9], (B, KVH, hd)))
     pos = jnp.full((B,), args.pos, jnp.int32)
@@ -123,6 +142,37 @@ def main():
         x, _ = jax.lax.scan(iter_body, x, None, length=n)
         return x
 
+    # mega2 extras: rope tables, DMA descriptor chain, an attq/satt carry
+    cosr = jax.random.normal(ks[10], (B, hd // 2), jnp.float32) * 0.1
+    sinr = jax.random.normal(ks[11], (B, hd // 2), jnp.float32) * 0.1
+    rc, rsa, rsb = rope_tables(cosr, sinr, Bp)
+    base, dcell, doff, total = decode_dma_descs(pos, B, S, TS2)
+    attq0 = jax.random.randint(ks[12], (Bp, D), -127, 128, jnp.int8)
+    satt0 = jnp.full((Bp,), 0.01, jnp.float32)
+    env.update(rc=rc, rsa=rsa, rsb=rsb, base=base, dcell=dcell, doff=doff,
+               total=total, attq0=attq0, satt0=satt0)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_mega2(x, e, n):
+        def iter_body(x, _):
+            def step(carry, l):
+                xc, attq, satt = carry
+                xn, attq_n, satt_n, *_ = fused_step2_layer(
+                    xc, attq, satt, e["kc"], e["vc"], e["kss"], e["vss"],
+                    e["pos"], e["rc"], e["rsa"], e["rsb"],
+                    e["base"], e["dcell"], e["doff"], e["total"],
+                    e["wo_q"], e["wo_s"], e["w13_q"], e["w13_s"],
+                    e["w2_q"], e["w2_s"], e["qkv_q"], e["qkv_s"],
+                    e["rms_ffn"], e["rms_att"], l, L + 1, KVH * G)
+                return (xn * 1e-3, attq_n, satt_n), None
+
+            (x, _, _), _ = jax.lax.scan(
+                step, (x, e["attq0"], e["satt0"]), layer_ix)
+            return x, None
+
+        x, _ = jax.lax.scan(iter_body, x, None, length=n)
+        return x
+
     @partial(jax.jit, static_argnames=("n",))
     def run_composed(x, e, n):
         def iter_body(x, _):
@@ -147,8 +197,11 @@ def main():
 
     n = args.iters
     calls = n * L
-    for name, fn in (("mega", run_mega), ("composed", run_composed)):
-        if args.variant not in ("both", name):
+    for name, fn in (("mega", run_mega), ("mega2", run_mega2),
+                     ("composed", run_composed)):
+        if args.variant == "both" and name == "mega2":
+            continue  # legacy pairing: mega vs composed
+        if args.variant not in ("both", "all", name):
             continue
         try:
             np.asarray(fn(x, env, n))  # compile + warm

@@ -626,6 +626,113 @@ def _fused_path_ok(params: LlamaParams, config: ModelConfig) -> bool:
     return _pick_fused_blocks(32, D, H, QO) is not None
 
 
+def _mega2_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
+    """True when the trailing-attention one-launch kernel applies
+    (ops/fused_step2.py): fused W8A8 layouts + dense INT8 stacked cache +
+    128-aligned head_dim + a VMEM-feasible tiling whose phase-D block width
+    tiles the q/k/v boundaries."""
+    if not isinstance(cache, QuantKVCache) or isinstance(cache, PagedKVCache):
+        return False
+    if config.head_dim % 128 != 0:
+        return False
+    from tpu_llama.ops.fused_step2 import _pick_step2_blocks, step2_block_s
+
+    Bp = max(32, -(-B // 32) * 32)
+    S = cache.k.shape[-2]
+    return _pick_step2_blocks(
+        Bp, config.dim, config.hidden_dim,
+        config.dim + 2 * config.kv_dim, config.n_kv_heads,
+        config.group_size, config.head_dim, step2_block_s(S)) is not None
+
+
+def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
+                          unroll: int):
+    """Decode step with ONE trailing-attention Pallas launch per layer
+    (ops/fused_step2.py): launch ``l`` runs layer ``l``'s linear phases and
+    layer ``l+1``'s attention cells, whose cache DMAs are issued from the
+    first grid steps so they stream behind the weight phases.  Layer 0's
+    attention (no preceding launch) runs in an XLA prologue through the
+    standalone DMA kernel; the per-layer fresh K/V rows come back as scan
+    ys and flush once per step, exactly like the other fused paths."""
+    from tpu_llama.ops.attention import (
+        flash_decode_attention_dma,
+        kv_cache_flush_rows,
+    )
+    from tpu_llama.ops.fused_layer import w8a8_matmul_stacked
+    from tpu_llama.ops.fused_step2 import (
+        decode_dma_descs,
+        fused_step2_layer,
+        rope_tables,
+        step2_block_s,
+    )
+    from tpu_llama.ops.quant import quantize_activations
+
+    lp = params.layers
+    B = tokens.shape[0]
+    D, KVD = config.dim, config.kv_dim
+    L = lp.rms_att.shape[0]
+    Bp = max(32, -(-B // 32) * 32)
+    S = cache.k.shape[-2]
+    cos = params.rope_cos[pos]  # [B, hd/2]
+    sin = params.rope_sin[pos]
+
+    # prologue: layer 0's qkv projection + attention in XLA
+    x0 = params.tok_emb[tokens].astype(jnp.float32)
+    if Bp != B:
+        x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
+    h0 = rmsnorm(x0, lp.rms_att[0])
+    xq0, sx0 = quantize_activations(h0)
+    qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
+    qb = qkv0[:B]
+    q0 = apply_rope(
+        qb[:, :D].reshape(B, config.n_heads, config.head_dim), cos, sin)
+    k0 = apply_rope(
+        qb[:, D:D + KVD].reshape(B, config.n_kv_heads, config.head_dim),
+        cos, sin)
+    v0 = qb[:, D + KVD:].reshape(B, config.n_kv_heads, config.head_dim)
+    qg0 = q0.reshape(B, config.n_kv_heads, config.group_size,
+                     config.head_dim)
+    kq0, ks0 = quantize_kv(k0)
+    vq0, vs0 = quantize_kv(v0)
+    att0 = flash_decode_attention_dma(
+        qg0, cache.k, cache.v, pos, kq0, vq0,
+        cache.ks, cache.vs, ks0, vs0, layer=jnp.int32(0))
+    att0 = att0.reshape(B, D).astype(jnp.float32)
+    if Bp != B:
+        att0 = jnp.pad(att0, ((0, Bp - B), (0, 0)))
+    attq0, satt0 = quantize_activations(att0)
+
+    TS = step2_block_s(S)
+    base, dcell, doff, total = decode_dma_descs(pos, B, S, TS)
+    rc, rsa, rsb = rope_tables(cos, sin, Bp)
+    layer_ix = jnp.arange(L, dtype=jnp.int32)
+
+    def layer_step(carry, l):
+        x, attq, satt = carry
+        x_n, attq_n, satt_n, kqr, ksr, vqr, vsr = fused_step2_layer(
+            x, attq, satt, cache.k, cache.v, cache.ks, cache.vs, pos,
+            rc, rsa, rsb, base, dcell, doff, total,
+            lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
+            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L, config.n_heads)
+        return (x_n, attq_n, satt_n), (kqr, ksr, vqr, vsr)
+
+    (xp, _, _), rows = jax.lax.scan(layer_step, (x0, attq0, satt0),
+                                    layer_ix, unroll=unroll)
+    kqs, kss, vqs, vss = rows  # launch l emits layer l+1's fresh rows
+    full_kq = jnp.concatenate([kq0[None], kqs[:L - 1]])
+    full_ks = jnp.concatenate([ks0[None], kss[:L - 1]])
+    full_vq = jnp.concatenate([vq0[None], vqs[:L - 1]])
+    full_vs = jnp.concatenate([vs0[None], vss[:L - 1]])
+    ck, cv, cks, cvs = kv_cache_flush_rows(
+        full_kq, full_vq, pos, cache.k, cache.v,
+        full_ks, full_vs, cache.ks, cache.vs)
+    new_cache = QuantKVCache(ck, cv, cks, cvs)
+
+    x = rmsnorm(xp[:B], params.rms_final)
+    logits = matmul_any(x, params.wcls, jax.lax.Precision("default"))
+    return logits.astype(jnp.float32), new_cache
+
+
 def _mega_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
     """True when the ONE-launch-per-layer merged kernel applies: the fused
     linear layouts (see _fused_path_ok) + a dense INT8 stacked cache +
@@ -820,6 +927,13 @@ def forward_decode(
                              "dense INT8 cache, and 128-aligned head_dim")
         return _forward_decode_fused(params, cache, tokens, pos, config,
                                      attn, unroll, mega=True)
+    if fused == "mega2":
+        if not (_fused_path_ok(params, config)
+                and _mega2_path_ok(params, config, cache, B)):
+            raise ValueError("mega2 decode requires fused W8A8 layouts, a "
+                             "dense INT8 cache, and 128-aligned head_dim")
+        return _forward_decode_mega2(params, cache, tokens, pos, config,
+                                     unroll)
     if fused:
         if attn not in ("flash", "flash_dma"):
             raise ValueError("fused decode requires a flash attention impl")
