@@ -40,6 +40,8 @@ def main():
                     help="override the merged kernel's VMEM budget")
     ap.add_argument("--variant", default="both",
                     choices=["both", "all", "mega", "mega2", "composed"])
+    ap.add_argument("--ts", type=int, default=None,
+                    help="force the mega2 S-block size (else step2_plan)")
     args = ap.parse_args()
 
     if args.budget_mb is not None:
@@ -68,11 +70,10 @@ def main():
     from tpu_llama.ops.fused_layer import fused_layer_linear
     from tpu_llama.ops.fused_step import _pick_step_tiling, fused_step_layer
     from tpu_llama.ops.fused_step2 import (
-        _pick_step2_blocks,
         decode_dma_descs,
         fused_step2_layer,
         rope_tables,
-        step2_block_s,
+        step2_plan,
     )
     from tpu_llama.ops.quant import quantize_activations
 
@@ -80,10 +81,10 @@ def main():
     D, H, KVH, G, hd = 4096, 11008, 32, 1, 128
     QO = D + 2 * KVH * hd
     Bp = max(32, -(-B // 32) * 32)
-    TS2 = step2_block_s(S)
+    plan2 = step2_plan(Bp, D, H, QO, KVH, G, hd, S, block_s=args.ts)
+    TS2 = plan2[0] if plan2 else None
     print("tiling:", _pick_step_tiling(Bp, D, H, QO, KVH, G, hd, S),
-          "| mega2:", TS2,
-          _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, TS2), flush=True)
+          "| mega2 plan:", plan2, flush=True)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 16)
@@ -146,7 +147,7 @@ def main():
     cosr = jax.random.normal(ks[10], (B, hd // 2), jnp.float32) * 0.1
     sinr = jax.random.normal(ks[11], (B, hd // 2), jnp.float32) * 0.1
     rc, rsa, rsb = rope_tables(cosr, sinr, Bp)
-    base, dcell, doff, total = decode_dma_descs(pos, B, S, TS2)
+    base, dcell, doff, total = decode_dma_descs(pos, B, S, TS2 or 128)
     attq0 = jax.random.randint(ks[12], (Bp, D), -127, 128, jnp.int8)
     satt0 = jnp.full((Bp,), 0.01, jnp.float32)
     env.update(rc=rc, rsa=rsa, rsb=rsb, base=base, dcell=dcell, doff=doff,
@@ -163,7 +164,8 @@ def main():
                     e["base"], e["dcell"], e["doff"], e["total"],
                     e["wo_q"], e["wo_s"], e["w13_q"], e["w13_s"],
                     e["w2_q"], e["w2_s"], e["qkv_q"], e["qkv_s"],
-                    e["rms_ffn"], e["rms_att"], l, L + 1, KVH * G)
+                    e["rms_ffn"], e["rms_att"], l, L + 1, KVH * G,
+                    block_s=TS2)
                 return (xn * 1e-3, attq_n, satt_n), None
 
             (x, _, _), _ = jax.lax.scan(

@@ -383,13 +383,22 @@ def quantize_params(
     embeddings, and RoPE tables stay floating point."""
 
     if mode == "w8a8":
-        def q(w):
+        def qz(w):
             return quantize_channel(w)
     elif mode == "q8_0":
-        def q(w):
+        def qz(w):
             return quantize_q8(w, group_size)
     else:
         raise ValueError(f"unknown quant mode {mode!r}")
+
+    def q(w):
+        # fuse_projections stubs ([L, 1, 1] placeholders for wk/wv/w3) stay
+        # dense: quantizing them only adds padded QuantTensors that trip the
+        # explicit-TP path's padding-free check (parallel/tp.py) and they
+        # are never multiplied
+        if w.ndim == 3 and w.shape[-1] == 1 and w.shape[-2] == 1:
+            return w
+        return qz(w)
 
     lp = params.layers
     return LlamaParams(
@@ -407,27 +416,49 @@ def quantize_params(
     )
 
 
-def fuse_projections(params: LlamaParams) -> LlamaParams:
+def fuse_projections(params: LlamaParams, tp: int = 1) -> LlamaParams:
     """Fuse per-layer [wq|wk|wv] -> one wqkv and [w1|w3] -> one w13 matmul.
 
     Decode at small batch is bounded by per-op latency, not FLOPs — fusing
     cuts the 7 projections per layer (SURVEY §3.3) to 4.  Fusion is detected
     by output width at trace time, so all forward paths work unchanged.
-    Apply BEFORE quantize_params; not for explicit-TP layouts (the fused
-    column order would split q/k/v unevenly across shards).
+    Apply BEFORE quantize_params.
+
+    ``tp > 1`` produces the SHARD-INTERLEAVED column order for the explicit
+    tensor-parallel path (parallel/tp.py): columns are grouped per model
+    shard as [q_i | k_i | v_i] so that column-sharding the fused axis over
+    ``tp`` devices hands every shard its own local fused layout — the
+    shard-local ``_project_qkv`` split stays a pair of static slices with
+    zero communication.  A tp-interleaved tensor is NOT valid for the
+    single-device / GSPMD forward paths (the global [:D] split would mix
+    shards); feed it only to ``tp_forward_decode``.
     """
     lp = params.layers
     if not isinstance(lp.wq, jax.Array):
         raise ValueError("fuse_projections must run before quantization")
     L = lp.rms_att.shape[0]
     stub = jnp.zeros((L, 1, 1), lp.wq.dtype)
+
+    def interleave(parts, widths):
+        if tp == 1:
+            return jnp.concatenate(parts, axis=-1)
+        blocks = []
+        for i in range(tp):
+            for p, w in zip(parts, widths):
+                assert w % tp == 0, (w, tp)
+                blocks.append(p[..., i * (w // tp):(i + 1) * (w // tp)])
+        return jnp.concatenate(blocks, axis=-1)
+
+    D = lp.wq.shape[-1]
+    KVD = lp.wk.shape[-1]
+    H = lp.w1.shape[-1]
     return dataclasses.replace(
         params,
         layers=dataclasses.replace(
             lp,
-            wq=jnp.concatenate([lp.wq, lp.wk, lp.wv], axis=-1),
+            wq=interleave([lp.wq, lp.wk, lp.wv], [D, KVD, KVD]),
             wk=stub, wv=stub,
-            w1=jnp.concatenate([lp.w1, lp.w3], axis=-1),
+            w1=interleave([lp.w1, lp.w3], [H, H]),
             w3=stub,
         ),
     )
@@ -635,14 +666,14 @@ def _mega2_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
         return False
     if config.head_dim % 128 != 0:
         return False
-    from tpu_llama.ops.fused_step2 import _pick_step2_blocks, step2_block_s
+    from tpu_llama.ops.fused_step2 import step2_plan
 
     Bp = max(32, -(-B // 32) * 32)
     S = cache.k.shape[-2]
-    return _pick_step2_blocks(
+    return step2_plan(
         Bp, config.dim, config.hidden_dim,
         config.dim + 2 * config.kv_dim, config.n_kv_heads,
-        config.group_size, config.head_dim, step2_block_s(S)) is not None
+        config.group_size, config.head_dim, S) is not None
 
 
 def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
@@ -663,7 +694,7 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
         decode_dma_descs,
         fused_step2_layer,
         rope_tables,
-        step2_block_s,
+        step2_plan,
     )
     from tpu_llama.ops.quant import quantize_activations
 
@@ -702,7 +733,11 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
         att0 = jnp.pad(att0, ((0, Bp - B), (0, 0)))
     attq0, satt0 = quantize_activations(att0)
 
-    TS = step2_block_s(S)
+    # the descriptor chain's TS must match the kernel's resolved plan (the
+    # 128-row default is VMEM-infeasible at the 7B shape; step2_plan halves)
+    TS, _ = step2_plan(Bp, D, config.hidden_dim, D + 2 * KVD,
+                       config.n_kv_heads, config.group_size,
+                       config.head_dim, S)
     base, dcell, doff, total = decode_dma_descs(pos, B, S, TS)
     rc, rsa, rsb = rope_tables(cos, sin, Bp)
     layer_ix = jnp.arange(L, dtype=jnp.int32)
@@ -713,7 +748,8 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
             x, attq, satt, cache.k, cache.v, cache.ks, cache.vs, pos,
             rc, rsa, rsb, base, dcell, doff, total,
             lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
-            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L, config.n_heads)
+            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L, config.n_heads,
+            block_s=TS)
         return (x_n, attq_n, satt_n), (kqr, ksr, vqr, vsr)
 
     (xp, _, _), rows = jax.lax.scan(layer_step, (x0, attq0, satt0),

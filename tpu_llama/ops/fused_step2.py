@@ -427,6 +427,30 @@ def step2_block_s(S: int, block_s: int | None = None) -> int:
     return TS
 
 
+def step2_plan(Bp: int, D: int, H: int, QO: int, KVH: int, G: int, hd: int,
+               S: int, budget: int | None = None,
+               block_s: int | None = None):
+    """Resolve ``(TS, (TOA, TOB, TOC, TOD))`` for the trailing-attention
+    kernel, or ``None`` when no S-block size fits the VMEM budget.
+
+    TS candidates are tried largest-first from the requested ``block_s``
+    (default 128) down to 8: the 128-row DMA ring costs 2 MB of int8 plus
+    scales, which at the 7B shape (Bp=32) crowds out even the minimum
+    weight tiles under the 13 MB budget — TS=64 frees enough for
+    (128,128,128,128) and TS=32 for a 256-lane phase D.  Larger TS means
+    fewer per-cell DMA waits and bigger copies; the measured winner at 7B
+    is encoded by the caller's ``block_s`` (tools/mega_probe.py --ts A/Bs
+    both)."""
+    kw = {} if budget is None else {"budget": budget}
+    ts = step2_block_s(S, block_s)
+    while ts >= 8:
+        blocks = _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, ts, **kw)
+        if blocks is not None:
+            return ts, blocks
+        ts //= 2
+    return None
+
+
 def decode_dma_descs(pos: jax.Array, B: int, S: int, TS: int):
     """Precompute the global (cell, block) DMA chain for one decode step.
 
@@ -506,12 +530,11 @@ def fused_step2_layer(
     assert hd % 128 == 0, "per-head lane slices need 128-aligned head_dim"
     assert k_cache.dtype == jnp.int8, "mega2 is INT8-KV only"
 
-    TS = step2_block_s(S, block_s)
-    kw = {} if budget is None else {"budget": budget}
-    blocks = _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, TS, **kw)
-    if blocks is None:
+    plan = step2_plan(Bp, D, H, QO, KVH, G, hd, S, budget=budget,
+                      block_s=block_s)
+    if plan is None:
         raise ValueError(f"no VMEM-feasible mega2 tiling for Bp={Bp}")
-    TOA, TOB, TOC, TOD = blocks
+    TS, (TOA, TOB, TOC, TOD) = plan
     nA, nB, nC, nD = D // TOA, H // TOB, D // TOC, QO // TOD
     nq, nkk = D // TOD, KVD // TOD
     B0 = nA + nB + nC + nD

@@ -40,6 +40,16 @@ from tpu_llama.models.llama import (
     matmul_any,
     rmsnorm,
 )
+from tpu_llama.ops.quant import ChannelQuantTensor
+
+
+def _local_width(w) -> int:
+    """Physical trailing width of a (possibly sharded) weight leaf — inside
+    shard_map this is the PER-SHARD width, unlike QuantTensor.logical_out
+    which is static global metadata."""
+    if isinstance(w, (QuantTensor, ChannelQuantTensor)):
+        return w.q.shape[-1]
+    return w.shape[-1]
 from tpu_llama.ops.quant import QuantTensor
 from tpu_llama.parallel.overlap import collective_matmul_rowsharded
 from tpu_llama.parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -120,10 +130,20 @@ def tp_forward_decode(
         def layer_step(x, scanned):
             lp, cache_l = scanned
             h = rmsnorm(x, lp.rms_att)
-            # local head slices — no communication
-            q = mm(h, lp.wq).reshape(B, local.n_heads, local.head_dim)
-            k = mm(h, lp.wk).reshape(B, local.n_kv_heads, local.head_dim)
-            v = mm(h, lp.wv).reshape(B, local.n_kv_heads, local.head_dim)
+            # local head slices — no communication.  The shard-interleaved
+            # fused wqkv layout (fuse_projections(tp=...)) hands each shard
+            # [q_i | k_i | v_i]; detect it by the PHYSICAL local width (a
+            # sharded QuantTensor's logical_out metadata stays global).
+            Dl, KVDl = local.dim, local.kv_dim
+            if _local_width(lp.wq) == Dl + 2 * KVDl:
+                qkv = mm(h, lp.wq)
+                q, k, v = (qkv[..., :Dl], qkv[..., Dl:Dl + KVDl],
+                           qkv[..., Dl + KVDl:])
+            else:
+                q, k, v = mm(h, lp.wq), mm(h, lp.wk), mm(h, lp.wv)
+            q = q.reshape(B, local.n_heads, local.head_dim)
+            k = k.reshape(B, local.n_kv_heads, local.head_dim)
+            v = v.reshape(B, local.n_kv_heads, local.head_dim)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             cache_l = _write_decode(cache_l, k, v, pos, local)
@@ -136,8 +156,12 @@ def tp_forward_decode(
                 # row-sharded wo: partial sum -> ONE psum (collective #1)
                 x = x + jax.lax.psum(mm(att, lp.wo), MODEL_AXIS)
             h = rmsnorm(x, lp.rms_ffn)
-            gate = mm(h, lp.w1)  # column-sharded, local
-            up = mm(h, lp.w3)
+            Hl = local.hidden_dim
+            if _local_width(lp.w1) == 2 * Hl:  # fused [w1_i | w3_i]
+                gu = mm(h, lp.w1)
+                gate, up = gu[..., :Hl], gu[..., Hl:]
+            else:
+                gate, up = mm(h, lp.w1), mm(h, lp.w3)
             hidden = jax.nn.silu(gate) * up
             if overlap and isinstance(lp.w2, jax.Array):
                 x = x + collective_matmul_rowsharded(
