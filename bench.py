@@ -261,7 +261,9 @@ def main():
                     if args.seq_len:
                         rec["seq_len"] = args.seq_len
                     # TTFT failing (e.g. prefill OOM at a batch the decode
-                    # path handles) must not discard the decode number
+                    # path handles) must not discard the decode number; a
+                    # dense-cache OOM retries through the paged pool (the
+                    # serving path) before giving up
                     try:
                         ttft_s, _ = bench_ttft(
                             params, config, b, args.prompt_len, dtype,
@@ -271,6 +273,20 @@ def main():
                         rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
                     except Exception as e:
                         rec["ttft_error"] = f"{type(e).__name__}: {e}"[:120]
+                        if args.kv_layout == "dense":
+                            try:
+                                ttft_s, _ = bench_ttft(
+                                    params, config, b, args.prompt_len,
+                                    dtype, kv_dtype=args.kv,
+                                    reps=max(3, args.reps - 2),
+                                    seq_len=args.seq_len, kv_layout="paged",
+                                    page_size=args.page_size)
+                                rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
+                                rec["ttft_path"] = "paged"
+                                del rec["ttft_error"]
+                            except Exception as e2:
+                                rec["ttft_error_paged"] = (
+                                    f"{type(e2).__name__}: {e2}"[:120])
                 except Exception as e:
                     rec = {"metric": f"sweep_b{b}", "error": f"{type(e).__name__}: {e}"[:200]}
                 print(json.dumps(rec), flush=True)
@@ -301,6 +317,19 @@ def main():
             rec["prompt_len"] = args.prompt_len
         except Exception as e:
             rec["ttft_error"] = f"{type(e).__name__}: {e}"[:120]
+            if args.kv_layout == "dense":
+                try:
+                    ttft_s, _ = bench_ttft(
+                        params, config, args.batch, args.prompt_len, dtype,
+                        kv_dtype=args.kv, reps=args.reps,
+                        seq_len=args.seq_len, kv_layout="paged",
+                        page_size=args.page_size)
+                    rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
+                    rec["prompt_len"] = args.prompt_len
+                    rec["ttft_path"] = "paged"
+                    del rec["ttft_error"]
+                except Exception as e2:
+                    rec["ttft_error_paged"] = f"{type(e2).__name__}: {e2}"[:120]
     print(json.dumps(rec))
 
 

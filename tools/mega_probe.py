@@ -42,6 +42,8 @@ def main():
                     choices=["both", "all", "mega", "mega2", "composed"])
     ap.add_argument("--ts", type=int, default=None,
                     help="force the mega2 S-block size (else step2_plan)")
+    ap.add_argument("--reps", type=int, default=5,
+                    help="interleaved timing repetitions per variant")
     args = ap.parse_args()
 
     if args.budget_mb is not None:
@@ -199,6 +201,7 @@ def main():
 
     n = args.iters
     calls = n * L
+    variants = []
     for name, fn in (("mega", run_mega), ("mega2", run_mega2),
                      ("composed", run_composed)):
         if args.variant == "both" and name == "mega2":
@@ -207,18 +210,26 @@ def main():
             continue
         try:
             np.asarray(fn(x, env, n))  # compile + warm
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                np.asarray(fn(x, env, n))
-                times.append(time.perf_counter() - t0)
-            t = float(np.median(times))
-            print(f"{name}: {t*1e3:.1f} ms total, "
-                  f"{t/calls*1e6:.1f} us/layer-call ({calls} calls)",
-                  flush=True)
+            variants.append((name, fn))
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
+    # The chip is time-shared and drifts ~40% between windows — interleave
+    # the variants' repetitions round-robin so each rep pair shares the same
+    # contention, and report per-variant medians.
+    times = {name: [] for name, _ in variants}
+    for _ in range(args.reps):
+        for name, fn in variants:
+            t0 = time.perf_counter()
+            np.asarray(fn(x, env, n))
+            times[name].append(time.perf_counter() - t0)
+    for name, _ in variants:
+        ts = times[name]
+        t = float(np.median(ts))
+        print(f"{name}: {t*1e3:.1f} ms med of {len(ts)} "
+              f"(spread {(max(ts)-min(ts))/t:.2f}), "
+              f"{t/calls*1e6:.1f} us/layer-call ({calls} calls)",
+              flush=True)
 
 
 if __name__ == "__main__":

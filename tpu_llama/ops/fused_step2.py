@@ -346,16 +346,21 @@ def _fused_step2_kernel(
 
 
 def _scale_pack_width(TOD: int, hd: int) -> int:
-    """Lane width per head for the packed scale scratch: the per-step write
-    region (nh_blk * w lanes) must be 128-aligned."""
-    nh_blk = TOD // hd
-    w = 128 // nh_blk if 128 % nh_blk == 0 else 128
-    return max(8, w)
+    """Lane width per head for the packed scale scratch.
+
+    Always a full 128-lane tile: the kernel collapses the per-head scale
+    block [Bp, nh_blk, w] -> [Bp, nh_blk*w] with a vector reshape, and
+    Mosaic only supports collapsing when the INNER dim is lane-tile
+    aligned (a <32x2x64> -> <32x128> reshape is a hard compile error on
+    the real chip; <32x2x128> -> <32x256> is the q3-style pattern that
+    works)."""
+    del TOD, hd
+    return 128
 
 
 @functools.lru_cache(maxsize=64)
 def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
-                       hd: int, TS: int, budget: int = 13 << 20):
+                       hd: int, TS: int, budget: int = 14 << 20):
     """(TOA, TOB, TOC, TOD) for the trailing-attention kernel, or None.
 
     Phase D's block width is grown FIRST: its steps are grid-overhead-bound
@@ -419,8 +424,13 @@ def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
 
 
 def step2_block_s(S: int, block_s: int | None = None) -> int:
-    """The kernel's S-block size: 128 rows (minimum Mosaic-aligned int8
-    slice) unless S itself is smaller."""
+    """The kernel's S-block size: 128 rows unless S itself is smaller.
+
+    The per-row SCALE arrays [L*B, KVH, S] put S in the LANE dim, and
+    Mosaic requires lane-dim DMA slices to be 128-aligned (measured on the
+    real chip: TS=64 is 'Slice shape along dimension 2 must be aligned to
+    tiling (128)').  So TS must be a multiple of 128 — or the whole of S
+    when S < 128 (a full-dim slice has no alignment constraint)."""
     TS = min(block_s or 128, S)
     while S % TS != 0:
         TS //= 2
@@ -444,9 +454,11 @@ def step2_plan(Bp: int, D: int, H: int, QO: int, KVH: int, G: int, hd: int,
     kw = {} if budget is None else {"budget": budget}
     ts = step2_block_s(S, block_s)
     while ts >= 8:
-        blocks = _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, ts, **kw)
-        if blocks is not None:
-            return ts, blocks
+        # lane-aligned slices only: TS % 128 == 0, or the full S dim
+        if ts % 128 == 0 or ts == S:
+            blocks = _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, ts, **kw)
+            if blocks is not None:
+                return ts, blocks
         ts //= 2
     return None
 
