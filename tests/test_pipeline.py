@@ -114,3 +114,55 @@ def test_pipeline_quantized_weights(tiny_weights, devices):
                             precision="highest")
     out = runner.decode(np.array([5], np.int32), np.array([0], np.int32))
     assert np.isfinite(out).all()
+
+
+@pytest.mark.parametrize("n_micro", [1, 2])
+def test_pipeline_tp_composed(tiny_weights, devices, n_micro):
+    """PP x TP: 2 stages, each TP'd over its own 2-device submesh, matches
+    the single-device forward for prefill AND subsequent decode."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T = 4, 8
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(2, c.vocab_size, (B, T)).astype(np.int32)
+    lengths = np.full(B, T, np.int32)
+
+    runner = PipelineRunner(params, c, n_stages=2, batch=B,
+                            precision="highest", tp=2)
+    last = runner.prefill(tokens, lengths, n_micro=n_micro)
+
+    cache = make_kv_cache(c, B)
+    ref, cache = forward_prefill(params, cache, jnp.asarray(tokens),
+                                 jnp.zeros(B, jnp.int32),
+                                 jnp.asarray(lengths), c,
+                                 precision="highest")
+    ref_last = np.asarray(ref)[np.arange(B), lengths - 1]
+    np.testing.assert_allclose(last, ref_last, rtol=1e-5, atol=1e-6)
+
+    toks = np.argmax(last, -1).astype(np.int32)
+    for p in range(T, T + 3):
+        pos = np.full(B, p, np.int32)
+        refd, cache = forward_decode(params, cache, jnp.asarray(toks),
+                                     jnp.asarray(pos), c,
+                                     precision="highest")
+        got = runner.decode(toks, pos)
+        np.testing.assert_allclose(got, np.asarray(refd), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"pos={p}")
+        toks = np.argmax(got, -1).astype(np.int32)
+
+
+def test_pipeline_tp_quantized(tiny_weights, devices):
+    """PP x TP with INT8 weights runs and stays finite (quantized specs
+    shard values and scales consistently across the stage submesh)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from tpu_llama.models import quantize_params
+
+    c = tiny_weights.config
+    qparams = quantize_params(params_from_raw(tiny_weights))
+    runner = PipelineRunner(qparams, c, n_stages=2, batch=2,
+                            precision="highest", tp=2)
+    out = runner.decode(np.array([5, 9], np.int32), np.zeros(2, np.int32))
+    assert np.isfinite(out).all()

@@ -189,25 +189,49 @@ def _stage_prefill(
 
 
 class PipelineRunner:
-    """Host-orchestrated inference pipeline over explicit device placements."""
+    """Host-orchestrated inference pipeline over explicit device placements.
+
+    ``tp > 1`` composes PP x TP: each stage owns a ``tp``-device submesh
+    (axes ``('data', 'model')`` with data=1); its layer weights and KV-cache
+    heads shard over ``model`` per parallel/sharding.py and GSPMD inserts
+    the per-stage collectives.  Activations crossing stage boundaries are
+    replicated within the receiving submesh — the 70B-across-hosts layout
+    (SURVEY §2.4: "each stage can still be TP'd over its own submesh")."""
 
     def __init__(self, params: LlamaParams, config: ModelConfig,
                  n_stages: int, batch: int, devices=None,
                  kv_dtype="float32", precision: str = "default",
-                 seq_len: int | None = None):
-        devices = devices or jax.devices()[:n_stages]
-        assert len(devices) >= n_stages
+                 seq_len: int | None = None, tp: int = 1):
+        devices = devices or jax.devices()[:n_stages * tp]
+        assert len(devices) >= n_stages * tp, (len(devices), n_stages, tp)
         self.config = config
         self.precision = precision
         self.stages = []
-        for (spec, sparams), dev in zip(split_stages(params, n_stages), devices):
-            sparams = jax.device_put(sparams, dev)
+        for i, (spec, sparams) in enumerate(split_stages(params, n_stages)):
             scfg = dataclasses.replace(config, n_layers=spec.n_layers)
-            cache = jax.device_put(
-                make_kv_cache(scfg, batch, kv_dtype=kv_dtype, seq_len=seq_len),
-                dev)
+            cache = make_kv_cache(scfg, batch, kv_dtype=kv_dtype,
+                                  seq_len=seq_len)
+            if tp > 1:
+                from jax.sharding import Mesh, NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from tpu_llama.parallel.mesh import DATA_AXIS, MODEL_AXIS
+                from tpu_llama.parallel.sharding import (
+                    shard_cache,
+                    shard_params,
+                )
+
+                group = np.array(devices[i * tp:(i + 1) * tp]).reshape(1, tp)
+                mesh = Mesh(group, (DATA_AXIS, MODEL_AXIS))
+                sparams = shard_params(sparams, mesh)
+                cache = shard_cache(cache, mesh)
+                put = NamedSharding(mesh, P())  # replicated within the stage
+            else:
+                sparams = jax.device_put(sparams, devices[i])
+                cache = jax.device_put(cache, devices[i])
+                put = devices[i]
             self.stages.append({"spec": spec, "params": sparams,
-                                "cache": cache, "device": dev, "config": scfg})
+                                "cache": cache, "device": put, "config": scfg})
 
     def decode(self, tokens: np.ndarray, pos: np.ndarray) -> np.ndarray:
         """One decode step through all stages. [B] -> logits [B, V]."""

@@ -64,6 +64,9 @@ def params_pspecs(params: LlamaParams | None = None) -> LlamaParams:
         if isinstance(value, jax.Array) and value.ndim == 3 \
                 and value.shape[-1] == 1 and value.shape[-2] == 1:
             return P()  # fuse_projections stub — too small to shard
+        if isinstance(value, jax.Array) and value.ndim == 2 \
+                and value.shape == (1, 1):
+            return P()  # pipeline split_stages stub (non-first/last stage)
         if isinstance(value, QuantTensor):
             return QuantTensor(q=spec, s=spec,
                                logical_in=value.logical_in,
