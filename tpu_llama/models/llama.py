@@ -949,13 +949,18 @@ def forward_decode(
         fused = (attn in ("flash", "flash_dma")
                  and jax.default_backend() == "tpu"
                  and _fused_path_ok(params, config))
-        # Merged one-launch kernel (ops/fused_step.py): measured by bench.py
-        # --fused A/B on TPU (7B fill512): b1 95.7 vs 93.6 tok/s (mega wins
-        # +2.3%), b2 164.6 vs 170.0 (loses), b8 probe 779 vs 695 us/layer
-        # (loses) — the shared VMEM budget shrinks the weight tiles and the
-        # B serial attention cells eat the saved launch.  Auto only at B=1.
+        # One-launch-per-layer kernels, measured end-to-end by bench.py
+        # --fused A/B on TPU (7B fill512, 256-step scans, r3):
+        #   B=1:  mega (leading attention, ops/fused_step.py) 95.5 vs
+        #         two-launch 94.6 vs mega2 93.9 -> mega.
+        #   B>=2: mega2 (trailing attention + in-kernel rope,
+        #         ops/fused_step2.py) b8 622.3 vs 592.5, b16 1058.4 vs
+        #         964.7 -> mega2.  (mega loses at b>=2: its leading cells'
+        #         HBM reads serialize in front of the weight streams.)
         if fused and B == 1 and _mega_path_ok(params, config, cache, B):
             fused = "mega"
+        elif fused and B > 1 and _mega2_path_ok(params, config, cache, B):
+            fused = "mega2"
     if fused == "mega":
         if not (_fused_path_ok(params, config)
                 and _mega_path_ok(params, config, cache, B)):
