@@ -219,10 +219,17 @@ def main():
     # contention, and report per-variant medians.
     times = {name: [] for name, _ in variants}
     for _ in range(args.reps):
-        for name, fn in variants:
-            t0 = time.perf_counter()
-            np.asarray(fn(x, env, n))
-            times[name].append(time.perf_counter() - t0)
+        for name, fn in list(variants):
+            try:
+                t0 = time.perf_counter()
+                np.asarray(fn(x, env, n))
+                times[name].append(time.perf_counter() - t0)
+            except Exception as e:
+                # a variant dying mid-probe (OOM, relay timeout) must not
+                # lose the survivors' results
+                print(f"{name}: DROPPED after {len(times[name])} reps "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+                variants = [(nm, f) for nm, f in variants if nm != name]
     for name, _ in variants:
         ts = times[name]
         t = float(np.median(ts))

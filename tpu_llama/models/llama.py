@@ -733,8 +733,9 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
         att0 = jnp.pad(att0, ((0, Bp - B), (0, 0)))
     attq0, satt0 = quantize_activations(att0)
 
-    # the descriptor chain's TS must match the kernel's resolved plan (the
-    # 128-row default is VMEM-infeasible at the 7B shape; step2_plan halves)
+    # the descriptor chain's TS must match the kernel's resolved plan
+    # (TS=128 at the 7B shape under the 14 MB budget; only 128-multiples
+    # or the full S are Mosaic-legal — see step2_plan)
     TS, _ = step2_plan(Bp, D, config.hidden_dim, D + 2 * KVD,
                        config.n_kv_heads, config.group_size,
                        config.head_dim, S)
@@ -950,13 +951,16 @@ def forward_decode(
                  and jax.default_backend() == "tpu"
                  and _fused_path_ok(params, config))
         # One-launch-per-layer kernels, measured end-to-end by bench.py
-        # --fused A/B on TPU (7B fill512, 256-step scans, r3):
+        # --fused A/B on TPU (7B fill512, 256-step scans, r2):
         #   B=1:  mega (leading attention, ops/fused_step.py) 95.5 vs
         #         two-launch 94.6 vs mega2 93.9 -> mega.
         #   B>=2: mega2 (trailing attention + in-kernel rope,
         #         ops/fused_step2.py) b8 622.3 vs 592.5, b16 1058.4 vs
         #         964.7 -> mega2.  (mega loses at b>=2: its leading cells'
         #         HBM reads serialize in front of the weight streams.)
+        #         Measured points are b8/b16 only; b2-b7 take mega2 by
+        #         interpolation, not measurement (the prior mega kernel
+        #         LOST at b2, 164.6 vs 170.0 — re-A/B if b2-b4 matters).
         if fused and B == 1 and _mega_path_ok(params, config, cache, B):
             fused = "mega"
         elif fused and B > 1 and _mega2_path_ok(params, config, cache, B):

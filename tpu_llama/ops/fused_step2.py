@@ -441,25 +441,31 @@ def step2_plan(Bp: int, D: int, H: int, QO: int, KVH: int, G: int, hd: int,
                S: int, budget: int | None = None,
                block_s: int | None = None):
     """Resolve ``(TS, (TOA, TOB, TOC, TOD))`` for the trailing-attention
-    kernel, or ``None`` when no S-block size fits the VMEM budget.
+    kernel, or ``None`` when no legal S-block size fits the VMEM budget.
 
-    TS candidates are tried largest-first from the requested ``block_s``
-    (default 128) down to 8: the 128-row DMA ring costs 2 MB of int8 plus
-    scales, which at the 7B shape (Bp=32) crowds out even the minimum
-    weight tiles under the 13 MB budget — TS=64 frees enough for
-    (128,128,128,128) and TS=32 for a 256-lane phase D.  Larger TS means
-    fewer per-cell DMA waits and bigger copies; the measured winner at 7B
-    is encoded by the caller's ``block_s`` (tools/mega_probe.py --ts A/Bs
-    both)."""
+    Mosaic lane-alignment (CLAUDE.md r3): DMA slices of the [L*B,KVH,S]
+    scale arrays on the lane dim S must be 128-aligned, so the only legal
+    TS values are multiples of 128 — or S itself (a full-dim slice is
+    alignment-exempt).  Candidates are tried largest-first from the
+    requested ``block_s`` (default 128, the measured 7B winner under the
+    14 MB default budget); when S is not itself 128-aligned the halving
+    chain contains no legal multiple-of-128 value, so ``ts == S`` is tried
+    first instead of silently falling back to the unfused path."""
     kw = {} if budget is None else {"budget": budget}
+    candidates = []
     ts = step2_block_s(S, block_s)
     while ts >= 8:
-        # lane-aligned slices only: TS % 128 == 0, or the full S dim
         if ts % 128 == 0 or ts == S:
-            blocks = _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, ts, **kw)
-            if blocks is not None:
-                return ts, blocks
+            candidates.append(ts)
         ts //= 2
+    if S % 128 != 0 and S not in candidates:
+        # S not 128-aligned: the halving chain from block_s misses the
+        # alignment-exempt full-S candidate — try it (budget still gates)
+        candidates.insert(0, S)
+    for ts in candidates:
+        blocks = _pick_step2_blocks(Bp, D, H, QO, KVH, G, hd, ts, **kw)
+        if blocks is not None:
+            return ts, blocks
     return None
 
 
