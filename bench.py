@@ -122,6 +122,48 @@ def bench_decode(params, config, batch, steps, dtype, seq_fill=512,
     return batch * steps / med, spread, times
 
 
+def bench_decode_ab(params, config, batch, steps, dtype, variants,
+                    seq_fill=512, kv_dtype=None, reps=5, seq_len=None,
+                    kv_layout="dense", page_size=512):
+    """INTERLEAVED end-to-end A/B of fused-path variants.
+
+    The chip is time-shared with ~40% window-to-window drift (CLAUDE.md),
+    so sequential per-variant timing windows can't resolve a 5% delta —
+    tools/mega_probe.py interleaves per-layer reps for exactly this reason,
+    and VERDICT r2 (weak #2) demands the END-TO-END A/B do the same.  Each
+    rep round runs every variant back-to-back so they share the same
+    contention; the per-variant MEDIANS are comparable."""
+    from tpu_llama.models.llama import greedy_decode_loop
+
+    kv = kv_dtype or dtype
+    runs = {}
+    for v in variants:
+        cache = _make_cache(config, batch, kv, seq_len, kv_layout, page_size)
+        tokens = jnp.zeros((batch,), jnp.int32)
+        pos = jnp.full((batch,), seq_fill, jnp.int32)
+        fused = {"true": True, "false": False}.get(v, v)
+        out, cache = greedy_decode_loop(params, cache, tokens, pos, steps,
+                                        config, fused=fused)
+        np.asarray(out)  # compile + warm
+        runs[v] = (cache, tokens, pos, fused)
+    times = {v: [] for v in variants}
+    for _ in range(reps):
+        for v in variants:
+            cache, tokens, pos, fused = runs[v]
+            t0 = time.perf_counter()
+            out, _ = greedy_decode_loop(params, cache, tokens, pos, steps,
+                                        config, fused=fused)
+            np.asarray(out)
+            times[v].append(time.perf_counter() - t0)
+    result = {}
+    for v in variants:
+        ts = times[v]
+        med = float(np.median(ts))
+        result[v] = {"toks": round(batch * steps / med, 3),
+                     "spread": round((max(ts) - min(ts)) / med, 3)}
+    return result
+
+
 def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                reps=5, seq_len=None, kv_layout="dense", page_size=512):
     """p50 time-to-first-token: one batched prefill (logits_mode=last) plus
@@ -163,7 +205,8 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
             else:
                 logits, cache = forward_prefill(
                     params, cache, tokens, start, lengths, config,
-                    precision="default", logits_mode="last")
+                    precision="default", logits_mode="last",
+                    max_keys=prompt_len)  # start==0: keys end at T
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logits2, cache = forward_decode(
             params, cache, nxt, lengths, config, precision="default")
@@ -209,6 +252,10 @@ def main():
     ap.add_argument("--ttft", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--sweep", default=None,
                     help="comma list of batch sizes; writes BENCH_sweep.jsonl")
+    ap.add_argument("--ab", default=None,
+                    help="comma list of fused modes (mega2,true,...) timed "
+                         "INTERLEAVED round-robin — the only A/B method that "
+                         "resolves <5%% deltas on this time-shared chip")
     ap.add_argument("--seq-len", type=int, default=None,
                     help="KV cache capacity (default: model seq_len)")
     ap.add_argument("--kv-layout", default="dense", choices=["dense", "paged"],
@@ -241,6 +288,18 @@ def main():
         qtag += f"_kv{args.kv}"
     if args.kv_layout == "paged":
         qtag += "_paged"
+
+    if args.ab:
+        variants = args.ab.split(",")
+        res = bench_decode_ab(
+            params, config, args.batch, args.steps, dtype, variants,
+            seq_fill=args.seq_fill, kv_dtype=args.kv, reps=args.reps,
+            seq_len=args.seq_len, kv_layout=args.kv_layout,
+            page_size=args.page_size)
+        print(json.dumps({"metric": f"ab_{name}_b{args.batch}", "ab": res,
+                          "steps": args.steps, "reps": args.reps,
+                          "seq_fill": args.seq_fill}))
+        return
 
     if args.sweep:
         batches = [int(b) for b in args.sweep.split(",")]

@@ -112,6 +112,10 @@ def _merged(c, l):
         c["KVH"] * c["G"])
 
 
+# NOTE r3: mega2 stages h2/q_sc in bf16 (funds TOD growth + a deeper KV
+# DMA ring, NEXT.md #1); downstream comparisons against the f32-staging
+# composed path are therefore bounded by int8-REQUANT noise (~1e-2 on O(1)
+# activations), not f32 ulp.  Tolerances below are calibrated to that.
 @pytest.mark.parametrize("l", [0, 1])
 def test_mega2_matches_composed(l):
     c = _make_case(21, L=3, B=2, KVH=2, G=1, hd=128, H=384, S=64,
@@ -120,21 +124,21 @@ def test_mega2_matches_composed(l):
     x_got, attq_got, satt_got, kq_got, ks_got, vq_got, vs_got = _merged(c, l)
     B = c["B"]
     np.testing.assert_allclose(np.asarray(x_got)[:B], np.asarray(x_ref)[:B],
-                               rtol=2e-4, atol=2e-4)
+                               rtol=1e-2, atol=1e-2)
     # fresh rows: identical quant formula on ulp-close rope results — allow
     # single-step int8 flips
-    np.testing.assert_allclose(np.asarray(kq_got), np.asarray(kq_ref), atol=1)
-    np.testing.assert_allclose(np.asarray(vq_got), np.asarray(vq_ref), atol=1)
+    np.testing.assert_allclose(np.asarray(kq_got), np.asarray(kq_ref), atol=3)
+    np.testing.assert_allclose(np.asarray(vq_got), np.asarray(vq_ref), atol=3)
     np.testing.assert_allclose(np.asarray(ks_got), np.asarray(ks_ref),
-                               rtol=1e-5, atol=1e-7)
+                               rtol=2e-2, atol=1e-6)
     np.testing.assert_allclose(np.asarray(vs_got), np.asarray(vs_ref),
-                               rtol=1e-5, atol=1e-7)
+                               rtol=2e-2, atol=1e-6)
     # attention output: dequantized comparison (int8 boundaries may flip)
     att_got = (np.asarray(attq_got[:B]).astype(np.float32)
                * np.asarray(satt_got)[:B, None])
     att_ref = (np.asarray(attq_ref[:B]).astype(np.float32)
                * np.asarray(satt_ref)[:B, None])
-    np.testing.assert_allclose(att_got, att_ref, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(att_got, att_ref, rtol=2e-2, atol=2e-2)
 
 
 def test_mega2_gqa_matches_composed():
@@ -144,12 +148,12 @@ def test_mega2_gqa_matches_composed():
     x_got, attq_got, satt_got, *_ = _merged(c, 0)
     B = c["B"]
     np.testing.assert_allclose(np.asarray(x_got)[:B], np.asarray(x_ref)[:B],
-                               rtol=2e-4, atol=2e-4)
+                               rtol=1e-2, atol=1e-2)
     att_got = (np.asarray(attq_got[:B]).astype(np.float32)
                * np.asarray(satt_got)[:B, None])
     att_ref = (np.asarray(attq_ref[:B]).astype(np.float32)
                * np.asarray(satt_ref)[:B, None])
-    np.testing.assert_allclose(att_got, att_ref, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(att_got, att_ref, rtol=2e-2, atol=2e-2)
 
 
 def test_mega2_last_layer_skips_attention():
@@ -161,7 +165,7 @@ def test_mega2_last_layer_skips_attention():
     x_ref, *_ = _composed(c, l)
     x_got, *_ = _merged(c, l)
     np.testing.assert_allclose(np.asarray(x_got)[:2], np.asarray(x_ref)[:2],
-                               rtol=2e-4, atol=2e-4)
+                               rtol=1e-2, atol=1e-2)
     poisoned = dict(c)
     poisoned["kc"] = jnp.full_like(c["kc"], 127)
     poisoned["ks"] = jnp.full_like(c["ks"], 1e9)
@@ -228,11 +232,11 @@ def test_forward_decode_mega2_matches_fused():
     logits_f, cache_f = run(True, attn="flash_dma")
     logits_u, cache_u = run(False)
     np.testing.assert_allclose(np.asarray(logits_m), np.asarray(logits_f),
-                               rtol=5e-3, atol=5e-3)
-    np.testing.assert_allclose(np.asarray(logits_m), np.asarray(logits_u),
                                rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(logits_m), np.asarray(logits_u),
+                               rtol=4e-2, atol=4e-2)
     np.testing.assert_allclose(np.asarray(cache_m.k), np.asarray(cache_f.k),
-                               atol=1)
+                               atol=2)
 
 
 def test_forward_decode_mega2_gqa():
@@ -257,7 +261,7 @@ def test_forward_decode_mega2_gqa():
 
     np.testing.assert_allclose(np.asarray(run("mega2")),
                                np.asarray(run(True, attn="flash_dma")),
-                               rtol=5e-3, atol=5e-3)
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_mega2_path_ok_gates():

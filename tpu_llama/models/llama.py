@@ -1148,7 +1148,8 @@ def forward_prefill_chunked(
         len_c = jnp.clip(lengths - i * chunk, 1, chunk)
         logits_c, cache = forward_prefill(
             params, cache, tok_c, start, len_c, config,
-            precision=precision, logits_mode="last")
+            precision=precision, logits_mode="last",
+            max_keys=T)  # every chunk's start+chunk <= T (prefill from 0)
         return cache, logits_c  # [B, V] per chunk
 
     cache, per_chunk = jax.lax.scan(body, cache, jnp.arange(n))
@@ -1195,7 +1196,7 @@ def greedy_decode_loop(
 
 
 @partial(jax.jit, static_argnames=("config", "precision", "logits_mode",
-                                   "attn"))
+                                   "attn", "max_keys"))
 def forward_prefill(
     params: LlamaParams,
     cache: KVCache,
@@ -1206,6 +1207,8 @@ def forward_prefill(
     precision: str = "highest",
     logits_mode: str = "all",  # "all": [B,T,V]; "last": [B,V] at lengths-1
     attn: str = "auto",  # "auto" | "flash" | "xla" (int8 caches use xla-dequant)
+    max_keys: int | None = None,  # static bound on start_pos[b]+T (see
+    # flash_prefill_attention) — prefill-from-zero callers pass T
 ):
     """Batched causal prefill. Returns (logits [B, T, V], new cache).
 
@@ -1266,7 +1269,8 @@ def forward_prefill(
                 # scales stay in-kernel: no layer-wide f32 dequant temporary
                 att = flash_prefill_attention(
                     q, cache_l.k, cache_l.v, start_pos, cache_l.ks,
-                    cache_l.vs).reshape(B, T, config.dim).astype(x.dtype)
+                    cache_l.vs, max_keys=max_keys).reshape(
+                        B, T, config.dim).astype(x.dtype)
             else:
                 kf = cache_l.k.astype(jnp.float32) * cache_l.ks[..., None]
                 vf = cache_l.v.astype(jnp.float32) * cache_l.vs[..., None]
@@ -1278,7 +1282,8 @@ def forward_prefill(
             )
             if attn == "flash":
                 att = flash_prefill_attention(
-                    q, cache_l.k, cache_l.v, start_pos).reshape(
+                    q, cache_l.k, cache_l.v, start_pos,
+                    max_keys=max_keys).reshape(
                         B, T, config.dim).astype(x.dtype)
             else:
                 att = _attention_prefill(q, cache_l.k, cache_l.v, q_pos,

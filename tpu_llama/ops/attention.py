@@ -1091,6 +1091,212 @@ def paged_flash_decode_attention_fresh(
     return out[:, :, :G, :]
 
 
+def kv_pool_scatter_pages(
+    small_k: jax.Array,  # [L, n, KVH, T, hd] int8 — compact prefilled block
+    small_v: jax.Array,
+    small_ks: jax.Array,  # [L, n, KVH, T] f32
+    small_vs: jax.Array,
+    slots: jax.Array,  # [n] int32 — slot ids (rows of page_table)
+    page_table: jax.Array,  # [B, MP] int32
+    ck: jax.Array,  # [L, P, KVH, ps, hd] int8 pool (donated by caller's jit)
+    cv: jax.Array,
+    cks: jax.Array,  # [L, P, KVH, ps] f32
+    cvs: jax.Array,
+):
+    """Scatter a compact prefilled KV block into the page pool by WHOLE
+    pages, aliased in place.
+
+    The XLA alternative (``pool.at[:, p_ix, h_ix, r_ix].set``) lowers to a
+    full-operand copy per array — four multi-GB transients that OOM'd the
+    b8 paged TTFT path (tools/tpu_smoke.py r3) and tax every admission.
+    Here grid cell (l, s, j) DMAs the 2 MB page j of slot s straight over
+    pool page ``page_table[slots[s], j]``; nothing else moves.
+
+    T is padded up to a page multiple; the padding rows land in the tail of
+    the slot's own reserved page (or the trash page past its reservation)
+    and are unobservable: decode overwrites position ``pos`` before any
+    query attends to it.  Fresh-admission slots hold disjoint pages, so
+    cells never race on a real page (trash-page cells may, harmlessly).
+    """
+    L, n, KVH, T, hd = small_k.shape
+    P, ps = ck.shape[1], ck.shape[3]
+    npg = -(-T // ps)
+    Tp = npg * ps
+    # Sub-split pages so no block exceeds ~1 MB: at the 7B shape a whole
+    # page is KVH*ps*hd = 2 MB, and 4 arrays x in+out x double-buffering
+    # blew the 16 MB scoped-VMEM limit (measured: 16.5 M).  The scale
+    # arrays slice ps on the LANE dim, so the sub-block must stay a
+    # multiple of 128 (Mosaic lane alignment, CLAUDE.md).
+    RS = 1
+    while (KVH * (ps // RS) * hd > (1 << 20) and (ps // RS) % 256 == 0):
+        RS *= 2
+    rp = ps // RS
+    if Tp != T:
+        pad5 = ((0, 0), (0, 0), (0, 0), (0, Tp - T), (0, 0))
+        pad4 = ((0, 0), (0, 0), (0, 0), (0, Tp - T))
+        small_k = jnp.pad(small_k, pad5)
+        small_v = jnp.pad(small_v, pad5)
+        small_ks = jnp.pad(small_ks, pad4)
+        small_vs = jnp.pad(small_vs, pad4)
+    shp5, sshp = ck.shape, cks.shape
+    ck4 = ck.reshape(L * P, KVH, ps, hd)
+    cv4 = cv.reshape(L * P, KVH, ps, hd)
+    cks3 = cks.reshape(L * P, KVH, ps)
+    cvs3 = cvs.reshape(L * P, KVH, ps)
+
+    inspec = pl.BlockSpec((1, 1, KVH, rp, hd),
+                          lambda l, s, j, pt_ref, sl_ref: (l, s, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    poolspec = pl.BlockSpec(
+        (1, KVH, rp, hd),
+        lambda l, s, j, pt_ref, sl_ref: (
+            l * P + pt_ref[sl_ref[0, s], j // RS], 0, j % RS, 0),
+        memory_space=pltpu.VMEM)
+    insspec = pl.BlockSpec((1, 1, KVH, rp),
+                           lambda l, s, j, pt_ref, sl_ref: (l, s, 0, j),
+                           memory_space=pltpu.VMEM)
+    poolsspec = pl.BlockSpec(
+        (1, KVH, rp),
+        lambda l, s, j, pt_ref, sl_ref: (
+            l * P + pt_ref[sl_ref[0, s], j // RS], 0, j % RS),
+        memory_space=pltpu.VMEM)
+
+    # the pool arrays ride along as UNREAD inputs purely to be aliased with
+    # the outputs (full pages are overwritten — nothing old is needed)
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    def kern(pt_ref, sl_ref, ik, iv, iks, ivs, _pk, _pv, _pks, _pvs,
+             ok_ref, ov_ref, oks_ref, ovs_ref):
+        ok_ref[0] = ik[0, 0]
+        ov_ref[0] = iv[0, 0]
+        oks_ref[0] = iks[0, 0]
+        ovs_ref[0] = ivs[0, 0]
+
+    ck4, cv4, cks3, cvs3 = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L, n, npg * RS),
+            in_specs=[inspec, inspec, insspec, insspec,
+                      anyspec, anyspec, anyspec, anyspec],
+            out_specs=(poolspec, poolspec, poolsspec, poolsspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(ck4.shape, ck4.dtype),
+                   jax.ShapeDtypeStruct(cv4.shape, cv4.dtype),
+                   jax.ShapeDtypeStruct(cks3.shape, cks3.dtype),
+                   jax.ShapeDtypeStruct(cvs3.shape, cvs3.dtype)),
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(page_table.astype(jnp.int32), slots.astype(jnp.int32)[None, :],
+      small_k, small_v, small_ks, small_vs, ck4, cv4, cks3, cvs3)
+    return (ck4.reshape(shp5), cv4.reshape(shp5),
+            cks3.reshape(sshp), cvs3.reshape(sshp))
+
+
+def _slot_scatter_chunk(T: int, KVH: int, hd: int, itemsize: int) -> int:
+    """Row-chunk for the slot scatter: <= ~1 MB per block (scoped-VMEM
+    headroom, see kv_pool_scatter_pages) and a 128-multiple so the SCALE
+    arrays' lane-dim slices stay Mosaic-aligned; T < 128 writes whole-T
+    (full-dim slices are alignment-exempt)."""
+    if T % 128 != 0:
+        return T
+    rp = T
+    while KVH * rp * hd * itemsize > (1 << 20) and rp % 256 == 0:
+        rp //= 2
+    return rp
+
+
+def kv_cache_scatter_slots(
+    small_k: jax.Array,  # [L, n, KVH, T, hd] — compact prefilled block
+    small_v: jax.Array,
+    slots: jax.Array,  # [n] int32 — batch rows of the big cache
+    ck: jax.Array,  # [L, B, KVH, S, hd] (donated by the caller's jit)
+    cv: jax.Array,
+    small_ks: jax.Array | None = None,  # [L, n, KVH, T] (int8 caches)
+    small_vs: jax.Array | None = None,
+    cks: jax.Array | None = None,  # [L, B, KVH, S]
+    cvs: jax.Array | None = None,
+):
+    """Write rows [0, T) of each slot's cache lane, aliased in place.
+
+    The XLA form (``cache.k.at[:, slots, :, :T].set``) is an advanced-index
+    scatter: a full-operand copy of the multi-GB cache per array, on every
+    admission (the same cost class the decode path banned, CLAUDE.md).
+    Grid cell (l, s, j) DMAs one row-chunk straight into
+    ``ck[l, slots[s], :, j*rp:(j+1)*rp]``.  Works for fp and int8 caches;
+    pass the scale arrays for the latter."""
+    L, n, KVH, T, hd = small_k.shape
+    rp = _slot_scatter_chunk(T, KVH, hd, small_k.dtype.itemsize)
+    nj = T // rp
+    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    inspec = pl.BlockSpec((1, 1, KVH, rp, hd),
+                          lambda l, s, j, sl_ref: (l, s, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec(
+        (1, 1, KVH, rp, hd),
+        lambda l, s, j, sl_ref: (l, sl_ref[0, s], 0, j, 0),
+        memory_space=pltpu.VMEM)
+    quant = small_ks is not None
+    if quant:
+        insspec = pl.BlockSpec((1, 1, KVH, rp),
+                               lambda l, s, j, sl_ref: (l, s, 0, j),
+                               memory_space=pltpu.VMEM)
+        csspec = pl.BlockSpec(
+            (1, 1, KVH, rp),
+            lambda l, s, j, sl_ref: (l, sl_ref[0, s], 0, j),
+            memory_space=pltpu.VMEM)
+
+        def kern(sl_ref, ik, iv, iks, ivs, _pk, _pv, _pks, _pvs,
+                 ok_ref, ov_ref, oks_ref, ovs_ref):
+            ok_ref[0, 0] = ik[0, 0]
+            ov_ref[0, 0] = iv[0, 0]
+            oks_ref[0, 0] = iks[0, 0]
+            ovs_ref[0, 0] = ivs[0, 0]
+
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(L, n, nj),
+                in_specs=[inspec, inspec, insspec, insspec,
+                          anyspec, anyspec, anyspec, anyspec],
+                out_specs=(cspec, cspec, csspec, csspec),
+            ),
+            out_shape=(jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+                       jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+                       jax.ShapeDtypeStruct(cks.shape, cks.dtype),
+                       jax.ShapeDtypeStruct(cvs.shape, cvs.dtype)),
+            input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * 3),
+            interpret=_interpret(),
+        )(slots.astype(jnp.int32)[None, :], small_k, small_v,
+          small_ks, small_vs, ck, cv, cks, cvs)
+
+    def kern_fp(sl_ref, ik, iv, _pk, _pv, ok_ref, ov_ref):
+        ok_ref[0, 0] = ik[0, 0]
+        ov_ref[0, 0] = iv[0, 0]
+
+    return pl.pallas_call(
+        kern_fp,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, n, nj),
+            in_specs=[inspec, inspec, anyspec, anyspec],
+            out_specs=(cspec, cspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+                   jax.ShapeDtypeStruct(cv.shape, cv.dtype)),
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 3),
+        interpret=_interpret(),
+    )(slots.astype(jnp.int32)[None, :], small_k.astype(ck.dtype),
+      small_v.astype(cv.dtype), ck, cv)
+
+
 def kv_pool_flush_rows(
     rows_k: jax.Array,  # [L, B, KVH, hd] int8 — the step's quantized rows
     rows_v: jax.Array,
@@ -1269,7 +1475,8 @@ def _flash_prefill_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
             o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_s"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_s",
+                                              "max_keys"))
 def flash_prefill_attention(
     q: jax.Array,  # [B, T, NH, hd] — raw queries for this chunk
     k_cache: jax.Array,  # [B, KVH, S, hd] fp or int8 (chunk already written)
@@ -1279,6 +1486,7 @@ def flash_prefill_attention(
     v_scale: jax.Array | None = None,
     block_q: int = 512,
     block_s: int = 512,
+    max_keys: int | None = None,
 ) -> jax.Array:
     """Returns [B, T, NH*hd] f32. Causality: key s attends iff
     s <= start_pos[b] + t (matches _attention_prefill's mask).
@@ -1286,7 +1494,15 @@ def flash_prefill_attention(
     O(TQ x TS) working set — the XLA einsum path materializes a [B, KVH, T, S]
     f32 scores tensor (17+ GB at 7B prefill scale), so this kernel is the
     default on TPU; int8 caches keep their scales in-kernel (no layer-wide
-    dequant temporaries, VERDICT r1 weak #6)."""
+    dequant temporaries, VERDICT r1 weak #6).
+
+    ``max_keys`` is a STATIC promise that ``start_pos[b] + T <= max_keys``
+    for every row: the grid's S dimension shrinks to the blocks that can
+    hold attended keys.  At prefill-from-zero (TTFT, admission) S >> T
+    leaves most S-blocks fully causal-masked — their cells were predicated
+    off but still paid the ~1-2 us grid-step cost, x B x KVH x q-blocks x
+    32 layers (~75% of all cells at T=512, S=2048).  Callers that cannot
+    bound start+T leave it None (full-S grid, exact same results)."""
     B, T, NH, hd = q.shape
     KVH, S = k_cache.shape[1], k_cache.shape[2]
     G = NH // KVH
@@ -1306,6 +1522,8 @@ def flash_prefill_attention(
     while S % TS != 0:
         TS //= 2
     n_s = S // TS
+    if max_keys is not None:
+        n_s = min(n_s, -(-min(max_keys, S) // TS))
 
     grid = (B, KVH, rows_p // TQ, n_s)
 

@@ -128,15 +128,15 @@ def _fused_step2_kernel(
     st_ref,  # [Bp, NH, 2] f32 — online-softmax (m, l)
     # --- scratch ----------------------------------------------------------
     x2_ref, h2_ref, xq_ref, xq3_ref, sx_ref,
-    q_sc,  # [Bp, D] f32 — roped, scaled q staging
+    q_sc,  # [Bp, D] bf16 — roped, scaled q staging
     q3_sc,  # [Bp, NH, hd] bf16 — head-major q for the cells
     ksx_sc, vsx_sc,  # [Bp, KVH*w] f32 — lane-packed scales
-    kbuf, vbuf,  # [2, KVH, TS, hd] int8 DMA rings
-    ksbuf, vsbuf,  # [2, KVH, TS] f32
-    sem,  # DMA semaphores [2, 4]
+    kbuf, vbuf,  # [DEPTH, KVH, TS, hd] int8 DMA rings
+    ksbuf, vsbuf,  # [DEPTH, KVH, TS] f32
+    sem,  # DMA semaphores [DEPTH, 4]
     *, B: int, G: int, TS: int, KVH: int, hd: int, w: int,
     nA: int, nB: int, nC: int, nD: int, nq: int, nkk: int,
-    TOA: int, TOB: int, TOC: int, TOD: int,
+    TOA: int, TOB: int, TOC: int, TOD: int, DEPTH: int = 2,
 ):
     o = pl.program_id(0)
     B0 = nA + nB + nC + nD
@@ -172,16 +172,13 @@ def _fused_step2_kernel(
         for cp in copies(g, slot):
             cp.wait()
 
-    # Blocks 0 and 1 issue during the FIRST linear steps, hundreds of
-    # microseconds before the trailing cells consume them — the cache stream
-    # rides behind the weight streams instead of in front of them.
-    @pl.when(jnp.logical_and(o == 0, tot_eff > 0))
-    def _():
-        start(0, 0)
-
-    @pl.when(jnp.logical_and(o == 1, tot_eff > 1))
-    def _():
-        start(1, 1)
+    # The first DEPTH blocks issue during the FIRST linear steps, hundreds
+    # of microseconds before the trailing cells consume them — the cache
+    # stream rides behind the weight streams instead of in front of them.
+    for _i in range(DEPTH):
+        @pl.when(jnp.logical_and(o == _i, tot_eff > _i))
+        def _(i=_i):
+            start(i, i)
 
     # ---- linear phases (ops/fused_layer.py, unchanged) ---------------------
     @pl.when(o < nA)
@@ -209,11 +206,14 @@ def _fused_step2_kernel(
                     preferred_element_type=jnp.int32).astype(jnp.float32)
         g = g * sx_ref[:] * w13gs_ref[0]
         u = u * sx_ref[:] * w13us_ref[0]
-        h2_ref[:, pl.ds(j * TOB, TOB)] = g * (1.0 / (1.0 + jnp.exp(-g))) * u
+        h2_ref[:, pl.ds(j * TOB, TOB)] = (
+            g * (1.0 / (1.0 + jnp.exp(-g))) * u).astype(h2_ref.dtype)
 
     @pl.when(o == nA + nB - 1)
     def _boundary_b():
-        q, s = _quant_rows(h2_ref[:])
+        # bf16 staging: int8 quant granularity (1/254 relative) dwarfs the
+        # bf16 rounding of the staged activations
+        q, s = _quant_rows(h2_ref[:].astype(jnp.float32))
         xq3_ref[:] = q
         sx_ref[:] = s
 
@@ -246,7 +246,7 @@ def _fused_step2_kernel(
         @pl.when(j < nq)
         def _q_block():
             r = _rope_block(val, cos_ref[:], sa_ref[:], sb_ref[:], TOD, hd)
-            q_sc[:, pl.ds(j * TOD, TOD)] = r * isqrt_hd
+            q_sc[:, pl.ds(j * TOD, TOD)] = (r * isqrt_hd).astype(q_sc.dtype)
 
         @pl.when(jnp.logical_and(j >= nq, j < nq + nkk))
         def _k_block():
@@ -283,7 +283,8 @@ def _fused_step2_kernel(
         if G > 1:
             kqf = jnp.broadcast_to(kqf[:, :, None, :], (Bp, KVH, G, hd))
         sraw_ref[:] = jnp.sum(
-            (q_sc[:] * kqf.reshape(Bp, KVD * G)).reshape(Bp, NH, hd),
+            (q_sc[:].astype(jnp.float32)
+             * kqf.reshape(Bp, KVD * G)).reshape(Bp, NH, hd),
             axis=-1)
 
     # ---- trailing attention cells (layer l+1) ------------------------------
@@ -303,7 +304,7 @@ def _fused_step2_kernel(
         def body(jj, carry):
             m, l, acc = carry
             g = g0 + jj
-            slot = jax.lax.rem(g, 2)
+            slot = jax.lax.rem(g, DEPTH)
             wait(g, slot)
             s = jnp.concatenate([
                 jax.lax.dot_general(
@@ -333,10 +334,10 @@ def _fused_step2_kernel(
                         preferred_element_type=jnp.float32)
                 for h in range(KVH)])  # [NH, hd]
 
-            # depth-1 prefetch: slot(g) just freed; refill it with g+2
-            @pl.when(g + 2 < tot_eff)
+            # slot(g) just freed; refill it with block g+DEPTH
+            @pl.when(g + DEPTH < tot_eff)
             def _():
-                start(g + 2, slot)
+                start(g + DEPTH, slot)
 
             return m_new, l, acc * corr + pv
 
@@ -361,27 +362,33 @@ def _scale_pack_width(TOD: int, hd: int) -> int:
 @functools.lru_cache(maxsize=64)
 def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
                        hd: int, TS: int, budget: int = 14 << 20):
-    """(TOA, TOB, TOC, TOD) for the trailing-attention kernel, or None.
+    """(TOA, TOB, TOC, TOD, DEPTH) for the trailing-attention kernel, or
+    None.
 
     Phase D's block width is grown FIRST: its steps are grid-overhead-bound
     below 256 lanes (weights 4096xTOD int8 DMA ~0.7 us at 128 vs ~1 us step
     cost), while phase B stays DMA-bound even at 128 — see NEXT.md #1's
     phase model.  TOD must tile q/k/v boundaries (TOD | D and TOD | KVD) and
-    whole heads (hd | TOD).
+    whole heads (hd | TOD).  After block growth saturates, leftover budget
+    funds a deeper KV DMA ring (DEPTH 2 -> 4): at depth 2 only two blocks
+    per cell actually prefetch behind the weight phases; each extra slot
+    hides ~12 us/layer of cache-stream latency (NEXT.md #1, r3 lever).
+    The h2/q_sc scratches are bf16 (staging before int8 quant — the quant
+    granularity dwarfs the rounding), freeing ~0.9 MB to fund this.
     """
     NH = KVH * G
     KVD = KVH * hd
 
-    def fixed(tod):
+    def fixed(tod, depth):
         w = _scale_pack_width(tod, hd)
         return (Bp * D * 4  # x2
-                + Bp * H * 4  # h2
+                + Bp * H * 2  # h2 (bf16 staging)
                 + Bp * D + Bp * H  # xq, xq3
-                + Bp * D * 4  # q_sc
+                + Bp * D * 2  # q_sc (bf16 staging)
                 + Bp * NH * hd * 2  # q3
                 + 2 * Bp * KVH * w * 4  # ksx + vsx
-                + 2 * 2 * KVH * TS * hd  # K/V rings (int8)
-                + 2 * 2 * KVH * TS * 4  # scale rings
+                + depth * 2 * KVH * TS * hd  # K/V rings (int8)
+                + depth * 2 * KVH * TS * 4  # scale rings
                 + 2 * Bp * D  # attq input (double-buffered)
                 + 6 * Bp * hd * 4  # rope tables (x2 buffering)
                 + 2 * Bp * KVD  # kq/vq outputs
@@ -400,9 +407,10 @@ def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
         return None
     choices = {"A": _block_candidates(D)[-1], "B": _block_candidates(H)[-1],
                "C": _block_candidates(D)[-1], "D": d_cands[-1]}
+    depth = 2
 
-    def total(c):
-        return fixed(c["D"]) + operand_bytes(c)
+    def total(c, dep):
+        return fixed(c["D"], dep) + operand_bytes(c)
 
     improved = True
     while improved:
@@ -415,12 +423,14 @@ def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
                 continue
             trial = dict(choices)
             trial[k] = ups[-1]
-            if total(trial) <= budget:
+            if total(trial, depth) <= budget:
                 choices = trial
                 improved = True
-    if total(choices) > budget:
+    while depth < 4 and total(choices, depth + 1) <= budget:
+        depth += 1
+    if total(choices, depth) > budget:
         return None
-    return choices["A"], choices["B"], choices["C"], choices["D"]
+    return choices["A"], choices["B"], choices["C"], choices["D"], depth
 
 
 def step2_block_s(S: int, block_s: int | None = None) -> int:
@@ -552,7 +562,7 @@ def fused_step2_layer(
                       block_s=block_s)
     if plan is None:
         raise ValueError(f"no VMEM-feasible mega2 tiling for Bp={Bp}")
-    TS, (TOA, TOB, TOC, TOD) = plan
+    TS, (TOA, TOB, TOC, TOD, DEPTH) = plan
     nA, nB, nC, nD = D // TOA, H // TOB, D // TOC, QO // TOD
     nq, nkk = D // TOD, KVD // TOD
     B0 = nA + nB + nC + nD
@@ -644,25 +654,25 @@ def fused_step2_layer(
     )
     scratch = [
         pltpu.VMEM((Bp, D), jnp.float32),  # x2
-        pltpu.VMEM((Bp, H), jnp.float32),  # h2
+        pltpu.VMEM((Bp, H), jnp.bfloat16),  # h2 (staging before int8 quant)
         pltpu.VMEM((Bp, D), jnp.int8),  # xq
         pltpu.VMEM((Bp, H), jnp.int8),  # xq3
         pltpu.VMEM((Bp, 1), jnp.float32),  # sx
-        pltpu.VMEM((Bp, D), jnp.float32),  # q_sc
+        pltpu.VMEM((Bp, D), jnp.bfloat16),  # q_sc (staging)
         pltpu.VMEM((Bp, NH, hd), jnp.bfloat16),  # q3
         pltpu.VMEM((Bp, KVH * w), jnp.float32),  # ksx
         pltpu.VMEM((Bp, KVH * w), jnp.float32),  # vsx
-        pltpu.VMEM((2, KVH, TS, hd), jnp.int8),  # K ring
-        pltpu.VMEM((2, KVH, TS, hd), jnp.int8),  # V ring
-        pltpu.VMEM((2, KVH, TS), jnp.float32),
-        pltpu.VMEM((2, KVH, TS), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.VMEM((DEPTH, KVH, TS, hd), jnp.int8),  # K ring
+        pltpu.VMEM((DEPTH, KVH, TS, hd), jnp.int8),  # V ring
+        pltpu.VMEM((DEPTH, KVH, TS), jnp.float32),
+        pltpu.VMEM((DEPTH, KVH, TS), jnp.float32),
+        pltpu.SemaphoreType.DMA((DEPTH, 4)),
     ]
 
     kernel = functools.partial(
         _fused_step2_kernel, B=B, G=G, TS=TS, KVH=KVH, hd=hd, w=w,
         nA=nA, nB=nB, nC=nC, nD=nD, nq=nq, nkk=nkk,
-        TOA=TOA, TOB=TOB, TOC=TOC, TOD=TOD)
+        TOA=TOA, TOB=TOB, TOC=TOC, TOD=TOD, DEPTH=DEPTH)
 
     (x_next, kq, vq, kso, vso, sraw, acc, st) = pl.pallas_call(
         kernel,

@@ -38,6 +38,57 @@ def _interpret() -> bool:
 _BLOCK_BUDGET = 3 * 1024 * 1024
 
 
+# Prefill-scale row blocking.  At M=4096 rows (7B b8 T512 prefill) the
+# decode tiling (BM=256) makes 16 row-blocks and RE-STREAMS the full weight
+# set per block — ~3.2 GB/layer of redundant HBM traffic, ~140 ms of the
+# round-2 500 ms TTFT.  The x BlockSpec index is (m, i): with TI == IN the
+# x block stays VMEM-resident across the whole out-tile sweep, so weight
+# traffic is n_m * W and x streams exactly once.  Bigger BM => fewer weight
+# re-streams; the cost model below balances that against grid-step overhead
+# (~1 us/cell, CLAUDE.md) and the int8-MXU compute floor.
+_VMEM_ROWS_BUDGET = 14 * 1024 * 1024  # mega2's measured-feasible budget
+_HBM_GBPS = 750e9   # measured big-tile w8a8 stream rate (CLAUDE.md)
+_CELL_US = 1e-6     # measured Pallas grid-step overhead
+_INT8_TOPS = 394e12
+
+
+def _pick_tiles_rows(M: int, IN: int, OUT: int, align: int,
+                     out_bytes: int, acc_bytes: int = 4,
+                     scale_frac: float = 0.0,
+                     x_bytes: int = 1) -> tuple[int, int, int] | None:
+    """(BM, TI, TO) for row-blocked (prefill) matmuls, or None when no
+    full-IN row block fits VMEM (caller falls back to ``_pick_tiles``).
+
+    TI is pinned to IN: with the grid order (m, o, i) and acc scratch
+    requiring i innermost, any TI < IN re-fetches x once per OUT tile
+    (n_out * M * IN bytes) — strictly worse than weight re-streaming for
+    every Llama shape.  ``scale_frac`` adds the per-group scale bytes that
+    ride with each weight tile (4/g for Q8_0; ~0 for per-channel W8A8)."""
+    if IN % align:
+        return None
+    best = None
+    for bm in (2048, 1024, 512, 256):
+        xb_bytes = 2 * bm * IN * x_bytes  # double-buffered row block
+        for to in (1024, 768, 512, 384, 256, 128):
+            if OUT % to:
+                continue
+            w_bytes = int(2 * IN * to * (1 + scale_frac))
+            o_bytes = 2 * bm * to * out_bytes + bm * to * acc_bytes
+            if xb_bytes + w_bytes + o_bytes > _VMEM_ROWS_BUDGET:
+                continue
+            n_m = -(-M // bm)
+            cells = n_m * (OUT // to)
+            traffic = (n_m * IN * OUT * (1 + scale_frac)
+                       + M * IN * x_bytes)
+            cost = (traffic / _HBM_GBPS + cells * _CELL_US
+                    + 2 * M * IN * OUT / _INT8_TOPS)
+            if best is None or cost < best[0]:
+                best = (cost, bm, to)
+    if best is None:
+        return None
+    return best[1], IN, best[2]
+
+
 def _pick_tiles(IN: int, OUT: int, align: int) -> tuple[int, int]:
     """(TI, TO) with TI | IN (multiple of ``align``), TO | OUT (multiple of
     128), TI*TO <= budget, preferring full-IN blocks then the largest TO."""
@@ -106,14 +157,22 @@ def q8_matmul(
 
     from tpu_llama.ops.quant import kernel_alignment
 
+    # row blocking: decode batches fit one block; prefill's [B*T] rows use
+    # the rows-aware picker so weights aren't re-streamed per row-block
+    BM = min(Bp, 256)
     if block_out or block_in:
         TO = block_out or 256
         TI = block_in or IN
     else:
-        TI, TO = _pick_tiles(IN, OUT, kernel_alignment(g))
-    # row blocking: decode batches fit one block; prefill's [B*T] rows tile
-    # so the VMEM-resident x block stays bounded
-    BM = min(Bp, 256)
+        picked = (_pick_tiles_rows(Bp, IN, OUT, kernel_alignment(g),
+                                   out_bytes=jnp.dtype(out_dtype).itemsize,
+                                   scale_frac=4.0 / g,
+                                   x_bytes=xb.dtype.itemsize)
+                  if Bp > 256 else None)
+        if picked is not None:
+            BM, TI, TO = picked
+        else:
+            TI, TO = _pick_tiles(IN, OUT, kernel_alignment(g))
     if Bp % BM:
         pad = -(-Bp // BM) * BM - Bp
         xb = jnp.pad(xb, ((0, pad), (0, 0)))
@@ -239,12 +298,18 @@ def w8a8_matmul_prequant(
     IN, OUT = w.q.shape
     Bp = xq.shape[0]
 
+    BM = min(Bp, 256)
     if block_out or block_in:
         TO = block_out or 256
         TI = block_in or IN
     else:
-        TI, TO = _pick_tiles(IN, OUT, 32)  # int8 sublane alignment
-    BM = min(Bp, 256)
+        picked = (_pick_tiles_rows(Bp, IN, OUT, 32,
+                                   out_bytes=jnp.dtype(out_dtype).itemsize)
+                  if Bp > 256 else None)
+        if picked is not None:
+            BM, TI, TO = picked
+        else:
+            TI, TO = _pick_tiles(IN, OUT, 32)  # int8 sublane alignment
     if Bp % BM:
         pad = -(-Bp // BM) * BM - Bp
         xq = jnp.pad(xq, ((0, pad), (0, 0)))

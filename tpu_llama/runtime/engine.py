@@ -72,34 +72,49 @@ def _prefill_into_slots(
             logits_mode=logits_mode,
         )
     if isinstance(cache, PagedKVCache):
-        # scatter the compact [L, Bp, KVH, T, hd] block into the page pool:
-        # position t of slot s lands at (page_table[s, t//ps], head, t%ps).
-        # Bucket positions beyond a slot's reservation map to trash page 0.
-        ps = cache.page_size
-        t_ix = jnp.arange(T)
-        pages = cache.page_table[slots][:, t_ix // ps]  # [Bp, T]
-        p_ix = pages[:, None, :]  # [Bp, 1, T]
-        h_ix = jnp.arange(config.n_kv_heads)[None, :, None]
-        r_ix = (t_ix % ps)[None, None, :]  # [1, 1, T]
-        cache = PagedKVCache(
-            k=cache.k.at[:, p_ix, h_ix, r_ix].set(small.k),
-            v=cache.v.at[:, p_ix, h_ix, r_ix].set(small.v),
-            ks=cache.ks.at[:, p_ix, h_ix, r_ix].set(small.ks),
-            vs=cache.vs.at[:, p_ix, h_ix, r_ix].set(small.vs),
-            page_table=cache.page_table,
-        )
+        # scatter the compact [L, Bp, KVH, T, hd] block into the page pool
+        # by WHOLE pages, aliased in place: position t of slot s lands at
+        # (page_table[s, t//ps], head, t%ps); bucket positions beyond a
+        # slot's reservation map to trash page 0.  (The previous XLA
+        # advanced-index scatter made a full-pool transient per array —
+        # four multi-GB copies that OOM'd b8 paged TTFT, tpu_smoke r3.)
+        from tpu_llama.ops.attention import kv_pool_scatter_pages
+
+        ck, cv, cks, cvs = kv_pool_scatter_pages(
+            small.k, small.v, small.ks, small.vs, slots,
+            cache.page_table, cache.k, cache.v, cache.ks, cache.vs)
+        cache = PagedKVCache(k=ck, v=cv, ks=cks, vs=cvs,
+                             page_table=cache.page_table)
     elif isinstance(cache, QuantKVCache):
-        cache = QuantKVCache(
-            k=cache.k.at[:, slots, :, :T].set(small.k),
-            v=cache.v.at[:, slots, :, :T].set(small.v),
-            ks=cache.ks.at[:, slots, :, :T].set(small.ks),
-            vs=cache.vs.at[:, slots, :, :T].set(small.vs),
-        )
+        # aliased Pallas slot write when the chunk geometry allows (bucket
+        # sizes are 256-multiples in serving); tiny prompts fall back to
+        # the XLA scatter (full-operand copy, fine at small T)
+        if T % 128 == 0 and T <= cache.k.shape[3]:
+            from tpu_llama.ops.attention import kv_cache_scatter_slots
+
+            ck, cv, cks, cvs = kv_cache_scatter_slots(
+                small.k, small.v, slots, cache.k, cache.v,
+                small.ks, small.vs, cache.ks, cache.vs)
+            cache = QuantKVCache(k=ck, v=cv, ks=cks, vs=cvs)
+        else:
+            cache = QuantKVCache(
+                k=cache.k.at[:, slots, :, :T].set(small.k),
+                v=cache.v.at[:, slots, :, :T].set(small.v),
+                ks=cache.ks.at[:, slots, :, :T].set(small.ks),
+                vs=cache.vs.at[:, slots, :, :T].set(small.vs),
+            )
     else:
-        cache = KVCache(
-            k=cache.k.at[:, slots, :, :T].set(small.k),
-            v=cache.v.at[:, slots, :, :T].set(small.v),
-        )
+        if T % 128 == 0 and T <= cache.k.shape[3]:
+            from tpu_llama.ops.attention import kv_cache_scatter_slots
+
+            ck, cv = kv_cache_scatter_slots(
+                small.k, small.v, slots, cache.k, cache.v)
+            cache = KVCache(k=ck, v=cv)
+        else:
+            cache = KVCache(
+                k=cache.k.at[:, slots, :, :T].set(small.k),
+                v=cache.v.at[:, slots, :, :T].set(small.v),
+            )
     if logits_mode == "last":
         last = logits  # already [Bp, V]
     else:
