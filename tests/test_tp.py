@@ -179,3 +179,132 @@ def test_tp_decode_fused_projections(eight_devices, quant):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
     assert np.array_equal(np.argmax(np.asarray(got), -1),
                           np.argmax(np.asarray(ref), -1))
+
+
+@pytest.mark.parametrize("kv", [None, "int8"])
+def test_tp_fused_kernel_path_matches_unfused(eight_devices, kv):
+    """tp_forward_decode_fused (3 fused launches + 2 psums per layer,
+    VERDICT r2 #3) == the unfused explicit-TP path, greedy tokens equal."""
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+    from tpu_llama.models.llama import fuse_projections
+    from tpu_llama.parallel.tp import tp_forward_decode_fused
+
+    c = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=2,
+                    n_kv_heads=2, vocab_size=256, seq_len=32)
+    w = make_random_weights(c, seed=11)
+    params = params_from_raw(w)
+    B = 2
+    toks = jnp.array([5, 9], jnp.int32)
+    tp = 2
+    mesh = make_mesh(MeshConfig(1, tp))
+
+    fused = quantize_params(fuse_projections(params, tp=tp), mode="w8a8")
+    sp = shard_params(fused, mesh)
+
+    def roll(fn, **kw):
+        sc = shard_cache(make_kv_cache(c, B, kv), mesh)
+        t, out = toks, []
+        for p in range(3):
+            logits, sc = fn(sp, sc, t, jnp.full((B,), p, jnp.int32), c,
+                            mesh, **kw)
+            out.append(np.asarray(logits))
+            t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+        return out
+
+    ref = roll(tp_forward_decode, precision="highest")
+    got = roll(tp_forward_decode_fused)
+    tol = 2e-2 if kv is None else 8e-2  # int8 KV: the flash kernel's bf16
+    # QK dots vs the unfused path's f32 dequant einsum add score rounding
+    for r, g in zip(ref, got):
+        # same quant formulas, different op order (in-kernel rms/quant);
+        # int8-requant noise bounds the drift; greedy TOKENS must agree
+        np.testing.assert_allclose(g, r, rtol=tol, atol=tol)
+        assert np.array_equal(np.argmax(g, -1), np.argmax(r, -1))
+
+
+@pytest.mark.parametrize("fused_tp", [False, True])
+def test_tp_prefill_matches_single_device(eight_devices, fused_tp):
+    """Explicit-TP prefill == single-device forward_prefill (fp weights),
+    including the shard-interleaved fused layouts GSPMD cannot split."""
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+    from tpu_llama.models import forward_prefill
+    from tpu_llama.models.llama import fuse_projections
+    from tpu_llama.parallel.tp import tp_forward_prefill
+
+    c = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=2,
+                    n_kv_heads=2, vocab_size=256, seq_len=32)
+    w = make_random_weights(c, seed=13)
+    params = params_from_raw(w)
+    B, T = 2, 8
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 250).reshape(B, T) + 1
+    start = jnp.zeros((B,), jnp.int32)
+    lengths = jnp.array([T, T - 3], jnp.int32)
+
+    ref, ref_cache = forward_prefill(
+        params, make_kv_cache(c, B), toks, start, lengths, c,
+        precision="highest", logits_mode="last")
+
+    tp = 2
+    mesh = make_mesh(MeshConfig(1, tp))
+    p = fuse_projections(params, tp=tp) if fused_tp else params
+    sp = shard_params(p, mesh)
+    sc = shard_cache(make_kv_cache(c, B), mesh)
+    got, sc2 = tp_forward_prefill(sp, sc, toks, start, lengths, c, mesh,
+                                  precision="highest", logits_mode="last")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # the written cache must match row-for-row
+    np.testing.assert_allclose(np.asarray(sc2.k), np.asarray(ref_cache.k),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tp_prefill_then_fused_decode_roundtrip(eight_devices):
+    """Serving shape: explicit-TP prefill fills the cache, then the fused
+    TP decode continues from it — tokens match the single-device engine."""
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+    from tpu_llama.models.llama import fuse_projections
+    from tpu_llama.parallel.tp import (
+        tp_forward_decode_fused,
+        tp_forward_prefill,
+    )
+
+    c = ModelConfig(dim=256, hidden_dim=512, n_layers=2, n_heads=2,
+                    n_kv_heads=2, vocab_size=256, seq_len=32)
+    w = make_random_weights(c, seed=17)
+    params = params_from_raw(w)
+    B, T = 2, 8
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 250).reshape(B, T) + 1
+    start = jnp.zeros((B,), jnp.int32)
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    # Reference: explicit-TP prefill + UNFUSED explicit-TP decode on the
+    # same tp-interleaved W8A8 params.  (Single-device is NOT the right
+    # reference: W8A8 TP quantizes the attention output per shard-local
+    # row absmax — an acknowledged semantic difference that flips
+    # near-ties on random weights; see test_tp_decode_fused_projections.)
+    tp = 2
+    mesh = make_mesh(MeshConfig(1, tp))
+    tp_params = quantize_params(fuse_projections(params, tp=tp), mode="w8a8")
+    sp = shard_params(tp_params, mesh)
+
+    def roll(decode_fn, **kw):
+        sc = shard_cache(make_kv_cache(c, B, "int8"), mesh)
+        logits, sc = tp_forward_prefill(sp, sc, toks, start, lengths, c,
+                                        mesh, logits_mode="last")
+        t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+        out = [np.asarray(t)]
+        for p in range(3):
+            logits, sc = decode_fn(sp, sc, t, lengths + p, c, mesh, **kw)
+            t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+            out.append(np.asarray(t))
+        return out
+
+    ref_toks = roll(tp_forward_decode, precision="default")
+    got_toks = roll(tp_forward_decode_fused)
+    # greedy token streams must agree — the parity contract for the fused
+    # kernels (same quant formulas, in-kernel op order)
+    for r, g in zip(ref_toks, got_toks):
+        np.testing.assert_array_equal(g, r)

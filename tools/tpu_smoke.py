@@ -55,8 +55,11 @@ VARIANTS = [
     ("paged_flash_b8_int8", "decode",
      dict(batch=8, kv_layout="paged", fused=False, attn="flash")),
     ("prefill_dense_b8_t512", "ttft", dict(batch=8, prompt_len=512)),
+    # S=1024 pool: the S=2048 pool + compact chunk cache + params is ~15 GB
+    # and OOMs the 16 GB chip — the kernels (pool scatter, paged prefill)
+    # are what this gate validates, not the memory budget of one config
     ("prefill_paged_b8_t512", "ttft",
-     dict(batch=8, prompt_len=512, kv_layout="paged")),
+     dict(batch=8, prompt_len=512, kv_layout="paged", seq_len=1024)),
 ]
 
 

@@ -310,6 +310,221 @@ def fused_layer_linear(
     return x_next, qkv_next
 
 
+# ---------------------------------------------------------------------------
+# TP sub-span kernels.  Megatron TP needs a psum after wo and after w2, so
+# the whole-layer fusion above cannot run under tensor parallelism — the
+# collective-free spans CAN: rms -> quant -> w13 -> silu -> w2 (one launch)
+# and rms -> quant -> qkv (one launch).  Each shard runs these on its LOCAL
+# column slices (fuse_projections(tp=...) interleaved layouts); the wrapper
+# (parallel/tp.py) places the two psums between launches.  3 launches +
+# 2 psums per layer instead of 4 matmul launches + 4 XLA quant chains.
+# ---------------------------------------------------------------------------
+
+
+def _fused_ffn_kernel(
+    s_ref,  # [1] int32: layer l
+    x_ref,  # [Bp, D] f32 — FULL residual stream (replicated under TP)
+    rmsf_ref,  # [1, 1, D] f32
+    w13g_ref, w13gs_ref,  # [1, D, TOB] int8 / [1, 1, TOB] f32 (local gate)
+    w13u_ref, w13us_ref,  # (local up)
+    w2q_ref, w2s_ref,  # [1, Hl, TOC] int8, [1, 1, TOC] f32
+    xout_ref,  # [Bp, TOC] f32 output block — w2 PARTIAL (no residual)
+    h2_ref, xq_ref, xq3_ref, sx_ref,
+    *, nB: int, nC: int, TOB: int, TOC: int,
+):
+    o = pl.program_id(0)
+
+    @pl.when(o == 0)
+    def _boundary_in():
+        h = _rms_rows(x_ref[:], rmsf_ref[0])
+        q, s = _quant_rows(h)
+        xq_ref[:] = q
+        sx_ref[:] = s
+
+    @pl.when(o < nB)
+    def _phase_b():
+        j = o
+        g = jnp.dot(xq_ref[:], w13g_ref[0],
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+        u = jnp.dot(xq_ref[:], w13u_ref[0],
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+        g = g * sx_ref[:] * w13gs_ref[0]
+        u = u * sx_ref[:] * w13us_ref[0]
+        h2_ref[:, pl.ds(j * TOB, TOB)] = g * (1.0 / (1.0 + jnp.exp(-g))) * u
+
+    @pl.when(o == nB - 1)
+    def _boundary_b():
+        q, s = _quant_rows(h2_ref[:])
+        xq3_ref[:] = q
+        sx_ref[:] = s
+
+    @pl.when(o >= nB)
+    def _phase_c():
+        acc = jnp.dot(xq3_ref[:], w2q_ref[0],
+                      preferred_element_type=jnp.int32)
+        xout_ref[:] = acc.astype(jnp.float32) * sx_ref[:] * w2s_ref[0]
+
+
+def fused_ffn_stacked(
+    x: jax.Array,  # [Bp, D] f32 — full residual (post-psum)
+    w13_q, w13_s,  # [L, D, 2Hl] int8, [L, 2Hl] f32 — LOCAL fused [w1|w3]
+    w2_q, w2_s,  # [L, Hl, D] int8, [L, D] f32 — LOCAL rows
+    rms_ffn: jax.Array,  # [L, D] f32
+    layer: jax.Array | int,
+) -> jax.Array:
+    """rms -> quant -> w13 -> silu -> w2 in ONE launch on the local shard.
+    Returns the w2 PARTIAL [Bp, D] f32 — the caller psums and adds the
+    residual.  Single-device callers may use it too (tp=1)."""
+    Bp, D = x.shape
+    L, _, H2 = w13_q.shape
+    Hl = w2_q.shape[1]
+    assert H2 == 2 * Hl, (H2, Hl)
+    assert Bp % 32 == 0, "int8 sublane tile is 32"
+    blocks = _pick_ffn_blocks(Bp, D, Hl)
+    if blocks is None:
+        raise ValueError(f"no VMEM-feasible fused-ffn tiling for Bp={Bp}")
+    TOB, TOC = blocks
+    nB, nC = Hl // TOB, D // TOC
+    V = pltpu.VMEM
+
+    def b_ix(o, s):
+        return jnp.clip(o, 0, nB - 1)
+
+    def c_ix(o, s):
+        return jnp.clip(o - nB, 0, nC - 1)
+
+    kernel = functools.partial(_fused_ffn_kernel, nB=nB, nC=nC,
+                               TOB=TOB, TOC=TOC)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nB + nC,),
+            in_specs=[
+                pl.BlockSpec((Bp, D), lambda o, s: (0, 0), memory_space=V),
+                pl.BlockSpec((1, 1, D), lambda o, s: (s[0], 0, 0),
+                             memory_space=V),
+                pl.BlockSpec((1, D, TOB), lambda o, s: (s[0], 0, b_ix(o, s)),
+                             memory_space=V),
+                pl.BlockSpec((1, 1, TOB), lambda o, s: (s[0], 0, b_ix(o, s)),
+                             memory_space=V),
+                pl.BlockSpec((1, D, TOB),
+                             lambda o, s: (s[0], 0, nB + b_ix(o, s)),
+                             memory_space=V),
+                pl.BlockSpec((1, 1, TOB),
+                             lambda o, s: (s[0], 0, nB + b_ix(o, s)),
+                             memory_space=V),
+                pl.BlockSpec((1, Hl, TOC), lambda o, s: (s[0], 0, c_ix(o, s)),
+                             memory_space=V),
+                pl.BlockSpec((1, 1, TOC), lambda o, s: (s[0], 0, c_ix(o, s)),
+                             memory_space=V),
+            ],
+            out_specs=pl.BlockSpec((Bp, TOC), lambda o, s: (0, c_ix(o, s)),
+                                   memory_space=V),
+            scratch_shapes=[
+                pltpu.VMEM((Bp, Hl), jnp.float32),  # h2
+                pltpu.VMEM((Bp, D), jnp.int8),  # xq
+                pltpu.VMEM((Bp, Hl), jnp.int8),  # xq3
+                pltpu.VMEM((Bp, 1), jnp.float32),  # sx
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(jnp.asarray(layer, jnp.int32)[None], x,
+      rms_ffn[:, None, :],
+      w13_q, w13_s[:, None, :], w13_q, w13_s[:, None, :],
+      w2_q, w2_s[:, None, :])
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _pick_ffn_blocks(Bp: int, D: int, Hl: int, budget: int = 13 << 20):
+    """(TOB, TOC) for the TP ffn span under the VMEM budget."""
+    fixed = (Bp * D * 4  # x input
+             + Bp * Hl * 4 + Bp * D + Bp * Hl + Bp * 4)  # scratches
+    choices = {"B": _block_candidates(Hl)[-1], "C": _block_candidates(D)[-1]}
+
+    def operand(c):
+        return 2 * (2 * D * c["B"] + Hl * c["C"] + Bp * c["C"] * 4)
+
+    improved = True
+    while improved:
+        improved = False
+        for k, n in (("B", Hl), ("C", D)):
+            ups = [c for c in _block_candidates(n) if c > choices[k]]
+            if ups and fixed + operand({**choices, k: ups[-1]}) <= budget:
+                choices[k] = ups[-1]
+                improved = True
+    if fixed + operand(choices) > budget:
+        return None
+    return choices["B"], choices["C"]
+
+
+def _rms_qkv_kernel(s_ref, x_ref, rmsa_ref, qkvq_ref, qkvs_ref, o_ref,
+                    xq_ref, sx_ref):
+    o = pl.program_id(0)
+
+    @pl.when(o == 0)
+    def _boundary():
+        h = _rms_rows(x_ref[:], rmsa_ref[0])
+        q, s = _quant_rows(h)
+        xq_ref[:] = q
+        sx_ref[:] = s
+
+    acc = jnp.dot(xq_ref[:], qkvq_ref[0], preferred_element_type=jnp.int32)
+    o_ref[:] = acc.astype(jnp.float32) * sx_ref[:] * qkvs_ref[0]
+
+
+def fused_rms_qkv_stacked(
+    x: jax.Array,  # [Bp, D] f32 — full residual (post-psum)
+    qkv_q, qkv_s,  # [L, D, QOl] int8, [L, QOl] f32 — LOCAL fused [q|k|v]
+    rms_att: jax.Array,  # [L, D] f32
+    layer: jax.Array | int,
+) -> jax.Array:
+    """rms -> quant -> qkv in ONE launch on the local shard.  Returns
+    [Bp, QOl] f32 (shard-local [q_i | k_i | v_i] columns)."""
+    Bp, D = x.shape
+    L, _, QOl = qkv_q.shape
+    assert Bp % 32 == 0
+    TO = _block_candidates(QOl)[-1]
+    for cand in _block_candidates(QOl):
+        if D * cand <= (3 << 20):
+            TO = cand
+            break
+    n_out = QOl // TO
+    V = pltpu.VMEM
+    out = pl.pallas_call(
+        _rms_qkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_out,),
+            in_specs=[
+                pl.BlockSpec((Bp, D), lambda o, s: (0, 0), memory_space=V),
+                pl.BlockSpec((1, 1, D), lambda o, s: (s[0], 0, 0),
+                             memory_space=V),
+                pl.BlockSpec((1, D, TO), lambda o, s: (s[0], 0, o),
+                             memory_space=V),
+                pl.BlockSpec((1, 1, TO), lambda o, s: (s[0], 0, o),
+                             memory_space=V),
+            ],
+            out_specs=pl.BlockSpec((Bp, TO), lambda o, s: (0, o),
+                                   memory_space=V),
+            scratch_shapes=[
+                pltpu.VMEM((Bp, D), jnp.int8),
+                pltpu.VMEM((Bp, 1), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, QOl), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(jnp.asarray(layer, jnp.int32)[None], x, rms_att[:, None, :],
+      qkv_q, qkv_s[:, None, :])
+    return out
+
+
 def _stacked_matmul_kernel(s_ref, xq_ref, sx_ref, q_ref, ws_ref, o_ref):
     acc = jnp.dot(xq_ref[:], q_ref[0], preferred_element_type=jnp.int32)
     o_ref[:] = acc.astype(jnp.float32) * sx_ref[:] * ws_ref[0]

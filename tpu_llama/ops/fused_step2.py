@@ -361,7 +361,7 @@ def _scale_pack_width(TOD: int, hd: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
-                       hd: int, TS: int, budget: int = 14 << 20):
+                       hd: int, TS: int, budget: int = int(15.2 * (1 << 20))):
     """(TOA, TOB, TOC, TOD, DEPTH) for the trailing-attention kernel, or
     None.
 

@@ -185,3 +185,397 @@ def tp_forward_decode(
         check_vma=False,
     )(params, cache, tokens, pos)
     return out
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "precision",
+                                   "logits_mode", "attn", "max_keys"))
+def tp_forward_prefill(
+    params: LlamaParams,  # sharded (plain or fuse_projections(tp=...) W8A8)
+    cache,  # KVCache or QuantKVCache sharded per cache_pspec
+    tokens: jax.Array,  # [B, T] int32
+    start_pos: jax.Array,  # [B] int32
+    lengths: jax.Array,  # [B] int32
+    config: ModelConfig,
+    mesh: Mesh,
+    precision: str = "default",
+    logits_mode: str = "last",
+    attn: str = "auto",
+    max_keys: int | None = None,
+):
+    """Explicit-TP batched causal prefill under shard_map.
+
+    The GSPMD prefill cannot split ``fuse_projections(tp=...)``'s
+    shard-INTERLEAVED column order (a global [:D] slice would mix shards),
+    so the explicit-TP engine needs its own prefill: per-shard local qkv /
+    w13 splits, attention over local heads, the Megatron two-psums-per-
+    layer schedule, vocab-sharded classifier.  Mirrors ``forward_prefill``
+    semantically (same masks, same cache-write positions).  Returns
+    (logits last: [B, V] vocab-sharded | all: [B, T, V] vocab-sharded,
+    new cache)."""
+    prec = (jax.lax.Precision(precision) if isinstance(precision, str)
+            else precision)
+    if attn == "auto":
+        attn = "flash" if jax.default_backend() == "tpu" else "xla"
+    tp = mesh.shape[MODEL_AXIS]
+    assert config.n_kv_heads % tp == 0 and config.hidden_dim % tp == 0
+    assert config.vocab_size % tp == 0
+    local = _local_config(config, tp)
+    vocab_local = config.vocab_size // tp
+
+    def step(params, cache, tokens, start_pos, lengths):
+        return _tp_prefill_body(params, cache, tokens, start_pos, lengths,
+                                local=local, vocab_local=vocab_local,
+                                prec=prec, attn=attn,
+                                logits_mode=logits_mode, max_keys=max_keys)
+
+    cspec = cache_pspec(cache)
+    out_logits_spec = (P(DATA_AXIS, MODEL_AXIS) if logits_mode == "last"
+                       else P(DATA_AXIS, None, MODEL_AXIS))
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(params_pspecs(params), cspec, P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS)),
+        out_specs=(out_logits_spec, cspec),
+        check_vma=False,
+    )(params, cache, tokens, start_pos, lengths)
+
+
+def _tp_prefill_body(params, cache, tokens, start_pos, lengths, *, local,
+                     vocab_local, prec, attn, logits_mode, max_keys):
+    """The per-shard prefill computation (runs INSIDE shard_map) — shared
+    by tp_forward_prefill and tp_prefill_into_slots."""
+    from tpu_llama.models.llama import _attention_prefill
+    from tpu_llama.ops.attention import flash_prefill_attention, quantize_kv
+
+    if True:
+        lp = params.layers
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        B, T = tokens.shape
+        S = cache.k.shape[-2]
+        Dl, KVDl = local.dim, local.kv_dim
+
+        # vocab-sharded embedding gather + psum
+        v_start = shard * vocab_local
+        local_ids = tokens - v_start
+        in_shard = (local_ids >= 0) & (local_ids < vocab_local)
+        safe_ids = jnp.clip(local_ids, 0, vocab_local - 1)
+        x_part = jnp.where(in_shard[..., None], params.tok_emb[safe_ids], 0.0)
+        x = jax.lax.psum(x_part, MODEL_AXIS)  # [B, T, D]
+
+        q_pos = start_pos[:, None] + jnp.arange(T)[None, :]
+        write_pos = jnp.clip(q_pos, 0, S - 1)
+        cos = params.rope_cos[write_pos]
+        sin = params.rope_sin[write_pos]
+        batch_idx = jnp.arange(B)
+
+        def mm(a, w):
+            return matmul_any(a, w, prec)
+
+        def layer_step(x, scanned):
+            lp_l, cache_l = scanned
+            h = rmsnorm(x, lp_l.rms_att)
+            if _local_width(lp_l.wq) == Dl + 2 * KVDl:
+                qkv = mm(h, lp_l.wq)
+                q, k, v = (qkv[..., :Dl], qkv[..., Dl:Dl + KVDl],
+                           qkv[..., Dl + KVDl:])
+            else:
+                q, k, v = mm(h, lp_l.wq), mm(h, lp_l.wk), mm(h, lp_l.wv)
+            q = q.reshape(B, T, local.n_heads, local.head_dim)
+            k = k.reshape(B, T, local.n_kv_heads, local.head_dim)
+            v = v.reshape(B, T, local.n_kv_heads, local.head_dim)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            kt = k.transpose(0, 2, 1, 3)
+            vt = v.transpose(0, 2, 1, 3)
+            b_ix = batch_idx[:, None, None]
+            h_ix = jnp.arange(local.n_kv_heads)[None, :, None]
+            p_ix = write_pos[:, None, :]
+            if isinstance(cache_l, QuantKVCache):
+                kq, ks = quantize_kv(kt)
+                vq, vs = quantize_kv(vt)
+                cache_l = QuantKVCache(
+                    k=cache_l.k.at[b_ix, h_ix, p_ix].set(kq),
+                    v=cache_l.v.at[b_ix, h_ix, p_ix].set(vq),
+                    ks=cache_l.ks.at[b_ix, h_ix, p_ix].set(ks),
+                    vs=cache_l.vs.at[b_ix, h_ix, p_ix].set(vs),
+                )
+                if attn == "flash":
+                    att = flash_prefill_attention(
+                        q, cache_l.k, cache_l.v, start_pos, cache_l.ks,
+                        cache_l.vs, max_keys=max_keys).reshape(
+                            B, T, Dl).astype(x.dtype)
+                else:
+                    kf = cache_l.k.astype(jnp.float32) * cache_l.ks[..., None]
+                    vf = cache_l.v.astype(jnp.float32) * cache_l.vs[..., None]
+                    att = _attention_prefill(q, kf, vf, q_pos, local, prec)
+            else:
+                cache_l = KVCache(
+                    k=cache_l.k.at[b_ix, h_ix, p_ix].set(
+                        kt.astype(cache_l.k.dtype)),
+                    v=cache_l.v.at[b_ix, h_ix, p_ix].set(
+                        vt.astype(cache_l.v.dtype)),
+                )
+                if attn == "flash":
+                    att = flash_prefill_attention(
+                        q, cache_l.k, cache_l.v, start_pos,
+                        max_keys=max_keys).reshape(
+                            B, T, Dl).astype(x.dtype)
+                else:
+                    att = _attention_prefill(q, cache_l.k, cache_l.v,
+                                             q_pos, local, prec)
+            x = x + jax.lax.psum(mm(att, lp_l.wo), MODEL_AXIS)
+            h = rmsnorm(x, lp_l.rms_ffn)
+            Hl = local.hidden_dim
+            if _local_width(lp_l.w1) == 2 * Hl:  # fused local [w1_i | w3_i]
+                gu = mm(h, lp_l.w1)
+                gate, up = gu[..., :Hl], gu[..., Hl:]
+            else:
+                gate, up = mm(h, lp_l.w1), mm(h, lp_l.w3)
+            x = x + jax.lax.psum(mm(jax.nn.silu(gate) * up, lp_l.w2),
+                                 MODEL_AXIS)
+            return x, cache_l
+
+        x, new_cache = jax.lax.scan(layer_step, x, (lp, cache))
+        if logits_mode == "last":
+            x = jnp.take_along_axis(
+                x, jnp.clip(lengths - 1, 0, T - 1)[:, None, None],
+                axis=1)[:, 0]
+        x = rmsnorm(x, params.rms_final)
+        logits = matmul_any(x, params.wcls, prec)
+        return logits.astype(jnp.float32), new_cache
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "precision", "attn"))
+def tp_prefill_into_slots(
+    params: LlamaParams,
+    cache,  # big slot cache (KVCache/QuantKVCache), sharded per cache_pspec
+    tokens: jax.Array,  # [n, T] int32 — fresh prompts (start at pos 0)
+    lengths: jax.Array,  # [n]
+    slots: jax.Array,  # [n] slot rows of the big cache
+    config: ModelConfig,
+    mesh: Mesh,
+    precision: str = "default",
+    attn: str = "auto",
+):
+    """Explicit-TP twin of runtime.engine._prefill_into_slots: compact
+    prefill into a small per-shard cache + aliased slot scatter, all inside
+    ONE shard_map (GSPMD cannot partition the Pallas kernels).  dp=1 only
+    (slots index the full batch).  Returns (last-logits [n, V] vocab-
+    sharded, updated cache)."""
+    prec = (jax.lax.Precision(precision) if isinstance(precision, str)
+            else precision)
+    if attn == "auto":
+        attn = "flash" if jax.default_backend() == "tpu" else "xla"
+    tp = mesh.shape[MODEL_AXIS]
+    assert mesh.shape[DATA_AXIS] == 1, "tp_prefill_into_slots is dp=1-only"
+    local = _local_config(config, tp)
+    vocab_local = config.vocab_size // tp
+    quant = isinstance(cache, QuantKVCache)
+    n, T = tokens.shape
+
+    def step(params, cache, tokens, lengths, slots):
+        from tpu_llama.ops.attention import kv_cache_scatter_slots
+
+        KVHl, hd = local.n_kv_heads, local.head_dim
+        L = params.layers.rms_att.shape[0]
+        if quant:
+            small = QuantKVCache(
+                k=jnp.zeros((L, n, KVHl, T, hd), jnp.int8),
+                v=jnp.zeros((L, n, KVHl, T, hd), jnp.int8),
+                ks=jnp.zeros((L, n, KVHl, T), jnp.float32),
+                vs=jnp.zeros((L, n, KVHl, T), jnp.float32),
+            )
+        else:
+            small = KVCache(
+                k=jnp.zeros((L, n, KVHl, T, hd), cache.k.dtype),
+                v=jnp.zeros((L, n, KVHl, T, hd), cache.v.dtype),
+            )
+        logits, small = _tp_prefill_body(
+            params, small, tokens, jnp.zeros((n,), jnp.int32), lengths,
+            local=local, vocab_local=vocab_local, prec=prec, attn=attn,
+            logits_mode="last", max_keys=T)
+        if T % 128 == 0 and T <= cache.k.shape[3]:
+            if quant:
+                ck, cv, cks, cvs = kv_cache_scatter_slots(
+                    small.k, small.v, slots, cache.k, cache.v,
+                    small.ks, small.vs, cache.ks, cache.vs)
+                cache = QuantKVCache(k=ck, v=cv, ks=cks, vs=cvs)
+            else:
+                ck, cv = kv_cache_scatter_slots(
+                    small.k, small.v, slots, cache.k, cache.v)
+                cache = KVCache(k=ck, v=cv)
+        else:
+            cache = jax.tree.map(
+                lambda big, sm: big.at[:, slots, :, :T].set(sm),
+                cache, small)
+        return logits, cache
+
+    cspec = cache_pspec(cache)
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(params_pspecs(params), cspec, P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, MODEL_AXIS), cspec),
+        check_vma=False,
+    )(params, cache, tokens, lengths, slots)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "precision", "attn"))
+def tp_forward_decode_fused(
+    params: LlamaParams,  # fuse_projections(tp=tp) + W8A8, sharded
+    cache,  # KVCache or QuantKVCache, sharded per cache_pspec
+    tokens: jax.Array,  # [B] int32
+    pos: jax.Array,  # [B] int32
+    config: ModelConfig,
+    mesh: Mesh,
+    precision: str = "default",
+    attn: str = "auto",
+):
+    """Explicit-TP decode through the FUSED kernel stack (VERDICT r2 #3).
+
+    Megatron TP forces a psum after wo and after w2, so the single-chip
+    one-launch-per-layer kernel cannot run whole — but its collective-free
+    sub-spans can, each as ONE local Pallas launch per layer:
+
+      attn -> [wo-partial stacked matmul] -> psum -> +residual
+           -> [rms + quant + w13 + silu + w2-partial]  (fused_ffn_stacked)
+           -> psum -> +residual
+           -> [rms + quant + qkv_local]  (fused_rms_qkv_stacked)
+           -> rope -> flash attention on local heads
+
+    3 launches + 2 psums per layer instead of 4 matmul launches + 4 XLA
+    activation-quant chains; the cache stays in the scan CARRY with the
+    deferred per-step flush, exactly like the single-chip fused path.
+    Requires ``fuse_projections(tp=tp)`` shard-interleaved layouts
+    quantized to W8A8.  Returns (logits [B, V] vocab-sharded, cache).
+    """
+    del precision
+    from tpu_llama.ops.fused_layer import (
+        fused_ffn_stacked,
+        fused_rms_qkv_stacked,
+        w8a8_matmul_stacked,
+    )
+    from tpu_llama.ops.quant import quantize_activations
+
+    tp = mesh.shape[MODEL_AXIS]
+    assert config.n_kv_heads % tp == 0 and config.hidden_dim % tp == 0
+    assert config.vocab_size % tp == 0
+    lp = params.layers
+    if not isinstance(lp.wq, ChannelQuantTensor):
+        raise ValueError("tp_forward_decode_fused requires W8A8 weights in "
+                         "fuse_projections(tp=...) layouts")
+    local = _local_config(config, tp)
+    vocab_local = config.vocab_size // tp
+    if attn == "auto":
+        # fresh-row flash kernel everywhere (interprets on CPU); the
+        # manual-DMA kernel needs 128-aligned head_dim and a real chip
+        attn = "flash"
+    quant_cache = isinstance(cache, QuantKVCache)
+
+    def step(params, cache, tokens, pos):
+        from tpu_llama.ops.attention import (
+            flash_decode_attention_dma,
+            flash_decode_attention_fresh,
+            kv_cache_flush_rows,
+            quantize_kv,
+        )
+
+        lp = params.layers
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        B = tokens.shape[0]
+        Bp = max(32, -(-B // 32) * 32)
+        L = lp.rms_att.shape[0]
+        Dl, KVDl = local.dim, local.kv_dim
+        D = config.dim
+
+        # ---- embedding: vocab-sharded gather + psum ----
+        v_start = shard * vocab_local
+        local_ids = tokens - v_start
+        in_shard = (local_ids >= 0) & (local_ids < vocab_local)
+        safe_ids = jnp.clip(local_ids, 0, vocab_local - 1)
+        x_part = jnp.where(in_shard[:, None], params.tok_emb[safe_ids], 0.0)
+        x0 = jax.lax.psum(x_part.astype(jnp.float32), MODEL_AXIS)  # [B, D]
+        if Bp != B:
+            x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
+
+        cos = params.rope_cos[pos]
+        sin = params.rope_sin[pos]
+
+        # prologue: layer 0's local qkv (no preceding fused call)
+        h0 = rmsnorm(x0, lp.rms_att[0])
+        xq0, sx0 = quantize_activations(h0)
+        qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
+
+        dma_ok = (local.head_dim % 128 == 0
+                  and jax.default_backend() == "tpu")
+        attend = (flash_decode_attention_dma
+                  if (attn == "flash_dma" or (attn == "flash" and dma_ok))
+                  else flash_decode_attention_fresh)
+
+        def layer_step(carry, l):
+            xp, qkv = carry  # [Bp, D] f32, [Bp, QOl] f32
+            qb = qkv[:B]
+            q = apply_rope(qb[:, :Dl].reshape(B, local.n_heads,
+                                              local.head_dim), cos, sin)
+            k = apply_rope(qb[:, Dl:Dl + KVDl].reshape(
+                B, local.n_kv_heads, local.head_dim), cos, sin)
+            v = qb[:, Dl + KVDl:].reshape(B, local.n_kv_heads,
+                                          local.head_dim)
+            qg = q.reshape(B, local.n_kv_heads, local.group_size,
+                           local.head_dim)
+            if quant_cache:
+                kq, ks_ = quantize_kv(k)
+                vq, vs_ = quantize_kv(v)
+                att = attend(qg, cache.k, cache.v, pos, kq, vq,
+                             cache.ks, cache.vs, ks_, vs_, layer=l)
+                rows = (kq, ks_, vq, vs_)
+            else:
+                kc = k.astype(cache.k.dtype)
+                vc = v.astype(cache.v.dtype)
+                att = attend(qg, cache.k, cache.v, pos, kc, vc, layer=l)
+                rows = (kc, vc)
+            att2 = att.reshape(B, Dl).astype(jnp.float32)
+            if Bp != B:
+                att2 = jnp.pad(att2, ((0, Bp - B), (0, 0)))
+            attq, satt = quantize_activations(att2)
+            # wo partial (local rows) -> psum #1
+            wo_part = w8a8_matmul_stacked(attq, satt, lp.wo.q, lp.wo.s, l)
+            x = xp + jax.lax.psum(wo_part, MODEL_AXIS)
+            # fused ffn span (local columns/rows) -> psum #2
+            ffn_part = fused_ffn_stacked(x, lp.w1.q, lp.w1.s,
+                                         lp.w2.q, lp.w2.s, lp.rms_ffn, l)
+            x_next = x + jax.lax.psum(ffn_part, MODEL_AXIS)
+            # next layer's local qkv rides in the carry
+            l2 = jnp.minimum(l + 1, L - 1)
+            qkv_next = fused_rms_qkv_stacked(x_next, lp.wq.q, lp.wq.s,
+                                             lp.rms_att, l2)
+            return (x_next, qkv_next), rows
+
+        layer_ix = jnp.arange(L, dtype=jnp.int32)
+        (xp, _), rows = jax.lax.scan(layer_step, (x0, qkv0), layer_ix)
+        if quant_cache:
+            kq, ks_, vq, vs_ = rows
+            ck, cv, cks, cvs = kv_cache_flush_rows(
+                kq, vq, pos, cache.k, cache.v, ks_, vs_,
+                cache.ks, cache.vs)
+            new_cache = QuantKVCache(ck, cv, cks, cvs)
+        else:
+            ck, cv = kv_cache_flush_rows(rows[0], rows[1], pos,
+                                         cache.k, cache.v)
+            new_cache = KVCache(ck, cv)
+
+        x = rmsnorm(xp[:B], params.rms_final)
+        logits_local = matmul_any(x, params.wcls,
+                                  jax.lax.Precision("default"))
+        return logits_local.astype(jnp.float32), new_cache
+
+    cspec = cache_pspec(cache)
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(params_pspecs(params), cspec, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, MODEL_AXIS), cspec),
+        check_vma=False,
+    )(params, cache, tokens, pos)

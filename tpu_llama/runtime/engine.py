@@ -322,6 +322,8 @@ class Engine:
         page_size: int = 512,
         num_pages: int | None = None,  # paged: pool size (default: dense-equiv)
         attn: str = "auto",  # "auto" | "flash" | "flash_dma" | "xla"
+        tp_fused: bool = False,  # explicit-TP fused kernel paths (params
+        # must be fuse_projections(tp=mesh_model) + W8A8, sharded)
     ):
         self.params = params
         self.config = config
@@ -330,6 +332,12 @@ class Engine:
         self.attn = attn
         self.seq_len = seq_len or config.seq_len
         self.mesh = mesh
+        self.tp_fused = tp_fused
+        if tp_fused:
+            if mesh is None:
+                raise ValueError("tp_fused requires a mesh")
+            if kv_layout == "paged":
+                raise ValueError("tp_fused + paged KV not supported yet")
         self.pool: PagePool | None = None
         if kv_layout == "paged":
             mp = -(-self.seq_len // page_size)
@@ -394,6 +402,15 @@ class Engine:
         toks = np.zeros((len(prompts), T), np.int32)
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
+        if self.tp_fused:
+            from tpu_llama.parallel.tp import tp_prefill_into_slots
+
+            last, self.cache = tp_prefill_into_slots(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.asarray(lengths),
+                jnp.asarray(np.asarray(slots, np.int32)),
+                self.config, self.mesh, self.precision)
+            return np.asarray(last)
         last, _, self.cache = _prefill_into_slots(
             self.params, self.cache,
             jnp.asarray(toks), jnp.asarray(lengths),
@@ -441,8 +458,18 @@ class Engine:
         )
         return np.asarray(logits)
 
+    def _tp_decode(self, tokens, pos):
+        from tpu_llama.parallel.tp import tp_forward_decode_fused
+
+        logits, self.cache = tp_forward_decode_fused(
+            self.params, self.cache, jnp.asarray(tokens, jnp.int32),
+            jnp.asarray(pos, jnp.int32), self.config, self.mesh)
+        return logits
+
     def decode(self, tokens: np.ndarray, pos: np.ndarray) -> np.ndarray:
         """One decode step over ALL slots. tokens/pos: [max_batch]."""
+        if self.tp_fused:
+            return np.asarray(self._tp_decode(tokens, pos))
         logits, self.cache = _decode_step(
             self.params, self.cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
@@ -452,6 +479,8 @@ class Engine:
 
     def decode_device(self, tokens: jax.Array, pos: jax.Array):
         """Device-resident decode step (no host transfer) for tight loops."""
+        if self.tp_fused:
+            return self._tp_decode(tokens, pos)
         logits, self.cache = _decode_step(
             self.params, self.cache, tokens, pos, self.config,
             self.precision, self.attn,
@@ -463,6 +492,16 @@ class Engine:
         """Decode + on-device per-slot sampling; returns [max_batch] int32."""
         if topks is None:
             topks = np.zeros(len(np.asarray(tokens)), np.int32)
+        if self.tp_fused:
+            # two dispatches (decode + sample): the vocab-sharded logits
+            # stay on device; GSPMD partitions the sampling reductions
+            from tpu_llama.ops.sampling import sample as _sample
+
+            logits = self._tp_decode(tokens, pos)
+            return np.asarray(_sample(
+                logits, keys, jnp.asarray(temps, jnp.float32),
+                jnp.asarray(topps, jnp.float32),
+                jnp.asarray(topks, jnp.int32)))
         next_tokens, self.cache = _decode_sample_step(
             self.params, self.cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),
@@ -477,6 +516,18 @@ class Engine:
         """`steps` fused decode+sample steps, one dispatch. [max_batch, steps]."""
         if topks is None:
             topks = np.zeros(len(np.asarray(tokens)), np.int32)
+        if self.tp_fused:
+            # stepwise fallback (2 dispatches/step); keys derive exactly as
+            # the fused chunk does: fold_in(base_key, fed position)
+            out = []
+            t = np.asarray(tokens, np.int32)
+            p = np.asarray(pos, np.int32)
+            for _ in range(steps):
+                keys = jax.vmap(jax.random.fold_in)(base_keys, jnp.asarray(p))
+                t = self.decode_sample(t, p, temps, topps, keys, topks)
+                out.append(t)
+                p = p + 1
+            return np.stack(out, axis=1)
         out, self.cache = _decode_sample_chunk(
             self.params, self.cache,
             jnp.asarray(tokens, jnp.int32), jnp.asarray(pos, jnp.int32),

@@ -79,14 +79,21 @@ class EngineConfig:
         raw = load_checkpoint(self.checkpoint)
         tok = Tokenizer.load(self.tokenizer, vocab_size=raw.config.vocab_size)
         params = params_from_raw(raw)
-        if self.fuse and self.mesh_model == 1:
+        # The explicit-TP FUSED path (VERDICT r2 #3): shard-interleaved
+        # fused layouts + W8A8 + the sub-span fused kernels under shard_map
+        # (parallel/tp.py).  GSPMD cannot split the interleaved column
+        # order, so this routes decode/prefill through the explicit path.
+        tp_fused = (self.fuse and self.mesh_model > 1
+                    and self.mesh_data == 1 and self.quant == "w8a8"
+                    and self.kv_layout == "dense"
+                    and raw.config.dim % (128 * self.mesh_model) == 0)
+        if self.fuse and (self.mesh_model == 1 or tp_fused):
             # fused qkv/w13 layouts halve per-layer launch count and enable
-            # the one-Pallas-call-per-layer decode path (ops/fused_layer.py);
-            # skipped under model-TP, where the fused column order would
-            # split q/k/v unevenly across shards
+            # the one-Pallas-call-per-layer decode path (ops/fused_layer.py)
             from tpu_llama.models.llama import fuse_projections
 
-            params = fuse_projections(params)
+            params = fuse_projections(
+                params, tp=self.mesh_model if tp_fused else 1)
         if self.quant == "int8":
             params = quantize_params(params)
         elif self.quant == "w8a8":
@@ -103,5 +110,6 @@ class EngineConfig:
                         kv_dtype=self.kv_dtype, precision=self.precision,
                         seq_len=self.seq_len, mesh=mesh,
                         kv_layout=self.kv_layout, page_size=self.page_size,
-                        num_pages=self.num_pages, attn=self.attn)
+                        num_pages=self.num_pages, attn=self.attn,
+                        tp_fused=tp_fused)
         return engine, tok
