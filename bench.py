@@ -136,23 +136,23 @@ def bench_decode_ab(params, config, batch, steps, dtype, variants,
     from tpu_llama.models.llama import greedy_decode_loop
 
     kv = kv_dtype or dtype
-    runs = {}
-    for v in variants:
-        cache = _make_cache(config, batch, kv, seq_len, kv_layout, page_size)
-        tokens = jnp.zeros((batch,), jnp.int32)
-        pos = jnp.full((batch,), seq_fill, jnp.int32)
-        fused = {"true": True, "false": False}.get(v, v)
+    # ONE cache shared by every variant (same shapes; greedy_decode_loop
+    # donates it and returns the successor) — three dense 7B caches at
+    # once OOM the chip
+    cache = _make_cache(config, batch, kv, seq_len, kv_layout, page_size)
+    tokens = jnp.zeros((batch,), jnp.int32)
+    pos = jnp.full((batch,), seq_fill, jnp.int32)
+    modes = {v: {"true": True, "false": False}.get(v, v) for v in variants}
+    for v in variants:  # compile + warm each program
         out, cache = greedy_decode_loop(params, cache, tokens, pos, steps,
-                                        config, fused=fused)
-        np.asarray(out)  # compile + warm
-        runs[v] = (cache, tokens, pos, fused)
+                                        config, fused=modes[v])
+        np.asarray(out)
     times = {v: [] for v in variants}
     for _ in range(reps):
         for v in variants:
-            cache, tokens, pos, fused = runs[v]
             t0 = time.perf_counter()
-            out, _ = greedy_decode_loop(params, cache, tokens, pos, steps,
-                                        config, fused=fused)
+            out, cache = greedy_decode_loop(params, cache, tokens, pos,
+                                            steps, config, fused=modes[v])
             np.asarray(out)
             times[v].append(time.perf_counter() - t0)
     result = {}

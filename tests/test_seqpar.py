@@ -183,3 +183,75 @@ def test_sp_grow_cache_on_device(tiny_weights, eight_devices):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
         nxt = jnp.argmax(np.asarray(ref), axis=-1).astype(jnp.int32)
+
+
+def test_sp_decode_int8_kv(tiny_weights, eight_devices):
+    """SP decode over a sequence-sharded INT8 cache (scales shard with the
+    sequence axis, VERDICT r2 #5) == single-device int8 decode."""
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B = 2
+    toks = jnp.array([5, 9], jnp.int32)
+
+    ref_cache = make_kv_cache(c, B, "int8")
+    ref = []
+    t = toks
+    for p in range(3):
+        logits, ref_cache = forward_decode(params, ref_cache, t,
+                                           jnp.full((B,), p, jnp.int32), c,
+                                           precision="highest", attn="xla")
+        ref.append(np.asarray(logits))
+        t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+
+    mesh = make_mesh(MeshConfig(1, 4))
+    sc = shard_cache_seq(make_kv_cache(c, B, "int8"), mesh)
+    assert sc.k.dtype == jnp.int8
+    got = []
+    t = toks
+    for p in range(3):
+        logits, sc = sp_forward_decode(params, sc, t,
+                                       jnp.full((B,), p, jnp.int32), c,
+                                       mesh, precision="highest")
+        got.append(np.asarray(logits))
+        t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-4)
+        assert np.array_equal(np.argmax(g, -1), np.argmax(r, -1))
+
+
+def test_ring_prefill_int8_then_sp_decode(tiny_weights, eight_devices):
+    """INT8 ring prefill (int8 chunks + scales rotate over the ring) then
+    int8 SP decode continues — matches the single-device int8 engine."""
+    from tpu_llama.models import forward_prefill
+    from tpu_llama.parallel.seqpar import sp_forward_prefill, sp_grow_cache
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T = 2, 16
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 40).reshape(B, T) + 1
+
+    ref_cache = make_kv_cache(c, B, "int8")
+    ref_logits, ref_cache = forward_prefill(
+        params, ref_cache, toks, jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), T, jnp.int32), c, precision="highest",
+        logits_mode="all", attn="xla")
+    t = jnp.argmax(ref_logits[:, -1], -1).astype(jnp.int32)
+    ref_dec, _ = forward_decode(params, ref_cache, t,
+                                jnp.full((B,), T, jnp.int32), c,
+                                precision="highest", attn="xla")
+
+    mesh = make_mesh(MeshConfig(1, 4))
+    sc = shard_cache_seq(make_kv_cache(c, B, "int8", seq_len=T), mesh)
+    logits, sc = sp_forward_prefill(params, sc, toks, c, mesh,
+                                    precision="highest")
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-2, atol=2e-2)
+    grown = sp_grow_cache(sc, mesh, c.seq_len)
+    assert grown.k.dtype == jnp.int8
+    t2 = jnp.argmax(jnp.asarray(logits)[:, -1], -1).astype(jnp.int32)
+    dec, _ = sp_forward_decode(params, grown, t2,
+                               jnp.full((B,), T, jnp.int32), c, mesh,
+                               precision="highest")
+    assert np.array_equal(np.argmax(np.asarray(dec), -1),
+                          np.argmax(np.asarray(ref_dec), -1))

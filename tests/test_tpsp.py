@@ -86,3 +86,50 @@ def test_tpsp_long_context_beyond_single_shard(tiny_weights, eight_devices):
                                       precision="highest")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_tpsp_decode_int8_kv(tiny_weights, eight_devices):
+    """TP x SP over an int8 cache (heads x sequence sharded values AND
+    scales) == single-device int8 reference (VERDICT r2 #5)."""
+    import jax.numpy as jnp
+
+    from tpu_llama.models import forward_decode, make_kv_cache, params_from_raw
+    from tpu_llama.parallel import shard_params
+    from tpu_llama.parallel.tpsp import (
+        MeshConfig3,
+        make_mesh3,
+        shard_cache_tpsp,
+        tpsp_forward_decode,
+    )
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B = 2
+    toks = jnp.array([5, 9], jnp.int32)
+
+    ref_cache = make_kv_cache(c, B, "int8")
+    ref = []
+    t = toks
+    for p in range(3):
+        logits, ref_cache = forward_decode(params, ref_cache, t,
+                                           jnp.full((B,), p, jnp.int32), c,
+                                           precision="highest", attn="xla")
+        ref.append(np.asarray(logits))
+        t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+
+    mesh3 = make_mesh3(MeshConfig3(data=1, model=2, seq=2))
+    sp = shard_params(params, mesh3)
+    sc = shard_cache_tpsp(make_kv_cache(c, B, "int8"), mesh3)
+    assert sc.k.dtype == jnp.int8
+    got = []
+    t = toks
+    for p in range(3):
+        logits, sc = tpsp_forward_decode(sp, sc, t,
+                                         jnp.full((B,), p, jnp.int32), c,
+                                         mesh3, precision="highest")
+        got.append(np.asarray(logits))
+        t = jnp.argmax(jnp.asarray(logits), -1).astype(jnp.int32)
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=1e-4, atol=1e-4)
+        assert np.array_equal(np.argmax(g, -1), np.argmax(r, -1))

@@ -29,6 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def partial_jit_donate(fn):
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def timed(fn, reps):
     np.asarray(jax.block_until_ready(fn()))  # compile+warm, readback
     ts = []
@@ -125,6 +129,83 @@ def main():
 
         ms = timed(full, args.reps)
         print(f"full prefill (flash): {ms:.1f} ms", flush=True)
+
+    if "attn" in probes or "all" == args.probe:
+        from tpu_llama.ops.attention import flash_prefill_attention
+
+        KVH, hd = config.n_kv_heads, config.head_dim
+        S = args.seq_len
+        kc = jnp.zeros((B, KVH, S, hd), jnp.int8)
+        ks = jnp.ones((B, KVH, S), jnp.float32)
+        q = jnp.zeros((B, T, config.n_heads, hd), jnp.float32)
+
+        @jax.jit
+        def attn32(q, kc, ks):
+            def body(acc, _):
+                att = flash_prefill_attention(q, kc, kc, jnp.zeros(
+                    (B,), jnp.int32), ks, ks, max_keys=T)
+                return acc + att[:, 0, 0], None
+
+            out, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32),
+                                  None, length=32)
+            return out
+
+        ms = timed(lambda: attn32(q, kc, ks), args.reps)
+        print(f"flash-prefill-attn x32 (max_keys={T}): {ms:.1f} ms",
+              flush=True)
+
+        @jax.jit
+        def attn32_nocap(q, kc, ks):
+            def body(acc, _):
+                att = flash_prefill_attention(q, kc, kc, jnp.zeros(
+                    (B,), jnp.int32), ks, ks)
+                return acc + att[:, 0, 0], None
+
+            out, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32),
+                                  None, length=32)
+            return out
+
+        ms = timed(lambda: attn32_nocap(q, kc, ks), args.reps)
+        print(f"flash-prefill-attn x32 (no cap):      {ms:.1f} ms",
+              flush=True)
+
+    if "write" in probes or "all" == args.probe:
+        from tpu_llama.ops.attention import quantize_kv
+
+        KVH, hd = config.n_kv_heads, config.head_dim
+        S = args.seq_len
+        kt = jnp.zeros((B, KVH, T, hd), jnp.float32)
+
+        @jax.jit
+        def quant32(kt):
+            def body(acc, _):
+                kq, ks = quantize_kv(kt)
+                return acc + kq[0, 0, 0, 0].astype(jnp.int32), None
+
+            out, _ = jax.lax.scan(body, jnp.int32(0), None, length=64)
+            return out
+
+        ms = timed(lambda: quant32(kt), args.reps)
+        print(f"quantize_kv x64: {ms:.1f} ms", flush=True)
+
+        L = config.n_layers
+        b_ix = jnp.arange(B)[:, None, None]
+        h_ix = jnp.arange(KVH)[None, :, None]
+        p_ix = jnp.broadcast_to(jnp.arange(T)[None, None, :], (B, 1, T))
+
+        @partial_jit_donate
+        def scatter32(cache_k, kq):
+            def body(ck, _):
+                return ck.at[b_ix, h_ix, p_ix].set(kq), None
+
+            ck, _ = jax.lax.scan(body, cache_k, None, length=64)
+            return ck
+
+        cache_k = jnp.zeros((B, KVH, S, hd), jnp.int8)
+        kq = jnp.zeros((B, KVH, T, hd), jnp.int8)
+        ms = timed(lambda: scatter32(cache_k, kq)[0, 0, 0, 0], args.reps)
+        print(f"advanced-index scatter x64 [B,KVH,S,hd]: {ms:.1f} ms",
+              flush=True)
 
     if "kernels" in probes or "all" == args.probe:
         from tpu_llama.ops.matmul import w8a8_matmul

