@@ -206,7 +206,7 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                 logits, cache = forward_prefill(
                     params, cache, tokens, start, lengths, config,
                     precision="default", logits_mode="last",
-                    max_keys=prompt_len)  # start==0: keys end at T
+                    assume_fresh=True)  # start==0: cache out of the loop
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         logits2, cache = forward_decode(
             params, cache, nxt, lengths, config, precision="default")

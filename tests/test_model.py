@@ -292,3 +292,33 @@ def test_decode_carry_flash_matches_xla_int8kv(tiny_weights):
                                   toks, pos, 8, c, precision="highest",
                                   attn="flash")
     assert np.array_equal(np.asarray(out_x), np.asarray(out_f))
+
+
+def test_prefill_assume_fresh_matches(tiny_weights):
+    """The fresh fast path (cache out of the layer loop) must match the
+    general prefill bit-for-bit-ish on fp and int8 caches."""
+    import jax.numpy as jnp
+
+    from tpu_llama.models import forward_prefill, make_kv_cache
+    from tpu_llama.models import params_from_raw
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T = 2, 8
+    toks = (jnp.arange(B * T, dtype=jnp.int32) % 40).reshape(B, T) + 1
+    start = jnp.zeros((B,), jnp.int32)
+    lengths = jnp.array([T, T - 2], jnp.int32)
+
+    for kv in (None, "int8"):
+        for mode in ("last", "all"):
+            ref, ref_cache = forward_prefill(
+                params, make_kv_cache(c, B, kv), toks, start, lengths, c,
+                precision="highest", logits_mode=mode)
+            got, got_cache = forward_prefill(
+                params, make_kv_cache(c, B, kv), toks, start, lengths, c,
+                precision="highest", logits_mode=mode, assume_fresh=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6, err_msg=f"{kv} {mode}")
+            np.testing.assert_allclose(
+                np.asarray(got_cache.k), np.asarray(ref_cache.k),
+                rtol=1e-5, atol=1e-6, err_msg=f"{kv} {mode} cache")

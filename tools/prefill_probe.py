@@ -130,6 +130,17 @@ def main():
         ms = timed(full, args.reps)
         print(f"full prefill (flash): {ms:.1f} ms", flush=True)
 
+        def fresh():
+            cache = make_kv_cache(config, B, "int8", seq_len=args.seq_len)
+            logits, cache = forward_prefill(
+                params, cache, tokens, start, lengths, config,
+                precision="default", logits_mode="last",
+                attn="flash", assume_fresh=True)
+            return jnp.argmax(logits, -1)
+
+        ms = timed(fresh, args.reps)
+        print(f"fresh prefill (flash): {ms:.1f} ms", flush=True)
+
     if "attn" in probes or "all" == args.probe:
         from tpu_llama.ops.attention import flash_prefill_attention
 
@@ -193,7 +204,7 @@ def main():
         h_ix = jnp.arange(KVH)[None, :, None]
         p_ix = jnp.broadcast_to(jnp.arange(T)[None, None, :], (B, 1, T))
 
-        @partial_jit_donate
+        @jax.jit  # NO donation: timed reps reuse the input buffer
         def scatter32(cache_k, kq):
             def body(ck, _):
                 return ck.at[b_ix, h_ix, p_ix].set(kq), None

@@ -1145,6 +1145,124 @@ def decode_stack(layers, cache, x, pos, cos, sin, config: ModelConfig,
     return x, new_cache
 
 
+def _forward_prefill_fresh(params, cache, tokens, lengths,
+                           config: ModelConfig, precision, logits_mode,
+                           attn):
+    """Prefill-from-zero with the cache OUT of the layer loop.
+
+    Round-2 prefill passed the cache through scan xs/ys and scattered each
+    layer's [B, KVH, T, hd] block with an advanced-index set — full
+    per-layer copies of multi-GB arrays, the decode side's banned pattern
+    (CLAUDE.md).  At start_pos == 0 nothing previously cached is attended,
+    so: attention runs over the layer's COMPACT fresh K/V (S == T, one
+    S-block), the fresh blocks collect as scan ys, and the cache
+    materializes ONCE at the end — stacked directly when the cache is
+    T-sized (the admission path), or via one aliased Pallas slot-scatter
+    into a larger cache.  Measured r3: the scatter/copy chain was ~140 ms
+    of the 7B b8 T512 TTFT.
+    """
+    prec = (jax.lax.Precision(precision) if isinstance(precision, str)
+            else precision)
+    if attn == "auto":
+        attn = "flash" if jax.default_backend() == "tpu" else "xla"
+    B, T = tokens.shape
+    S = cache.seq_len
+    assert T <= S, (T, S)
+    quant = isinstance(cache, QuantKVCache)
+    x = params.tok_emb[tokens]  # [B, T, D]
+    q_pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    cos = params.rope_cos[q_pos]
+    sin = params.rope_sin[q_pos]
+    start0 = jnp.zeros((B,), jnp.int32)
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    def layer_step(x, lp):
+        h = rmsnorm(x, lp.rms_att)
+        q, k, v = _project_qkv(h, lp, config, mm)
+        q = q.reshape(B, T, config.n_heads, config.head_dim)
+        k = k.reshape(B, T, config.n_kv_heads, config.head_dim)
+        v = v.reshape(B, T, config.n_kv_heads, config.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if quant:
+            # quantize BEFORE the head-major transpose: the hd reduce reads
+            # contiguous lanes, and the transpose then moves int8 (4x fewer
+            # bytes) — quantize-after-transpose fused the strided reads into
+            # both passes (~0.77 ms/call measured, tools/prefill_probe r3)
+            kq, ks = quantize_kv(k)  # [B, T, KVH, hd] / [B, T, KVH]
+            vq, vs = quantize_kv(v)
+            kq = kq.transpose(0, 2, 1, 3)  # [B, KVH, T, hd]
+            vq = vq.transpose(0, 2, 1, 3)
+            ks = ks.transpose(0, 2, 1)
+            vs = vs.transpose(0, 2, 1)
+            if attn == "flash":
+                att = flash_prefill_attention(
+                    q, kq, vq, start0, ks, vs).reshape(
+                        B, T, config.dim).astype(x.dtype)
+            else:
+                kf = kq.astype(jnp.float32) * ks[..., None]
+                vf = vq.astype(jnp.float32) * vs[..., None]
+                att = _attention_prefill(q, kf, vf, q_pos, config, prec)
+            fresh = (kq, vq, ks, vs)
+        else:
+            kt = k.transpose(0, 2, 1, 3)  # [B, KVH, T, hd]
+            vt = v.transpose(0, 2, 1, 3)
+            kc = kt.astype(cache.k.dtype)
+            vc = vt.astype(cache.v.dtype)
+            if attn == "flash":
+                att = flash_prefill_attention(
+                    q, kc, vc, start0).reshape(
+                        B, T, config.dim).astype(x.dtype)
+            else:
+                att = _attention_prefill(q, kc, vc, q_pos, config, prec)
+            fresh = (kc, vc)
+        x = x + mm(att, lp.wo)
+        h = rmsnorm(x, lp.rms_ffn)
+        gate, up = _project_gate_up(h, lp, config, mm)
+        x = x + mm(jax.nn.silu(gate) * up, lp.w2)
+        return x, fresh
+
+    x, fresh = jax.lax.scan(layer_step, x, params.layers)
+
+    from tpu_llama.ops.attention import kv_cache_scatter_slots
+
+    rows = jnp.arange(B, dtype=jnp.int32)
+    use_kernel = S > T and T % 128 == 0
+    if quant:
+        kq, vq, ks, vs = fresh  # stacked [L, B, KVH, T(, hd)]
+        if S == T:
+            new_cache = QuantKVCache(k=kq, v=vq, ks=ks, vs=vs)
+        elif use_kernel:
+            ck, cv, cks, cvs = kv_cache_scatter_slots(
+                kq, vq, rows, cache.k, cache.v, ks, vs, cache.ks, cache.vs)
+            new_cache = QuantKVCache(k=ck, v=cv, ks=cks, vs=cvs)
+        else:
+            new_cache = QuantKVCache(
+                k=cache.k.at[:, :, :, :T].set(kq),
+                v=cache.v.at[:, :, :, :T].set(vq),
+                ks=cache.ks.at[:, :, :, :T].set(ks),
+                vs=cache.vs.at[:, :, :, :T].set(vs))
+    else:
+        kc, vc = fresh
+        if S == T:
+            new_cache = KVCache(k=kc, v=vc)
+        elif use_kernel:
+            ck, cv = kv_cache_scatter_slots(kc, vc, rows, cache.k, cache.v)
+            new_cache = KVCache(k=ck, v=cv)
+        else:
+            new_cache = KVCache(k=cache.k.at[:, :, :, :T].set(kc),
+                                v=cache.v.at[:, :, :, :T].set(vc))
+
+    if logits_mode == "last":
+        x = jnp.take_along_axis(
+            x, jnp.clip(lengths - 1, 0, T - 1)[:, None, None], axis=1)[:, 0]
+    x = rmsnorm(x, params.rms_final)
+    logits = matmul_any(x, params.wcls, prec)
+    return logits.astype(jnp.float32), new_cache
+
+
 @partial(jax.jit, static_argnames=("config", "precision", "chunk"),
          donate_argnums=(1,))
 def forward_prefill_chunked(
@@ -1220,7 +1338,8 @@ def greedy_decode_loop(
 
 
 @partial(jax.jit, static_argnames=("config", "precision", "logits_mode",
-                                   "attn", "max_keys"))
+                                   "attn", "max_keys", "assume_fresh"),
+         donate_argnums=(1,))
 def forward_prefill(
     params: LlamaParams,
     cache: KVCache,
@@ -1233,6 +1352,9 @@ def forward_prefill(
     attn: str = "auto",  # "auto" | "flash" | "xla" (int8 caches use xla-dequant)
     max_keys: int | None = None,  # static bound on start_pos[b]+T (see
     # flash_prefill_attention) — prefill-from-zero callers pass T
+    assume_fresh: bool = False,  # STATIC promise: start_pos == 0 everywhere
+    # and the cache holds nothing this pass attends to — takes the
+    # cache-out-of-the-loop fast path (see _forward_prefill_fresh)
 ):
     """Batched causal prefill. Returns (logits [B, T, V], new cache).
 
@@ -1241,6 +1363,9 @@ def forward_prefill(
     This runs the whole prompt in one jitted pass; positions beyond
     ``lengths`` are masked out of the cache via position clamping.
     """
+    if assume_fresh:
+        return _forward_prefill_fresh(params, cache, tokens, lengths,
+                                      config, precision, logits_mode, attn)
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
     if attn == "auto":
         # the XLA einsum path materializes [B, KVH, T, S] f32 scores — tens
