@@ -208,8 +208,13 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                     precision="default", logits_mode="last",
                     assume_fresh=True)  # start==0: cache out of the loop
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        logits2, cache = forward_decode(
-            params, cache, nxt, lengths, config, precision="default")
+        # the engine's decode step DONATES the cache — the plain
+        # forward_decode would hold a second multi-GB copy, which pushed
+        # the b8 S2048 TTFT program over HBM (tpu_smoke r3)
+        from tpu_llama.runtime.engine import _decode_step
+
+        logits2, cache = _decode_step(
+            params, cache, nxt, lengths, config, "default")
         return jnp.argmax(logits2, axis=-1)
 
     np.asarray(once())  # warm/compile

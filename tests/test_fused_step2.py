@@ -99,62 +99,17 @@ def _composed(c, l):
     return x_next, attq_n, satt_n, kq, ksn, vq, vsn
 
 
-def _zero_prev(c):
-    Bp, KVH, G, hd = c["Bp"], c["KVH"], c["G"], c["hd"]
-    NH = KVH * G
-    return (jnp.zeros((Bp, NH, hd), jnp.float32),
-            jnp.zeros((Bp, NH, 2), jnp.float32),
-            jnp.zeros((Bp, NH), jnp.float32),
-            jnp.zeros((Bp, KVH), jnp.float32),
-            jnp.zeros((Bp, KVH), jnp.float32),
-            jnp.zeros((Bp, KVH * hd), jnp.int8))
-
-
-def _merged_raw(c, l, attq=None, satt=None, prev=None, merge=False):
+def _merged(c, l):
     TS = step2_block_s(c["S"])
     base, dcell, doff, total = decode_dma_descs(c["pos"], c["B"], c["S"], TS)
     rc, rsa, rsb = rope_tables(c["cos"], c["sin"], c["Bp"])
     return fused_step2_layer(
-        c["x"], c["attq"] if attq is None else attq,
-        c["satt"] if satt is None else satt,
-        _zero_prev(c) if prev is None else prev,
-        c["kc"], c["vc"], c["ks"], c["vs"],
+        c["x"], c["attq"], c["satt"], c["kc"], c["vc"], c["ks"], c["vs"],
         c["pos"], rc, rsa, rsb, base, dcell, doff, total,
         c["wo"].q, c["wo"].s, c["w13"].q, c["w13"].s,
         c["w2"].q, c["w2"].s, c["qkv"].q, c["qkv"].s,
         c["rms_ffn"], c["rms_att"], jnp.int32(l), c["L"],
-        c["KVH"] * c["G"], merge=merge)
-
-
-def _merge_partials(partials, c):
-    """Test-side twin of the kernel's step-0 merge boundary (the retired
-    XLA epilogue): partials -> (attq [Bp, D] int8, satt [Bp])."""
-    B, KVH, G, hd, Bp, D = (c["B"], c["KVH"], c["G"], c["hd"], c["Bp"],
-                            c["D"])
-    acc, st, sraw, kso, vso, vq = partials
-    accB = acc[:B].reshape(B, KVH, G, hd)
-    stB = st[:B].reshape(B, KVH, G, 2)
-    m, lden = stB[..., 0:1], stB[..., 1:2]
-    s_new = (sraw[:B].reshape(B, KVH, G) * kso[:B][:, :, None])[..., None]
-    m_fin = jnp.maximum(m, s_new)
-    corr = jnp.exp(m - m_fin)
-    e_new = jnp.exp(s_new - m_fin)
-    l_fin = lden * corr + e_new
-    nv = (vq[:B].reshape(B, KVH, hd).astype(jnp.float32)
-          * vso[:B][..., None])
-    att = (accB * corr + e_new * nv[:, :, None, :]) / jnp.maximum(
-        l_fin, 1e-30)
-    att2 = jnp.pad(att.reshape(B, D), ((0, Bp - B), (0, 0)))
-    return quantize_activations(att2)
-
-
-def _merged(c, l):
-    """Old-shape adapter: returns (x, attq, satt, kq, ks, vq, vs) with the
-    attq/satt derived from the kernel's partials (merge math tested both
-    here and in the chained test below)."""
-    x_next, partials, kqr, ksr, vqr, vsr = _merged_raw(c, l)
-    attq_n, satt_n = _merge_partials(partials, c)
-    return x_next, attq_n, satt_n, kqr, ksr, vqr, vsr
+        c["KVH"] * c["G"])
 
 
 # NOTE r3: mega2 stages h2/q_sc in bf16 (funds TOD growth + a deeper KV
@@ -326,42 +281,3 @@ def test_mega2_path_ok_gates():
     paged = make_kv_cache(config, batch=2, kv_dtype="int8", seq_len=64,
                           paged=True, num_pages=5, page_size=32)
     assert not _mega2_path_ok(params, config, paged, 2)
-
-
-def test_mega2_in_kernel_merge_chains():
-    """Launch l=0 (attq input) -> launch l=1 with merge=True consuming
-    l=0's partials must equal feeding the XLA-merged attq explicitly —
-    the in-kernel step-0 merge boundary is the retired epilogue."""
-    c = _make_case(37, L=3, B=2, KVH=2, G=1, hd=128, H=384, S=64,
-                   pos_list=[5, 33])
-    x1, partials, *_ = _merged_raw(c, 0, merge=False)
-    # reference: merge in XLA, feed attq into launch 1 with merge=False
-    attq1, satt1 = _merge_partials(partials, c)
-    c1 = dict(c, x=x1)
-    x_ref, p_ref, kq_ref, ks_ref, vq_ref, vs_ref = _merged_raw(
-        c1, 1, attq=attq1, satt=satt1, merge=False)
-    # got: launch 1 merges IN-KERNEL from the partials
-    x_got, p_got, kq_got, ks_got, vq_got, vs_got = _merged_raw(
-        c1, 1, prev=partials, merge=True)
-    np.testing.assert_allclose(np.asarray(x_got)[:2], np.asarray(x_ref)[:2],
-                               rtol=1e-2, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(kq_got), np.asarray(kq_ref),
-                               atol=3)
-    np.testing.assert_allclose(np.asarray(ks_got), np.asarray(ks_ref),
-                               rtol=2e-2, atol=1e-6)
-    for a, b in zip(p_got[:2], p_ref[:2]):  # acc/st partials of layer 2
-        np.testing.assert_allclose(np.asarray(a)[:2], np.asarray(b)[:2],
-                                   rtol=2e-2, atol=2e-2)
-
-
-def test_mega2_gqa_in_kernel_merge():
-    """G>1: the merge boundary's per-KVH nv broadcast across G heads."""
-    c = _make_case(41, L=2, B=2, KVH=1, G=2, hd=128, H=256, S=32,
-                   pos_list=[3, 9])
-    x1, partials, *_ = _merged_raw(c, 0, merge=False)
-    attq1, satt1 = _merge_partials(partials, c)
-    c1 = dict(c, x=x1)
-    x_ref, *_ = _merged_raw(c1, 1, attq=attq1, satt=satt1, merge=False)
-    x_got, *_ = _merged_raw(c1, 1, prev=partials, merge=True)
-    np.testing.assert_allclose(np.asarray(x_got)[:2], np.asarray(x_ref)[:2],
-                               rtol=1e-2, atol=1e-2)

@@ -157,29 +157,21 @@ def main():
 
     @partial(jax.jit, static_argnames=("n",))
     def run_mega2(x, e, n):
-        prev0 = (jnp.zeros((Bp, KVH * G, hd), jnp.float32),
-                 jnp.zeros((Bp, KVH * G, 2), jnp.float32),
-                 jnp.zeros((Bp, KVH * G), jnp.float32),
-                 jnp.zeros((Bp, KVH), jnp.float32),
-                 jnp.zeros((Bp, KVH), jnp.float32),
-                 jnp.zeros((Bp, KVH * hd), jnp.int8))
-
         def iter_body(x, _):
             def step(carry, l):
-                xc, prev = carry
-                xn, prev_n, *_ = fused_step2_layer(
-                    xc, e["attq0"], e["satt0"], prev,
-                    e["kc"], e["vc"], e["kss"], e["vss"],
+                xc, attq, satt = carry
+                xn, attq_n, satt_n, *_ = fused_step2_layer(
+                    xc, attq, satt, e["kc"], e["vc"], e["kss"], e["vss"],
                     e["pos"], e["rc"], e["rsa"], e["rsb"],
                     e["base"], e["dcell"], e["doff"], e["total"],
                     e["wo_q"], e["wo_s"], e["w13_q"], e["w13_s"],
                     e["w2_q"], e["w2_s"], e["qkv_q"], e["qkv_s"],
                     e["rms_ffn"], e["rms_att"], l, L + 1, KVH * G,
                     block_s=TS2)
-                return (xn * 1e-3, prev_n), None
+                return (xn * 1e-3, attq_n, satt_n), None
 
-            (x, _), _ = jax.lax.scan(
-                step, (x, prev0), layer_ix)
+            (x, _, _), _ = jax.lax.scan(
+                step, (x, e["attq0"], e["satt0"]), layer_ix)
             return x, None
 
         x, _ = jax.lax.scan(iter_body, x, None, length=n)

@@ -141,6 +141,17 @@ def main():
         ms = timed(fresh, args.reps)
         print(f"fresh prefill (flash): {ms:.1f} ms", flush=True)
 
+        def fresh_xla():
+            cache = make_kv_cache(config, B, "int8", seq_len=args.seq_len)
+            logits, cache = forward_prefill(
+                params, cache, tokens, start, lengths, config,
+                precision="default", logits_mode="last",
+                attn="xla", assume_fresh=True)
+            return jnp.argmax(logits, -1)
+
+        ms = timed(fresh_xla, args.reps)
+        print(f"fresh prefill (xla):   {ms:.1f} ms", flush=True)
+
     if "attn" in probes or "all" == args.probe:
         from tpu_llama.ops.attention import flash_prefill_attention
 
@@ -217,6 +228,25 @@ def main():
         ms = timed(lambda: scatter32(cache_k, kq)[0, 0, 0, 0], args.reps)
         print(f"advanced-index scatter x64 [B,KVH,S,hd]: {ms:.1f} ms",
               flush=True)
+
+    if "qact" in probes:
+        from tpu_llama.ops.quant import quantize_activations
+
+        for dt in (jnp.float32, jnp.bfloat16):
+            x = jnp.zeros((B * T, config.dim), dt)
+
+            @jax.jit
+            def qact(x):
+                def body(acc, _):
+                    q, s = quantize_activations(x)
+                    return acc + q[0, 0].astype(jnp.int32), None
+
+                out, _ = jax.lax.scan(body, jnp.int32(0), None, length=128)
+                return out
+
+            ms = timed(lambda: qact(x), args.reps)
+            print(f"quantize_activations x128 [{B*T},{config.dim}] "
+                  f"{jnp.dtype(dt).name}: {ms:.1f} ms", flush=True)
 
     if "kernels" in probes or "all" == args.probe:
         from tpu_llama.ops.matmul import w8a8_matmul

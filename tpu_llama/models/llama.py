@@ -743,32 +743,18 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
     rc, rsa, rsb = rope_tables(cos, sin, Bp)
     layer_ix = jnp.arange(L, dtype=jnp.int32)
 
-    # launch l>0 rebuilds attq IN-KERNEL from the previous launch's
-    # attention partials (step-0 boundary) — no per-layer XLA glue at all;
-    # launch 0 takes the prologue's attq0/satt0 via the merge==0 path and
-    # ignores these zero placeholders
-    NH = config.n_heads
-    hd = config.head_dim
-    prev0 = (jnp.zeros((Bp, NH, hd), jnp.float32),
-             jnp.zeros((Bp, NH, 2), jnp.float32),
-             jnp.zeros((Bp, NH), jnp.float32),
-             jnp.zeros((Bp, config.n_kv_heads), jnp.float32),
-             jnp.zeros((Bp, config.n_kv_heads), jnp.float32),
-             jnp.zeros((Bp, KVD), jnp.int8))
-
     def layer_step(carry, l):
-        x, prev = carry
-        x_n, prev_n, kqr, ksr, vqr, vsr = fused_step2_layer(
-            x, attq0, satt0, prev,
-            cache.k, cache.v, cache.ks, cache.vs, pos,
+        x, attq, satt = carry
+        x_n, attq_n, satt_n, kqr, ksr, vqr, vsr = fused_step2_layer(
+            x, attq, satt, cache.k, cache.v, cache.ks, cache.vs, pos,
             rc, rsa, rsb, base, dcell, doff, total,
             lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
             lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L, config.n_heads,
             block_s=TS)
-        return (x_n, prev_n), (kqr, ksr, vqr, vsr)
+        return (x_n, attq_n, satt_n), (kqr, ksr, vqr, vsr)
 
-    (xp, _), rows = jax.lax.scan(layer_step, (x0, prev0),
-                                 layer_ix, unroll=unroll)
+    (xp, _, _), rows = jax.lax.scan(layer_step, (x0, attq0, satt0),
+                                    layer_ix, unroll=unroll)
     kqs, kss, vqs, vss = rows  # launch l emits layer l+1's fresh rows
     full_kq = jnp.concatenate([kq0[None], kqs[:L - 1]])
     full_ks = jnp.concatenate([ks0[None], kss[:L - 1]])

@@ -103,23 +103,15 @@ def _lane0(x3, w):
 
 
 def _fused_step2_kernel(
-    meta_ref,  # [5] int32: layer l, next l2, skip flag, total DMA blocks,
-    # merge flag (1: build attq in-kernel from the PREVIOUS launch's
-    # attention partials; 0: layer-0 launch, take attq_ref/satt_ref)
+    meta_ref,  # [4] int32: layer l, next l2, skip flag, total DMA blocks
     pos_ref,  # [B] int32
     base_ref,  # [B] int32 — exclusive cumsum of per-slot block counts
     dcell_ref,  # [MAXG] int32 — global block g -> slot
     doff_ref,  # [MAXG] int32 — global block g -> S-block index
     # --- inputs -----------------------------------------------------------
     xres_ref,  # [Bp, TOA] f32 residual block
-    attq_ref,  # [Bp, D] int8 — LAYER 0's quantized attention (merge==0)
+    attq_ref,  # [Bp, D] int8 — layer l's quantized attention output
     satt_ref,  # [Bp, 1] f32
-    pacc_ref,  # [Bp, NH, hd] f32 — prev launch's attention accumulator
-    pst_ref,  # [Bp, NH, 2] f32 — prev (m, l)
-    psraw_ref,  # [Bp, NH] f32 — prev unscaled fresh-row scores
-    pkso_ref,  # [Bp, KVH] f32 — prev fresh-row K scales
-    pvso_ref,  # [Bp, KVH] f32 — prev fresh-row V scales
-    pvq_ref,  # [Bp, KVD] int8 — prev fresh V row
     cos_ref, sa_ref, sb_ref,  # [Bp, hd] f32 rope tables (signed/expanded)
     rmsf_ref, rmsa_ref,  # [1, 1, D] f32
     woq_ref, wos_ref,
@@ -139,8 +131,6 @@ def _fused_step2_kernel(
     q_sc,  # [Bp, D] bf16 — roped, scaled q staging
     q3_sc,  # [Bp, NH, hd] bf16 — head-major q for the cells
     ksx_sc, vsx_sc,  # [Bp, KVH*w] f32 — lane-packed scales
-    attq_sc,  # [Bp, D] int8 — this layer's attention output, quantized
-    satt_sc,  # [Bp, 1] f32
     kbuf, vbuf,  # [DEPTH, KVH, TS, hd] int8 DMA rings
     ksbuf, vsbuf,  # [DEPTH, KVH, TS] f32
     sem,  # DMA semaphores [DEPTH, 4]
@@ -151,50 +141,8 @@ def _fused_step2_kernel(
     o = pl.program_id(0)
     B0 = nA + nB + nC + nD
     NH = KVH * G
-    KVD = KVH * hd
     isqrt_hd = 1.0 / jnp.sqrt(jnp.float32(hd))
     tot_eff = jnp.where(meta_ref[2] > 0, 0, meta_ref[3])
-
-    # ---- step-0 boundary: build this layer's attq in-kernel --------------
-    # The fresh-row softmax merge + activation quant used to run as an XLA
-    # epilogue between launches (~2-4 ms/step of glue at 7B); with the
-    # previous launch's partials as inputs it is a few VPU ops here.
-    @pl.when(o == 0)
-    def _prep_attq():
-        @pl.when(meta_ref[4] == 0)
-        def _():
-            attq_sc[:] = attq_ref[:]
-            satt_sc[:] = satt_ref[:]
-
-        @pl.when(meta_ref[4] > 0)
-        def _():
-            Bp = pacc_ref.shape[0]
-            m = pst_ref[:, :, 0]  # [Bp, NH]
-            lden = pst_ref[:, :, 1]
-            ksh = pkso_ref[:]  # [Bp, KVH]
-            vsh = pvso_ref[:]
-            if G > 1:
-                ksh = jnp.broadcast_to(
-                    ksh[:, :, None], (Bp, KVH, G)).reshape(Bp, NH)
-                vsh = jnp.broadcast_to(
-                    vsh[:, :, None], (Bp, KVH, G)).reshape(Bp, NH)
-            s_new = psraw_ref[:] * ksh
-            m_fin = jnp.maximum(m, s_new)
-            corr = jnp.exp(m - m_fin)
-            e_new = jnp.exp(s_new - m_fin)
-            l_fin = jnp.maximum(lden * corr + e_new, 1e-30)
-            nv = (pvq_ref[:].reshape(Bp, KVH, hd).astype(jnp.float32)
-                  * pvso_ref[:][:, :, None])
-            if G > 1:
-                nv = jnp.broadcast_to(
-                    nv[:, :, None, :], (Bp, KVH, G, hd)).reshape(
-                        Bp, NH, hd)
-            att = (pacc_ref[:] * corr[..., None]
-                   + e_new[..., None] * nv) / l_fin[..., None]
-            att2 = att.reshape(Bp, NH * hd)
-            q, s = _quant_rows(att2)
-            attq_sc[:] = q
-            satt_sc[:] = s
 
     # ---- KV DMA plumbing (global descriptor chain) -------------------------
     def copies(g, slot):
@@ -236,10 +184,10 @@ def _fused_step2_kernel(
     @pl.when(o < nA)
     def _phase_a():
         j = o
-        acc = jnp.dot(attq_sc[:], woq_ref[0],
+        acc = jnp.dot(attq_ref[:], woq_ref[0],
                       preferred_element_type=jnp.int32)
         blk = xres_ref[:] + (acc.astype(jnp.float32)
-                             * satt_sc[:] * wos_ref[0])
+                             * satt_ref[:] * wos_ref[0])
         x2_ref[:, pl.ds(j * TOA, TOA)] = blk
 
     @pl.when(o == nA - 1)
@@ -439,13 +387,9 @@ def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
                 + Bp * D * 2  # q_sc (bf16 staging)
                 + Bp * NH * hd * 2  # q3
                 + 2 * Bp * KVH * w * 4  # ksx + vsx
-                + Bp * D + Bp * 4  # attq_sc + satt_sc (in-kernel merge)
                 + depth * 2 * KVH * TS * hd  # K/V rings (int8)
                 + depth * 2 * KVH * TS * 4  # scale rings
                 + 2 * Bp * D  # attq input (double-buffered)
-                + Bp * NH * hd * 4  # pacc input (prev partials)
-                + Bp * NH * 2 * 4 + Bp * NH * 4  # pst + psraw inputs
-                + 2 * Bp * KVH * 4 + Bp * KVD  # pkso/pvso + pvq inputs
                 + 6 * Bp * hd * 4  # rope tables (x2 buffering)
                 + 2 * Bp * KVD  # kq/vq outputs
                 + Bp * NH * hd * 4  # acc output
@@ -577,12 +521,8 @@ def rope_tables(cos: jax.Array, sin: jax.Array, Bp: int):
 
 def fused_step2_layer(
     x: jax.Array,  # [Bp, D] f32 — residual entering layer l
-    attq: jax.Array,  # [Bp, D] int8 — LAYER 0's quantized attention output
+    attq: jax.Array,  # [Bp, D] int8 — layer l's quantized attention output
     satt: jax.Array,  # [Bp] f32
-    prev,  # (pacc [Bp,NH,hd] f32, pst [Bp,NH,2] f32, psraw [Bp,NH] f32,
-    # pkso [Bp,KVH] f32, pvso [Bp,KVH] f32, pvq [Bp,KVD] int8) — the
-    # PREVIOUS launch's attention partials; merged to attq IN-KERNEL when
-    # layer > 0 (zeros for the first launch, which takes attq/satt)
     k_cache, v_cache,  # [L, B, KVH, S, hd] int8
     k_scale, v_scale,  # [L, B, KVH, S] f32
     pos: jax.Array,  # [B] int32
@@ -595,19 +535,18 @@ def fused_step2_layer(
     n_heads: int,
     block_s: int | None = None,
     budget: int | None = None,
-    merge=None,  # traced bool/int: build attq from ``prev`` in-kernel;
-    # None -> (layer > 0), the decode-scan default
 ):
     """One launch: layer ``l`` linear phases + layer ``l+1`` attention.
 
-    Returns ``(x_next [Bp, D], partials, kq [B, KVH, hd] int8, ks [B, KVH],
-    vq, vs)`` — ``partials`` (acc, st, sraw, kso, vso, vq) feed the NEXT
-    launch's in-kernel fresh-row merge (its step-0 boundary builds attq);
-    the fresh rows feed the per-step cache flush.  The LAST layer's launch
-    (skip flag) still runs its linear phases but pins phase D's weight
-    stream and skips the cells; its attention outputs are garbage the
-    caller discards.
+    Returns ``(x_next [Bp, D], attq_next [Bp, D] int8, satt_next [Bp],
+    kq [B, KVH, hd] int8, ks [B, KVH], vq, vs)`` — the attq/satt feed the
+    next launch's phase A; the fresh rows feed the per-step cache flush.
+    The LAST layer's launch (skip flag) still runs its linear phases but
+    pins phase D's weight stream and skips the cells; its attention outputs
+    are garbage the caller discards.
     """
+    from tpu_llama.ops.quant import quantize_activations
+
     Bp, D = x.shape
     L, B, KVH, S, hd = k_cache.shape
     G = n_heads // KVH
@@ -634,10 +573,7 @@ def fused_step2_layer(
     l = jnp.asarray(layer, jnp.int32)
     l2 = jnp.minimum(l + 1, n_layers - 1)
     skip = (l + 1 >= n_layers).astype(jnp.int32)
-    if merge is None:
-        merge = l > 0
-    merge = jnp.asarray(merge).astype(jnp.int32)
-    meta = jnp.stack([l, l2, skip, jnp.asarray(total, jnp.int32), merge])
+    meta = jnp.stack([l, l2, skip, jnp.asarray(total, jnp.int32)])
 
     k4 = k_cache.reshape(L * B, KVH, S, hd)
     v4 = v_cache.reshape(L * B, KVH, S, hd)
@@ -665,7 +601,6 @@ def fused_step2_layer(
                      memory_space=V),
         const,  # attq
         const,  # satt
-        const, const, const, const, const, const,  # prev partials
         const, const, const,  # rope tables
         pl.BlockSpec((1, 1, D), lambda o, m, *s: (m[0], 0, 0),
                      memory_space=V),
@@ -727,8 +662,6 @@ def fused_step2_layer(
         pltpu.VMEM((Bp, NH, hd), jnp.bfloat16),  # q3
         pltpu.VMEM((Bp, KVH * w), jnp.float32),  # ksx
         pltpu.VMEM((Bp, KVH * w), jnp.float32),  # vsx
-        pltpu.VMEM((Bp, D), jnp.int8),  # attq (merged in-kernel)
-        pltpu.VMEM((Bp, 1), jnp.float32),  # satt
         pltpu.VMEM((DEPTH, KVH, TS, hd), jnp.int8),  # K ring
         pltpu.VMEM((DEPTH, KVH, TS, hd), jnp.int8),  # V ring
         pltpu.VMEM((DEPTH, KVH, TS), jnp.float32),
@@ -741,7 +674,6 @@ def fused_step2_layer(
         nA=nA, nB=nB, nC=nC, nD=nD, nq=nq, nkk=nkk,
         TOA=TOA, TOB=TOB, TOC=TOC, TOD=TOD, DEPTH=DEPTH)
 
-    pacc, pst, psraw, pkso, pvso, pvq = prev
     (x_next, kq, vq, kso, vso, sraw, acc, st) = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -756,9 +688,7 @@ def fused_step2_layer(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(meta, pos.astype(jnp.int32), base, dcell, doff,
-      x, attq, satt[:, None],
-      pacc, pst, psraw, pkso, pvso, pvq,
-      rope_c, rope_sa, rope_sb,
+      x, attq, satt[:, None], rope_c, rope_sa, rope_sb,
       rms_ffn[:, None, :], rms_att[:, None, :],
       wo_q, wo_s[:, None, :],
       w13_q, w13_s[:, None, :], w13_q, w13_s[:, None, :],
@@ -766,9 +696,27 @@ def fused_step2_layer(
       qkv_q, qkv_s[:, None, :],
       k4, v4, ks3, vs3)
 
-    # the fresh-row merge + attq quantization now happen IN the next
-    # launch's step-0 boundary; this launch just hands its partials on
-    partials = (acc, st, sraw, kso, vso, vq)
+    # ---- XLA epilogue: fresh-row merge + attention-output quantization -----
+    # (the same math as ops/attention.py _fresh_tail_merge, with s_raw
+    # replacing the qs.new_k einsum — the kernel already reduced it)
+    accB = acc[:B].reshape(B, KVH, G, hd)
+    stB = st[:B].reshape(B, KVH, G, 2)
+    m = stB[..., 0:1]
+    lden = stB[..., 1:2]
+    ks = kso[:B]
+    vs = vso[:B]
+    s_new = (sraw[:B].reshape(B, KVH, G) * ks[:, :, None])[..., None]
+    m_fin = jnp.maximum(m, s_new)
+    corr = jnp.exp(m - m_fin)
+    e_new = jnp.exp(s_new - m_fin)
+    l_fin = lden * corr + e_new
     kqr = kq[:B].reshape(B, KVH, hd)
     vqr = vq[:B].reshape(B, KVH, hd)
-    return x_next, partials, kqr, kso[:B], vqr, vso[:B]
+    nv = vqr.astype(jnp.float32) * vs[..., None]
+    att = (accB * corr + e_new * nv[:, :, None, :]) / jnp.maximum(
+        l_fin, 1e-30)
+    att2 = att.reshape(B, D)
+    if Bp != B:
+        att2 = jnp.pad(att2, ((0, Bp - B), (0, 0)))
+    attq_next, satt_next = quantize_activations(att2)
+    return x_next, attq_next, satt_next, kqr, ks, vqr, vs
