@@ -179,9 +179,10 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
     tokens = jnp.zeros((batch, prompt_len), jnp.int32)
     start = jnp.zeros((batch,), jnp.int32)
     lengths = jnp.full((batch,), prompt_len, jnp.int32)
-    # large B*T one-shot prefill OOMs on activations; the serving path
-    # (runtime/engine.py) chunks long prompts for the same reason
-    chunked = batch * prompt_len > 4096 and prompt_len % 256 == 0
+    # very large B*T one-shot prefill OOMs on activations; the fresh path
+    # (cache out of the loop) made one-shot safe and faster up to ~8k rows
+    # (b16 T512: chunked 904 ms vs projected ~600 one-shot)
+    chunked = batch * prompt_len > 8192 and prompt_len % 256 == 0
 
     def once():
         if kv_layout == "paged":

@@ -59,8 +59,10 @@ def _prefill_into_slots(
     kv_dtype = ("int8" if isinstance(cache, (QuantKVCache, PagedKVCache))
                 else cache.k.dtype)
     small = make_kv_cache(config, Bp, kv_dtype=kv_dtype, seq_len=T)
-    if logits_mode == "last" and T > 256 and T % 256 == 0:
-        # long prompts: chunked prefill bounds the O(T*S) scores memory
+    if logits_mode == "last" and T % 256 == 0 and Bp * T > 8192:
+        # very long prompt batches: chunked prefill bounds the activation
+        # working set (the fresh path below handles <=8k rows one-shot —
+        # its attention never touches more than the compact [B,KVH,T,hd])
         logits, small = forward_prefill_chunked(
             params, small, tokens, lengths, config,
             precision=precision, chunk=256)
