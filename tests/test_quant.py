@@ -166,3 +166,25 @@ def test_w8a8_xla_matches_kernel(rng_np):
     a = np.asarray(w8a8_matmul(jnp.asarray(x), t))
     b = np.asarray(w8a8_matmul_xla(jnp.asarray(x), t))
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_activations_pallas_matches():
+    """The one-pass Pallas row quant == the XLA formula exactly."""
+    import jax
+
+    from tpu_llama.ops.quant import (
+        quantize_activations,
+        quantize_activations_pallas,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (512, 256), jnp.float32) * 3
+    q_ref, s_ref = quantize_activations(x)
+    q_got, s_got = quantize_activations_pallas(x)
+    np.testing.assert_array_equal(np.asarray(q_got), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref),
+                               rtol=1e-6)  # absmax/127 division rounds
+    # once per pass; interpret-vs-XLA differ in the last ulp
+    # zero rows quantize to zeros with zero scale (the where-guard)
+    x0 = x.at[3].set(0.0)
+    q0, s0 = quantize_activations_pallas(x0)
+    assert np.all(np.asarray(q0)[3] == 0) and float(np.asarray(s0)[3]) == 0.0

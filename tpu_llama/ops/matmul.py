@@ -275,6 +275,12 @@ def w8a8_matmul(
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
 
+    # NOTE r3: quantize_activations_pallas (one-pass row quant, ~6x
+    # cheaper than this XLA chain at prefill scale) exists in ops/quant.py
+    # but feeding a pallas_call producer into this pallas_call consumer
+    # made XLA's scoped-vmem placement blow the 16 MB limit on programs
+    # that compile fine with the XLA chain — wire it once the placement
+    # is understood (NEXT.md).
     xq, sx = quantize_activations(xb)  # int8 [Bp, IN], f32 [Bp]
     out = w8a8_matmul_prequant(xq, sx, w, out_dtype=out_dtype,
                                block_out=block_out, block_in=block_in)

@@ -201,6 +201,50 @@ def quantize_activations(x: jax.Array):
     return q, s
 
 
+def _quant_rows_kernel(x_ref, q_ref, s_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = absmax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q_ref[:] = jnp.clip(jnp.rint(xf * inv), -127, 127).astype(jnp.int8)
+    s_ref[:] = s
+
+
+def quantize_activations_pallas(x: jax.Array, block_rows: int = 256):
+    """One-pass Pallas twin of ``quantize_activations`` for LARGE row
+    counts (prefill): x [M, IN] -> (q int8 [M, IN], s f32 [M]).
+
+    The XLA form costs ~0.43 ms per [4096, 4096] call on this chip (the
+    reduce and the apply run as separate passes plus op-chain overhead;
+    measured r3, tools/prefill_probe.py --probe qact) — ~55 ms of the 7B
+    b8 T512 prefill across 4 calls/layer.  One fused pass runs at the
+    read bandwidth.  Exact same formula; M must be a multiple of 8."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, IN = x.shape
+    BM = min(block_rows, M)
+    # double-buffered in + out blocks must fit ~12 MB scoped VMEM
+    # (256 x 11008 bf16 blew the 16 MB limit by 108 KB, r3)
+    per_row = IN * (2 * x.dtype.itemsize + 2)
+    while BM > 8 and (M % BM != 0 or BM * per_row > 12 << 20):
+        BM //= 2
+    q, s = pl.pallas_call(
+        _quant_rows_kernel,
+        grid=(M // BM,),
+        in_specs=[pl.BlockSpec((BM, IN), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((BM, IN), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BM, 1), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((M, IN), jnp.int8),
+                   jax.ShapeDtypeStruct((M, 1), jnp.float32)),
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+    return q, s[:, 0]
+
+
 def quantization_error(w, group_size: int | None = None) -> float:
     """Relative RMS error of a quantize->dequantize roundtrip (diagnostics)."""
     t = quantize_q8(w, group_size)
