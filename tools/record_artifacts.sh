@@ -22,6 +22,8 @@ timeout 2400 python tools/serving_bench.py --config 7b --quant w8a8 \
 
 # 13B depth (VERDICT r2 #8): sweep + serving rows
 timeout 2400 python bench.py --config 13b --sweep 2,4 --seq-len 1024 | tail -2
+# dense + small: 13B int8 weights are ~13.7 GB; the slots-8 S1024 paged
+# pool OOM'd the 16 GB chip (r3)
 timeout 2400 python tools/serving_bench.py --config 13b --quant w8a8 \
-    --kv int8 --kv-layout paged --slots 8 --requests 24 --steps 128 \
-    --chunk 64 --seq-len 1024 --occupancy-sweep | tail -3
+    --kv int8 --slots 4 --requests 12 --steps 96 \
+    --chunk 32 --seq-len 512 --occupancy-sweep | tail -3

@@ -46,7 +46,12 @@ _BLOCK_BUDGET = 3 * 1024 * 1024
 # traffic is n_m * W and x streams exactly once.  Bigger BM => fewer weight
 # re-streams; the cost model below balances that against grid-step overhead
 # (~1 us/cell, CLAUDE.md) and the int8-MXU compute floor.
-_VMEM_ROWS_BUDGET = 14 * 1024 * 1024  # mega2's measured-feasible budget
+# Mosaic's REAL scoped-vmem use runs well above this model at large
+# blocks (13B IN=13824 @ model 10.9 MB compiled to 17.1 MB real, r3);
+# 12 MB reproduces exactly the 7B picks that compiled and ran, and
+# IN > 8192 falls back to the decode tiling (known-compiling everywhere).
+_VMEM_ROWS_BUDGET = 12 * 1024 * 1024
+_ROWS_MAX_IN = 8192
 _HBM_GBPS = 750e9   # measured big-tile w8a8 stream rate (CLAUDE.md)
 _CELL_US = 1e-6     # measured Pallas grid-step overhead
 _INT8_TOPS = 394e12
@@ -64,7 +69,7 @@ def _pick_tiles_rows(M: int, IN: int, OUT: int, align: int,
     (n_out * M * IN bytes) — strictly worse than weight re-streaming for
     every Llama shape.  ``scale_frac`` adds the per-group scale bytes that
     ride with each weight tile (4/g for Q8_0; ~0 for per-channel W8A8)."""
-    if IN % align:
+    if IN % align or IN > _ROWS_MAX_IN:
         return None
     best = None
     for bm in (2048, 1024, 512, 256):
