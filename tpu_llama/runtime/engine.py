@@ -312,6 +312,25 @@ def _decode_sample_chunk(
     return out.T, cache
 
 
+def _make_page_pool(num_pages: int, page_size: int, slots: int,
+                    max_pages_per_slot: int):
+    """Prefer the native C++ allocator (native/pagepool.cpp, same
+    semantics, zero Python list churn on the admission path); fall back
+    to the Python pool when no compiler is available or
+    TPU_LLAMA_NO_NATIVE is set."""
+    import os
+
+    if not os.environ.get("TPU_LLAMA_NO_NATIVE"):
+        try:
+            from tpu_llama.runtime.native_pool import NativePagePool
+
+            return NativePagePool(num_pages, page_size, slots,
+                                  max_pages_per_slot)
+        except Exception:
+            pass
+    return PagePool(num_pages, page_size, slots, max_pages_per_slot)
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -356,7 +375,7 @@ class Engine:
         if kv_layout == "paged":
             mp = -(-self.seq_len // page_size)
             n_pages = num_pages or max_batch * mp + 1
-            self.pool = PagePool(n_pages, page_size, max_batch, mp)
+            self.pool = _make_page_pool(n_pages, page_size, max_batch, mp)
             self.cache = make_kv_cache(
                 config, max_batch, kv_dtype="int8", seq_len=self.seq_len,
                 paged=True, num_pages=n_pages, page_size=page_size)
