@@ -267,11 +267,11 @@ def _decode_sample_step(
 ):
     """Fused decode + on-device sampling: only [B] int32 tokens leave the
     device (the perf path — no 32k-logit transfer per step)."""
-    from tpu_llama.ops.sampling import sample
+    from tpu_llama.ops.sampling import sample_nosort
 
     logits, cache = forward_decode(params, cache, tokens, pos, config,
                                    precision=precision, attn=attn)
-    next_tokens = sample(logits, keys, temps, topps, topks)
+    next_tokens = sample_nosort(logits, keys, temps, topps, topks)
     return next_tokens, cache
 
 
@@ -296,7 +296,7 @@ def _decode_sample_chunk(
     Per-step keys derive statelessly as fold_in(base_key, position), so a
     chunked run samples identically to step-at-a-time device sampling.
     Returns (tokens [B, steps], cache)."""
-    from tpu_llama.ops.sampling import sample
+    from tpu_llama.ops.sampling import sample_nosort
 
     def body(carry, _):
         toks, cache, p = carry
@@ -305,7 +305,7 @@ def _decode_sample_chunk(
         # same stateless derivation as the single-step path: key = fold_in
         # (seed_key, fed position) — chunked and stepwise runs sample alike
         keys = jax.vmap(jax.random.fold_in)(base_keys, p)
-        nxt = sample(logits, keys, temps, topps, topks)
+        nxt = sample_nosort(logits, keys, temps, topps, topks)
         return (nxt, cache, p + 1), nxt
 
     (_, cache, _), out = jax.lax.scan(body, (tokens, cache, pos), length=steps)
@@ -540,7 +540,7 @@ class Engine:
         if self.tp_fused:
             # two dispatches (decode + sample): the vocab-sharded logits
             # stay on device; GSPMD partitions the sampling reductions
-            from tpu_llama.ops.sampling import sample as _sample
+            from tpu_llama.ops.sampling import sample_nosort as _sample
 
             logits = self._tp_decode(tokens, pos)
             return np.asarray(_sample(

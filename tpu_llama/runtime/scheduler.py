@@ -396,7 +396,7 @@ class ContinuousBatcher:
             import jax
             import jax.numpy as jnp
 
-            from tpu_llama.ops.sampling import sample as device_sample
+            from tpu_llama.ops.sampling import sample_nosort as device_sample
 
             keys = jnp.stack([
                 jax.random.fold_in(
