@@ -239,11 +239,13 @@ def main():
     # manual-DMA flash_dma everywhere except dense B=1 (389.7 vs 307.4 tok/s
     # on the b8 headline; see kernel_bench --dyn/--fresh/--paged A/Bs)
     ap.add_argument("--fused", default="auto",
-                    choices=["auto", "true", "false", "mega", "mega2"],
+                    choices=["auto", "true", "false", "mega", "mega2",
+                             "mega3"],
                     help="decode path: auto | true (two-launch fused) | "
                          "false (unfused) | mega (one-launch, leading "
                          "attention) | mega2 (one-launch, trailing attention "
-                         "+ in-kernel rope)")
+                         "+ in-kernel rope) | mega3 (one launch per layer "
+                         "PAIR, in-kernel seam merge)")
     ap.add_argument("--attn", default="auto",
                     choices=["auto", "flash", "flash_dma", "xla"])
     ap.add_argument("--kv", default="int8", choices=["same", "float32", "bfloat16", "int8"],

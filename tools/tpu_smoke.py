@@ -41,6 +41,7 @@ import jax.numpy as jnp  # noqa: E402
 
 # (name, kind, kwargs) — kind "decode" -> bench_decode, "ttft" -> bench_ttft
 VARIANTS = [
+    ("mega3_b8_dense_int8", "decode", dict(batch=8, fused="mega3")),
     ("mega2_b8_dense_int8", "decode", dict(batch=8, fused="mega2")),
     ("mega_b1_dense_int8", "decode", dict(batch=1, fused="mega")),
     ("two_launch_b8_dense_int8", "decode", dict(batch=8, fused=True)),

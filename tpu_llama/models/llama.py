@@ -770,6 +770,115 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
     return logits.astype(jnp.float32), new_cache
 
 
+def _mega3_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
+    """True when the two-layers-per-launch pair kernel applies
+    (ops/fused_step3.py): mega2's conditions + an even layer count + a
+    VMEM-feasible pair tiling (the pair's seam scratches cost ~0.9 MB)."""
+    if not isinstance(cache, QuantKVCache) or isinstance(cache, PagedKVCache):
+        return False
+    if config.head_dim % 128 != 0 or config.n_layers % 2 != 0:
+        return False
+    from tpu_llama.ops.fused_step3 import step3_plan
+
+    Bp = max(32, -(-B // 32) * 32)
+    S = cache.k.shape[-2]
+    return step3_plan(
+        Bp, config.dim, config.hidden_dim,
+        config.dim + 2 * config.kv_dim, config.n_kv_heads,
+        config.group_size, config.head_dim, S) is not None
+
+
+def _forward_decode_mega3(params, cache, tokens, pos, config: ModelConfig,
+                          unroll: int):
+    """Decode step with ONE Pallas launch per LAYER PAIR
+    (ops/fused_step3.py): launch i runs layers 2i and 2i+1's linear phases,
+    layer 2i+1's attention (merged at the in-kernel seam), and layer 2i+2's
+    attention cells.  Same prologue (layer 0's attention in XLA) and same
+    one-flush-per-step row collection as mega2; the scan is L/2 long, so
+    the ~75-80 us fixed launch cost is paid 16x instead of 32x at 7B."""
+    from tpu_llama.ops.attention import (
+        flash_decode_attention_dma,
+        kv_cache_flush_rows,
+    )
+    from tpu_llama.ops.fused_layer import w8a8_matmul_stacked
+    from tpu_llama.ops.fused_step3 import (
+        decode_dma_descs,
+        fused_step3_pair,
+        rope_tables,
+        step3_plan,
+    )
+    from tpu_llama.ops.quant import quantize_activations
+
+    lp = params.layers
+    B = tokens.shape[0]
+    D, KVD = config.dim, config.kv_dim
+    L = lp.rms_att.shape[0]
+    Bp = max(32, -(-B // 32) * 32)
+    S = cache.k.shape[-2]
+    cos = params.rope_cos[pos]  # [B, hd/2]
+    sin = params.rope_sin[pos]
+
+    # prologue: layer 0's qkv projection + attention in XLA (as mega2)
+    x0 = params.tok_emb[tokens].astype(jnp.float32)
+    if Bp != B:
+        x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
+    h0 = rmsnorm(x0, lp.rms_att[0])
+    xq0, sx0 = quantize_activations(h0)
+    qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
+    qb = qkv0[:B]
+    q0 = apply_rope(
+        qb[:, :D].reshape(B, config.n_heads, config.head_dim), cos, sin)
+    k0 = apply_rope(
+        qb[:, D:D + KVD].reshape(B, config.n_kv_heads, config.head_dim),
+        cos, sin)
+    v0 = qb[:, D + KVD:].reshape(B, config.n_kv_heads, config.head_dim)
+    qg0 = q0.reshape(B, config.n_kv_heads, config.group_size,
+                     config.head_dim)
+    kq0, ks0 = quantize_kv(k0)
+    vq0, vs0 = quantize_kv(v0)
+    att0 = flash_decode_attention_dma(
+        qg0, cache.k, cache.v, pos, kq0, vq0,
+        cache.ks, cache.vs, ks0, vs0, layer=jnp.int32(0))
+    att0 = att0.reshape(B, D).astype(jnp.float32)
+    if Bp != B:
+        att0 = jnp.pad(att0, ((0, Bp - B), (0, 0)))
+    attq0, satt0 = quantize_activations(att0)
+
+    TS, _ = step3_plan(Bp, D, config.hidden_dim, D + 2 * KVD,
+                       config.n_kv_heads, config.group_size,
+                       config.head_dim, S)
+    base, dcell, doff, total = decode_dma_descs(pos, B, S, TS)
+    rc, rsa, rsb = rope_tables(cos, sin, Bp)
+    pair_ix = jnp.arange(0, L, 2, dtype=jnp.int32)
+
+    def pair_step(carry, l0):
+        x, attq, satt = carry
+        x_n, attq_n, satt_n, rows = fused_step3_pair(
+            x, attq, satt, cache.k, cache.v, cache.ks, cache.vs, pos,
+            rc, rsa, rsb, base, dcell, doff, total,
+            lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
+            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l0, L, config.n_heads,
+            block_s=TS)
+        return (x_n, attq_n, satt_n), rows
+
+    (xp, _, _), rows = jax.lax.scan(pair_step, (x0, attq0, satt0), pair_ix,
+                                    unroll=unroll)
+    # ys: [L/2, 2, B, ...] in layer order (1, 2), (3, 4), ... -> [L, B, ...]
+    kqs, kss, vqs, vss = (r.reshape(L, *r.shape[2:]) for r in rows)
+    full_kq = jnp.concatenate([kq0[None], kqs[:L - 1]])
+    full_ks = jnp.concatenate([ks0[None], kss[:L - 1]])
+    full_vq = jnp.concatenate([vq0[None], vqs[:L - 1]])
+    full_vs = jnp.concatenate([vs0[None], vss[:L - 1]])
+    ck, cv, cks, cvs = kv_cache_flush_rows(
+        full_kq, full_vq, pos, cache.k, cache.v,
+        full_ks, full_vs, cache.ks, cache.vs)
+    new_cache = QuantKVCache(ck, cv, cks, cvs)
+
+    x = rmsnorm(xp[:B], params.rms_final)
+    logits = matmul_any(x, params.wcls, jax.lax.Precision("default"))
+    return logits.astype(jnp.float32), new_cache
+
+
 def _mega_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
     """True when the ONE-launch-per-layer merged kernel applies: the fused
     linear layouts (see _fused_path_ok) + a dense INT8 stacked cache +
@@ -992,6 +1101,14 @@ def forward_decode(
             raise ValueError("mega2 decode requires fused W8A8 layouts, a "
                              "dense INT8 cache, and 128-aligned head_dim")
         return _forward_decode_mega2(params, cache, tokens, pos, config,
+                                     unroll)
+    if fused == "mega3":
+        if not (_fused_path_ok(params, config)
+                and _mega3_path_ok(params, config, cache, B)):
+            raise ValueError("mega3 decode requires fused W8A8 layouts, a "
+                             "dense INT8 cache, 128-aligned head_dim, and "
+                             "an even layer count")
+        return _forward_decode_mega3(params, cache, tokens, pos, config,
                                      unroll)
     if fused:
         if attn not in ("flash", "flash_dma"):
