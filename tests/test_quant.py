@@ -188,3 +188,20 @@ def test_quantize_activations_pallas_matches():
     x0 = x.at[3].set(0.0)
     q0, s0 = quantize_activations_pallas(x0)
     assert np.all(np.asarray(q0)[3] == 0) and float(np.asarray(s0)[3]) == 0.0
+
+
+def test_w8a8_matmul_prefill_rows_use_pallas_quant():
+    """Bp > 256 routes activation quant through the one-pass Pallas kernel
+    (prefill hot path); result must match the XLA-chain reference path."""
+    import numpy as np
+
+    from tpu_llama.ops import quantize_channel
+    from tpu_llama.ops.matmul import w8a8_matmul, w8a8_matmul_xla
+
+    rng = np.random.default_rng(7)
+    w = quantize_channel(rng.normal(size=(512, 256)).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.normal(size=(512, 512)).astype(np.float32))
+    got = w8a8_matmul(x, w, out_dtype=jnp.float32)
+    ref = w8a8_matmul_xla(x, w, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -280,13 +280,19 @@ def w8a8_matmul(
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
 
-    # NOTE r3: quantize_activations_pallas (one-pass row quant, ~6x
-    # cheaper than this XLA chain at prefill scale) exists in ops/quant.py
-    # but feeding a pallas_call producer into this pallas_call consumer
-    # made XLA's scoped-vmem placement blow the 16 MB limit on programs
-    # that compile fine with the XLA chain — wire it once the placement
-    # is understood (NEXT.md).
-    xq, sx = quantize_activations(xb)  # int8 [Bp, IN], f32 [Bp]
+    # Prefill-scale rows take the one-pass Pallas row quant (~6x cheaper
+    # than the XLA reduce+apply chain: 0.43 ms per [4096, 4096] call,
+    # ~55 ms of the 7B b8 T512 prefill).  Wiring it originally blew XLA's
+    # scoped-vmem placement; both kernels now DECLARE their true VMEM
+    # footprints via vmem_limit_bytes so the placer stops assuming
+    # worst-case overlap.  Decode-scale rows keep the XLA chain (measured
+    # free at small B: kernel_bench w8a8_cast == w8a8).
+    if Bp > 256 and IN % 128 == 0:
+        from tpu_llama.ops.quant import quantize_activations_pallas
+
+        xq, sx = quantize_activations_pallas(xb)
+    else:
+        xq, sx = quantize_activations(xb)  # int8 [Bp, IN], f32 [Bp]
     out = w8a8_matmul_prequant(xq, sx, w, out_dtype=out_dtype,
                                block_out=block_out, block_in=block_in)
     eff_out = min(w.logical_out, OUT)
@@ -331,6 +337,16 @@ def w8a8_matmul_prequant(
     n_out = OUT // TO
 
     kernel = functools.partial(_w8a8_kernel, n_in=n_in)
+    # Declared footprint = buffer model + 4 MB headroom, capped just under
+    # the 16 MB hard limit.  Mosaic's REAL stack need runs ~2 MB above the
+    # buffer model (measured r3: the 11008x4096 prefill matmul needed
+    # 13.64M against an 11.5M model), so the headroom must be generous;
+    # the declaration's job is to let the scoped-vmem placer schedule this
+    # kernel against the Pallas activation-quant producer instead of
+    # assuming worst-case overlap.
+    vmem_bytes = (2 * (BM * TI + BM * 4 + TI * TO + TO * 4
+                       + BM * TO * jnp.dtype(out_dtype).itemsize)
+                  + BM * TO * 4 + (4 << 20))
     return pl.pallas_call(
         kernel,
         grid=(n_m, n_out, n_in),
@@ -344,7 +360,8 @@ def w8a8_matmul_prequant(
         out_shape=jax.ShapeDtypeStruct((Bp, OUT), out_dtype),
         scratch_shapes=[pltpu.VMEM((BM, TO), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=int(min(vmem_bytes, int(15.75 * (1 << 20))))),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * IN * OUT,
             bytes_accessed=Bp * IN + IN * OUT + OUT * 4 + Bp * OUT * 4,

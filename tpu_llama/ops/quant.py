@@ -224,11 +224,21 @@ def quantize_activations_pallas(x: jax.Array, block_rows: int = 256):
 
     M, IN = x.shape
     BM = min(block_rows, M)
-    # double-buffered in + out blocks must fit ~12 MB scoped VMEM
-    # (256 x 11008 bf16 blew the 16 MB limit by 108 KB, r3)
+    # Keep the footprint SMALL (<=4 MB of blocks): this kernel feeds a
+    # Pallas matmul consumer whose own scoped-vmem stack runs ~14 MB at the
+    # prefill shapes, so a fat quant stage cannot co-exist in the placer's
+    # budget.  The pass is a pure stream — more grid steps cost ~1 us each
+    # against a ~180 us M=4096 stream, so small blocks are nearly free.
     per_row = IN * (2 * x.dtype.itemsize + 2)
-    while BM > 8 and (M % BM != 0 or BM * per_row > 12 << 20):
+    while BM > 8 and (M % BM != 0 or BM * per_row > 4 << 20):
         BM //= 2
+    # Declared footprint = blocks + 2 MB headroom (Mosaic's real stack need
+    # runs above the buffer model; measured r3 on the w8a8 consumer).  The
+    # declaration lets the scoped-vmem placer schedule this producer
+    # against the matmul instead of assuming worst-case overlap — the
+    # reason this one-pass quant sat unwired while the XLA chain cost
+    # ~0.43 ms per [4096, 4096] call, ~55 ms/prefill.
+    vmem_bytes = BM * per_row + BM * 8 + (2 << 20)
     q, s = pl.pallas_call(
         _quant_rows_kernel,
         grid=(M // BM,),
@@ -240,6 +250,8 @@ def quantize_activations_pallas(x: jax.Array, block_rows: int = 256):
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((M, IN), jnp.int8),
                    jax.ShapeDtypeStruct((M, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_bytes)),
         interpret=jax.default_backend() != "tpu",
     )(x)
     return q, s[:, 0]
