@@ -1084,6 +1084,13 @@ def forward_decode(
         #         LOST at b2, 164.6 vs 170.0 — re-A/B if b2-b4 matters).
         #   B=1:  mega (leading attention, ops/fused_step.py) 95.5 vs
         #         two-launch 94.6 vs mega2 93.9 -> mega (r2 numbers).
+        #   mega3 (two layers per launch, ops/fused_step3.py) measured
+        #         PARITY-MINUS at b8: 654.0 vs mega2 656.4 (7 interleaved
+        #         reps, spreads 0.001) — halving the launch count (~16 x
+        #         78 us/step) was fully repaid by the seam state's VMEM
+        #         (A256 -> A128 in the plan).  Stays opt-in via
+        #         fused="mega3"; do not auto-select without a new plan
+        #         that keeps A256 alongside the seam scratches.
         if fused and B == 1 and _mega_path_ok(params, config, cache, B):
             fused = "mega"
         elif fused and B > 1 and _mega2_path_ok(params, config, cache, B):
