@@ -1426,6 +1426,133 @@ def forward_prefill_chunked(
     return last, cache
 
 
+def forward_prefill_paged_chunked(
+    params: LlamaParams,
+    cache: PagedKVCache,
+    tokens: jax.Array,  # [B, T] int32 — fresh prompts (start at pos 0)
+    lengths: jax.Array,  # [B]
+    slots: jax.Array,  # [B] slot ids (rows of the page table)
+    config: ModelConfig,
+    precision: str = "default",
+    chunk: int = 256,
+):
+    """Chunked prefill DIRECTLY INTO the page pool — no compact duplicate
+    cache, no dense gather.  Returns (next-token logits [B, V], cache).
+
+    Single-chip capacity is the reason this exists (NEXT r3 #4b): at 7B
+    b64 x 512, params (6.7 GB) + pool (8.7 GB) leave ~0.35 GB of HBM, so
+    the admission path cannot afford the compact [L, B, KVH, T, hd] block
+    that ``_prefill_into_slots`` scatters (8.6 GB at b64) — the pool must
+    be both the attention operand and the write target.  Per chunk, per
+    layer: queries attend past keys in the pool via
+    :func:`paged_flash_prefill_attention` (page-table index maps) plus the
+    chunk's own fresh rows; the chunk's K/V then land with ONE aliased
+    :func:`kv_pool_write_chunk` (the pool rides the scan CARRY, the
+    established in-place pattern).  Temporaries are O(B x chunk).
+
+    Numerically identical to the compact path: same quantize-before-
+    transpose rows, same online-softmax attention over the same keys.
+    Generalizes the reference's teacher-forced prompt loop
+    (llama2.ts:471-474) to batched paged admission."""
+    from tpu_llama.ops.attention import (
+        kv_pool_write_chunk,
+        paged_flash_prefill_attention,
+    )
+
+    B, T = tokens.shape
+    ps = cache.k.shape[3]
+    assert T % chunk == 0 and ps % chunk == 0, (T, chunk, ps)
+    n = T // chunk
+    prec = (jax.lax.Precision(precision) if isinstance(precision, str)
+            else precision)
+    # pages that can hold PAST keys (max start = T - chunk); >=1 column so
+    # the kernel's page-table prefetch stays well-formed
+    past_pages = -(-(T - chunk) // ps)
+    pt = cache.page_table[slots][:, :max(1, -(-T // ps))]  # [B, ceil(T/ps)]
+    L = config.n_layers
+    layer_ix = jnp.arange(L, dtype=jnp.int32)
+    H, KVH, hd = config.n_heads, config.n_kv_heads, config.head_dim
+    # FFN row blocks of <= 2048 keep the gate-up output under ~90 MB — at
+    # b64 the whole chunk working set must fit in the ~0.3 GB of HBM left
+    # beside params + pool (XLA memory_analysis r3: 15.62 GB total was
+    # still a runtime ResourceExhausted at the 15.75 limit)
+    ffn_split = 1
+    while (B * chunk) // ffn_split > 2048 and (B * chunk) % (
+            2 * ffn_split) == 0:
+        ffn_split *= 2
+
+    def mm(a, w):
+        return matmul_any(a, w, prec)
+
+    def chunk_body(pool, i):
+        ck, cv, cks, cvs = pool
+        start_s = i * chunk  # traced scalar
+        tok_c = jax.lax.dynamic_slice(
+            tokens, (jnp.int32(0), start_s), (B, chunk))
+        x = params.tok_emb[tok_c]  # [B, Tc, D]
+        poss = start_s + jnp.arange(chunk)  # [Tc] — same for every row
+        cos = jnp.broadcast_to(params.rope_cos[poss][None],
+                               (B, chunk, hd // 2))
+        sin = jnp.broadcast_to(params.rope_sin[poss][None],
+                               (B, chunk, hd // 2))
+        start_vec = jnp.full((B,), start_s, jnp.int32)
+
+        def layer_step(carry, scanned):
+            x, ck, cv, cks, cvs = carry
+            lp, l = scanned
+            h = rmsnorm(x, lp.rms_att)
+            q, k, v = _project_qkv(h, lp, config, mm)
+            q = apply_rope(q.reshape(B, chunk, H, hd), cos, sin)
+            k = apply_rope(k.reshape(B, chunk, KVH, hd), cos, sin)
+            v = v.reshape(B, chunk, KVH, hd)
+            # quantize BEFORE the head-major transpose (prefill_probe r3)
+            kq, ks = quantize_kv(k)  # [B, Tc, KVH, hd] / [B, Tc, KVH]
+            vq, vs = quantize_kv(v)
+            kq = kq.transpose(0, 2, 1, 3)  # [B, KVH, Tc, hd]
+            vq = vq.transpose(0, 2, 1, 3)
+            ks = ks.transpose(0, 2, 1)
+            vs = vs.transpose(0, 2, 1)
+            att = paged_flash_prefill_attention(
+                q, ck, cv, cks, cvs, pt, start_vec, kq, vq, ks, vs,
+                layer=l, past_pages=past_pages).astype(x.dtype)
+            ck, cv, cks, cvs = kv_pool_write_chunk(
+                kq, vq, ks, vs, pt, start_vec, l, ck, cv, cks, cvs)
+            x = x + mm(att, lp.wo)
+            h = rmsnorm(x, lp.rms_ffn)
+            if ffn_split > 1:
+                # the gate-up output ([rows, 2H] bf16, 360 MB at 8k rows) is
+                # the peak of the chunk working set — row-split it so the
+                # b64 admission fits next to params + pool (runtime OOM
+                # otherwise; rows are independent through the FFN)
+                hr = h.reshape(ffn_split, (B * chunk) // ffn_split, -1)
+
+                def ff(hs):
+                    g_, u_ = _project_gate_up(hs, lp, config, mm)
+                    return mm(jax.nn.silu(g_) * u_, lp.w2)
+
+                x = x + jax.lax.map(ff, hr).reshape(x.shape)
+            else:
+                gate, up = _project_gate_up(h, lp, config, mm)
+                x = x + mm(jax.nn.silu(gate) * up, lp.w2)
+            return (x, ck, cv, cks, cvs), None
+
+        (x, ck, cv, cks, cvs), _ = jax.lax.scan(
+            layer_step, (x, ck, cv, cks, cvs), (params.layers, layer_ix))
+        # classifier at each row's last valid position within this chunk
+        own_t = jnp.clip(lengths - 1 - start_s, 0, chunk - 1)
+        xl = jnp.take_along_axis(x, own_t[:, None, None], axis=1)[:, 0]
+        xl = rmsnorm(xl, params.rms_final)
+        logits_c = matmul_any(xl, params.wcls, prec)  # [B, V]
+        return (ck, cv, cks, cvs), logits_c.astype(jnp.float32)
+
+    pool = (cache.k, cache.v, cache.ks, cache.vs)
+    pool, per_chunk = jax.lax.scan(chunk_body, pool, jnp.arange(n))
+    owner = jnp.clip((lengths - 1) // chunk, 0, n - 1)  # [B]
+    last = jnp.take_along_axis(
+        per_chunk, owner[None, :, None], axis=0)[0]  # [B, V]
+    return last, PagedKVCache(*pool, page_table=cache.page_table)
+
+
 @partial(jax.jit, static_argnames=("config", "steps", "precision", "attn",
                                    "unroll", "fused"), donate_argnums=(1,))
 def greedy_decode_loop(

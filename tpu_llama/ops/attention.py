@@ -1591,6 +1591,284 @@ def flash_prefill_attention(
 
 
 # ---------------------------------------------------------------------------
+# PAGED flash PREFILL attention: chunked prefill directly against the page
+# pool — queries of one chunk attend past keys IN THE POOL (no dense gather)
+# plus the chunk's own fresh rows (causal).  This is the kernel that makes
+# single-chip b64 x 512 admission possible: params (6.7 GB) + pool (8.7 GB)
+# leave ~0.35 GB of HBM, so neither a compact duplicate cache (8.6 GB at b64)
+# nor a dense per-layer gather (0.54 GB) fits — the pool must be BOTH the
+# attention operand and the write target, with only O(chunk) temporaries
+# (NEXT r3 #4b; generalizes the reference's dense cache, llama2.ts:160-161).
+# ---------------------------------------------------------------------------
+
+
+def _paged_prefill_kernel(pt_ref, s_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                          fk_ref, fv_ref, fks_ref, fvs_ref, o_ref,
+                          m_ref, l_ref, acc_ref, *, ps: int, W: int, Tc: int,
+                          TQ: int, G: int):
+    """Grid (B, KVH, QB, W+1): steps j < W stream past pool pages (keys
+    strictly below ``start[b]``); the final step j == W merges the chunk's
+    own fresh K/V block under the intra-chunk causal mask and normalizes.
+    Query rows are head-major [t*G + g] like _flash_prefill_kernel."""
+    b = pl.program_id(0)
+    qb = pl.program_id(2)
+    j = pl.program_id(3)
+    start = s_ref[0, b]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def online_update(s, mask):
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(
+            jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        return p, corr
+
+    # Past pages: fully masked pages (j*ps >= start) are predicated off and
+    # their index map clamps, so no block is re-DMA'd for them.
+    @pl.when(jnp.logical_and(j < W, j * ps < start))
+    def _():
+        q = q_ref[0, 0]  # [TQ, hd], pre-scaled
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), k_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TQ, ps]
+        s = s * ks_ref[0, 0]  # [1, ps] per-token K scales
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * ps
+        p, corr = online_update(s, kpos < start)
+        p = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
+        acc_ref[:] = acc_ref[:] * corr + jnp.dot(
+            p, v_ref[0, 0].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+
+    # Fresh chunk block + finalize.
+    @pl.when(j == W)
+    def _():
+        q = q_ref[0, 0]
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), fk_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [TQ, Tc]
+        s = s * fks_ref[0, 0]  # [1, Tc]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + qb * TQ
+        qt = row // G  # chunk-relative query position
+        kt = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        p, corr = online_update(s, kt <= qt)
+        p = (p * fvs_ref[0, 0]).astype(jnp.bfloat16)
+        acc = acc_ref[:] * corr + jnp.dot(
+            p, fv_ref[0, 0].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        o_ref[0, 0] = (acc / jnp.maximum(l_ref[:, :1], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def paged_flash_prefill_attention(
+    q: jax.Array,  # [B, Tc, NH, hd] — raw roped queries for this chunk
+    k_pool: jax.Array,  # [L, P, KVH, ps, hd] int8
+    v_pool: jax.Array,
+    k_scale: jax.Array,  # [L, P, KVH, ps] f32
+    v_scale: jax.Array,
+    page_table: jax.Array,  # [B, MP] int32 — slot-sliced table
+    start: jax.Array,  # [B] int32 — past-key count; fresh rows occupy
+    # absolute positions [start, start + Tc)
+    fresh_k: jax.Array,  # [B, KVH, Tc, hd] int8 — chunk rows (roped, quant)
+    fresh_v: jax.Array,
+    fresh_ks: jax.Array,  # [B, KVH, Tc] f32
+    fresh_vs: jax.Array,
+    layer: jax.Array | None = None,
+    past_pages: int | None = None,  # STATIC bound: every start[b] <=
+    # past_pages * ps.  Defaults to the page-table width.
+) -> jax.Array:
+    """Returns [B, Tc, NH*hd] f32.  Causality: pool keys strictly below
+    ``start[b]`` plus fresh keys t' <= t.  Past pages stream via
+    scalar-prefetched page-table index maps (same mechanism as
+    paged_flash_decode_attention); the fresh block joins at the final grid
+    step, so the chunk's K/V never have to be written before attending."""
+    B, Tc, NH, hd = q.shape
+    if k_pool.ndim == 4:
+        k_pool, v_pool = k_pool[None], v_pool[None]
+        k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = None
+    L, P = k_pool.shape[0], k_pool.shape[1]
+    KVH, ps = k_pool.shape[2], k_pool.shape[3]
+    G = NH // KVH
+    MP = page_table.shape[1]
+    W = MP if past_pages is None else min(past_pages, MP)
+    rows = Tc * G
+
+    qr = q.reshape(B, Tc, KVH, G, hd).transpose(0, 2, 1, 3, 4).reshape(
+        B, KVH, rows, hd)
+    # bf16 at the kernel boundary: the dots run bf16 regardless, and the
+    # f32 q/out arrays were ~270 MB of the b64 x 256-chunk HBM working set
+    # (the path exists precisely because HBM headroom is ~0.45 GB there)
+    qr = (qr.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))).astype(
+        jnp.bfloat16)
+    TQ = min(512, max(8, rows))
+    rows_p = -(-rows // TQ) * TQ
+    if rows_p != rows:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+
+    k4 = k_pool.reshape(L * P, KVH, ps, hd)
+    v4 = v_pool.reshape(L * P, KVH, ps, hd)
+    ks4 = k_scale.reshape(L * P, KVH, 1, ps)
+    vs4 = v_scale.reshape(L * P, KVH, 1, ps)
+    scal = _decode_scalars(start, layer)
+
+    grid = (B, KVH, rows_p // TQ, W + 1)
+
+    def page_of(b, k, qb, j, pt_ref, s_ref):
+        # masked/fresh steps clamp to the last valid past page: Pallas skips
+        # the re-fetch of an unchanged block
+        hi = jnp.maximum(s_ref[0, b] - 1, 0) // ps
+        return pt_ref[b, jnp.clip(jnp.minimum(j, hi), 0, W - 1 if W else 0)]
+
+    qspec = pl.BlockSpec((1, 1, TQ, hd),
+                         lambda b, k, qb, j, *_: (b, k, qb, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec(
+        (1, 1, ps, hd),
+        lambda b, k, qb, j, pt_ref, s_ref: (
+            s_ref[1, 0] * P + page_of(b, k, qb, j, pt_ref, s_ref), k, 0, 0),
+        memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(
+        (1, 1, 1, ps),
+        lambda b, k, qb, j, pt_ref, s_ref: (
+            s_ref[1, 0] * P + page_of(b, k, qb, j, pt_ref, s_ref), k, 0, 0),
+        memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, 1, Tc, hd),
+                         lambda b, k, qb, j, *_: (b, k, 0, 0),
+                         memory_space=pltpu.VMEM)
+    fsspec = pl.BlockSpec((1, 1, 1, Tc),
+                          lambda b, k, qb, j, *_: (b, k, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, TQ, hd),
+                         lambda b, k, qb, j, *_: (b, k, qb, 0),
+                         memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_paged_prefill_kernel, ps=ps, W=W, Tc=Tc,
+                             TQ=TQ, G=G)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec, sspec, sspec,
+                      fspec, fspec, fsspec, fsspec],
+            out_specs=ospec,
+            scratch_shapes=[
+                pltpu.VMEM((TQ, 128), jnp.float32),
+                pltpu.VMEM((TQ, 128), jnp.float32),
+                pltpu.VMEM((TQ, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
+        interpret=_interpret(),
+    )(page_table.astype(jnp.int32), scal, qr, k4, v4, ks4, vs4,
+      fresh_k, fresh_v,
+      fresh_ks[:, :, None, :], fresh_vs[:, :, None, :])
+
+    out = out[:, :, :rows].reshape(B, KVH, Tc, G, hd).transpose(0, 2, 1, 3, 4)
+    return out.reshape(B, Tc, NH * hd)
+
+
+def kv_pool_write_chunk(
+    rows_k: jax.Array,  # [B, KVH, Tc, hd] int8 — chunk rows (roped, quant)
+    rows_v: jax.Array,
+    rows_ks: jax.Array,  # [B, KVH, Tc] f32
+    rows_vs: jax.Array,
+    page_table: jax.Array,  # [B, MP] int32 — slot-sliced table
+    start: jax.Array,  # [B] int32 — absolute write offset
+    layer: jax.Array | None,
+    ck: jax.Array,  # [L, P, KVH, ps, hd] int8 pool (donated by caller's jit)
+    cv: jax.Array,
+    cks: jax.Array,  # [L, P, KVH, ps] f32
+    cvs: jax.Array,
+):
+    """Aliased per-layer pool write of one prefill chunk: grid cell (b, j)
+    lands sub-block j of slot b's chunk at page ``page_table[b, start//ps]``,
+    rows ``[start % ps, start % ps + Tc)`` — bytes moved: B x KVH x Tc x hd,
+    no pool-sized transient.  The caller guarantees ps % Tc == 0 and
+    start % Tc == 0, so a chunk never crosses a page boundary, and Tc is a
+    multiple of 128 so the scale arrays' lane-dim offsets stay
+    Mosaic-aligned (CLAUDE.md).  Distinct live slots hold distinct pages;
+    rows past a slot's reservation land on the trash page (races there are
+    harmless, as in kv_pool_scatter_pages)."""
+    B, KVH, Tc, hd = rows_k.shape
+    if ck.ndim == 4:
+        ck, cv = ck[None], cv[None]
+        cks, cvs = cks[None], cvs[None]
+        layer = None
+    L, P, _, ps, _ = ck.shape
+    rp = Tc
+    while KVH * rp * hd > (1 << 20) and rp % 256 == 0:
+        rp //= 2
+    RS = Tc // rp
+    shp5, sshp = ck.shape, cks.shape
+    ck4 = ck.reshape(L * P, KVH, ps, hd)
+    cv4 = cv.reshape(L * P, KVH, ps, hd)
+    cks3 = cks.reshape(L * P, KVH, ps)
+    cvs3 = cvs.reshape(L * P, KVH, ps)
+    scal = _decode_scalars(start, layer)
+
+    def pool_index(b, j, pt_ref, s_ref):
+        return (s_ref[1, 0] * P + pt_ref[b, s_ref[0, b] // ps], 0,
+                (s_ref[0, b] % ps) // rp + j, 0)
+
+    inspec = pl.BlockSpec((1, KVH, rp, hd),
+                          lambda b, j, *_: (b, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    poolspec = pl.BlockSpec((1, KVH, rp, hd), pool_index,
+                            memory_space=pltpu.VMEM)
+    insspec = pl.BlockSpec((1, KVH, rp), lambda b, j, *_: (b, 0, j),
+                           memory_space=pltpu.VMEM)
+    poolsspec = pl.BlockSpec(
+        (1, KVH, rp),
+        lambda b, j, pt_ref, s_ref: pool_index(b, j, pt_ref, s_ref)[:3],
+        memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+
+    def kern(pt_ref, s_ref, ik, iv, iks, ivs, _pk, _pv, _pks, _pvs,
+             ok_ref, ov_ref, oks_ref, ovs_ref):
+        ok_ref[0] = ik[0]
+        ov_ref[0] = iv[0]
+        oks_ref[0] = iks[0]
+        ovs_ref[0] = ivs[0]
+
+    ck4, cv4, cks3, cvs3 = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, RS),
+            in_specs=[inspec, inspec, insspec, insspec,
+                      anyspec, anyspec, anyspec, anyspec],
+            out_specs=(poolspec, poolspec, poolsspec, poolsspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(ck4.shape, ck4.dtype),
+                   jax.ShapeDtypeStruct(cv4.shape, cv4.dtype),
+                   jax.ShapeDtypeStruct(cks3.shape, cks3.dtype),
+                   jax.ShapeDtypeStruct(cvs3.shape, cvs3.dtype)),
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(page_table.astype(jnp.int32), scal, rows_k, rows_v, rows_ks, rows_vs,
+      ck4, cv4, cks3, cvs3)
+    return (ck4.reshape(shp5), cv4.reshape(shp5),
+            cks3.reshape(sshp), cvs3.reshape(sshp))
+
+
+# ---------------------------------------------------------------------------
 # In-place, layer-aware KV cache row writes.  Two XLA costs killed the round-1
 # decode step (tools/ablate.py: ~1.4 ms/layer of the 7B step): (a) advanced-
 # index scatter (cache.at[b, h, pos_b].set) lowers to a full-operand copy +

@@ -36,6 +36,13 @@ from tpu_llama.models.llama import (
 )
 from tpu_llama.runtime.paged import PagePool
 
+# Pool-direct admission gate (see _prefill_into_slots): above
+# _POOL_DIRECT_ROWS total prompt rows, prefill straight into the page pool
+# in waves of <= _WAVE_ROWS rows, _POOL_CHUNK positions at a time.
+_POOL_DIRECT_ROWS = 16384
+_POOL_CHUNK = 256
+_WAVE_ROWS = 4096
+
 
 @partial(jax.jit, static_argnames=("config", "precision", "logits_mode"),
          donate_argnums=(1,))
@@ -56,6 +63,44 @@ def _prefill_into_slots(
     before any query attends to it (mask is ``s <= pos``).
     """
     Bp, T = tokens.shape
+    if (isinstance(cache, PagedKVCache) and logits_mode == "last"
+            and Bp * T > _POOL_DIRECT_ROWS and T % _POOL_CHUNK == 0
+            and cache.k.shape[3] % _POOL_CHUNK == 0):
+        # very large admissions prefill DIRECTLY INTO the pool: at 7B
+        # b64 x 512 the compact block below is 8.6 GB next to a 8.7 GB pool
+        # and 6.7 GB of params — nothing that size fits (NEXT r3 #4b).  The
+        # pool-chunked path's temporaries are O(Bp x chunk).
+        from tpu_llama.models.llama import forward_prefill_paged_chunked
+
+        # Slot WAVES: pool pages are disjoint per slot, so the admission
+        # splits into sequential waves inside this one program (pool in the
+        # scan carry) and the activation working set scales with the WAVE,
+        # not the batch.  Wave x chunk <= 4096 rows keeps chunk temporaries
+        # ~0.3 GB — at b64 that is all the HBM left beside params + pool
+        # (measured r3: 0.83 GB of temps = runtime ResourceExhausted).
+        chunk = _POOL_CHUNK
+        bw = max(1, min(Bp, _WAVE_ROWS // chunk))  # largest divisor of Bp
+        while Bp % bw:  # with bw * chunk <= _WAVE_ROWS rows per wave
+            bw -= 1
+        if bw == Bp:
+            last, cache = forward_prefill_paged_chunked(
+                params, cache, tokens, lengths, slots, config,
+                precision=precision, chunk=chunk)
+            return last, last, cache
+        nw = Bp // bw
+
+        def wave(cache, ins):
+            tok_w, len_w, slot_w = ins
+            last_w, cache = forward_prefill_paged_chunked(
+                params, cache, tok_w, len_w, slot_w, config,
+                precision=precision, chunk=chunk)
+            return cache, last_w
+
+        cache, last = jax.lax.scan(
+            wave, cache, (tokens.reshape(nw, bw, T),
+                          lengths.reshape(nw, bw), slots.reshape(nw, bw)))
+        last = last.reshape(Bp, -1)
+        return last, last, cache
     kv_dtype = ("int8" if isinstance(cache, (QuantKVCache, PagedKVCache))
                 else cache.k.dtype)
     small = make_kv_cache(config, Bp, kv_dtype=kv_dtype, seq_len=T)
