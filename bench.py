@@ -186,12 +186,14 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
 
     def once():
         if kv_layout == "paged":
-            from tpu_llama.runtime.engine import _prefill_into_slots
+            from tpu_llama.runtime.engine import prefill_into_slots_waved
 
             cache = _make_cache(config, batch, "int8", seq_len, "paged",
                                 page_size)
             slots = jnp.arange(batch, dtype=jnp.int32)
-            logits, _, cache = _prefill_into_slots(
+            # large admissions go pool-direct in host-dispatched waves —
+            # the only b64-feasible path (see engine.py)
+            logits, _, cache = prefill_into_slots_waved(
                 params, cache, tokens, lengths, slots, config,
                 precision="default", logits_mode="last")
         else:

@@ -141,14 +141,10 @@ def test_pool_chunked_then_decode(tiny_weights):
 
 
 def test_pool_direct_wave_admission(tiny_weights, monkeypatch):
-    """The engine's pool-direct gate splits large admissions into slot
-    waves inside one program (pool in the scan carry) — thresholds patched
-    down so the tiny model exercises the wave scan."""
+    """The admission front door splits large paged admissions into
+    HOST-dispatched slot waves, each forced pool-direct — thresholds
+    patched down so the tiny model exercises two waves of two slots."""
     from tpu_llama.runtime import engine as eng
-
-    monkeypatch.setattr(eng, "_POOL_DIRECT_ROWS", 16)
-    monkeypatch.setattr(eng, "_POOL_CHUNK", 8)
-    monkeypatch.setattr(eng, "_WAVE_ROWS", 8)
 
     c = tiny_weights.config
     params = params_from_raw(tiny_weights)
@@ -159,24 +155,20 @@ def test_pool_direct_wave_admission(tiny_weights, monkeypatch):
     slots = jnp.arange(B, dtype=jnp.int32)
 
     ca = _make_paged(c, B, ps)
-    # gate OFF (threshold huge): compact reference
-    monkeypatch.setattr(eng, "_POOL_DIRECT_ROWS", 1 << 30)
     last_a, _, ca = eng._prefill_into_slots(
         params, ca, tokens, lengths, slots, c, logits_mode="last")
+
     monkeypatch.setattr(eng, "_POOL_DIRECT_ROWS", 16)
-    # same shapes + statics would hit the jit cache and reuse the compact
-    # trace — drop it so the gate is re-evaluated at trace time
-    eng._prefill_into_slots.clear_cache()
+    monkeypatch.setattr(eng, "_POOL_CHUNK", 8)
+    monkeypatch.setattr(eng, "_WAVE_ROWS", 16)  # 2 slots x T=16 rows/wave
     cb = _make_paged(c, B, ps)
-    last_b, _, cb = eng._prefill_into_slots(
+    last_b, _, cb = eng.prefill_into_slots_waved(
         params, cb, tokens, lengths, slots, c, logits_mode="last")
     np.testing.assert_allclose(np.asarray(last_a), np.asarray(last_b),
                                atol=6e-3)
     for s, n in [(0, T), (1, 9), (3, 12)]:
         np.testing.assert_array_equal(_gather_rows(ca, s, n, ps)[0],
                                       _gather_rows(cb, s, n, ps)[0])
-    # don't leak the patched-threshold trace to other tests
-    eng._prefill_into_slots.clear_cache()
 
 
 def test_kv_pool_write_chunk_matches_set():

@@ -44,7 +44,50 @@ _POOL_CHUNK = 256
 _WAVE_ROWS = 4096
 
 
-@partial(jax.jit, static_argnames=("config", "precision", "logits_mode"),
+def _pool_direct_ok(cache, Bp: int, T: int, logits_mode: str) -> bool:
+    return (isinstance(cache, PagedKVCache) and logits_mode == "last"
+            and Bp * T > _POOL_DIRECT_ROWS and T % _POOL_CHUNK == 0
+            and cache.k.shape[3] % _POOL_CHUNK == 0)
+
+
+def prefill_into_slots_waved(params, cache, tokens, lengths, slots, config,
+                             precision="default", logits_mode="last"):
+    """Admission front door: large paged admissions prefill DIRECTLY INTO
+    the pool (no compact duplicate — at 7B b64 x 512 that block is 8.6 GB
+    next to an 8.7 GB pool and 6.7 GB of params, NEXT r3 #4b), split into
+    HOST-dispatched slot waves of <= _WAVE_ROWS rows so the activation
+    working set scales with the wave, not the batch.
+
+    The wave loop lives OUTSIDE the jit on purpose: the in-jit lax.scan
+    formulation (pool in the wave-scan carry around the per-layer aliased
+    writes) compiled but died with an opaque runtime Internal error on the
+    real chip, while the identical per-wave program dispatched from the
+    host runs — and separate dispatches localize failures per wave.  Cost:
+    one extra ~27 ms dispatch per wave (3 extra at b64), inherent to the
+    relay and small against a multi-second b64 TTFT."""
+    Bp, T = tokens.shape
+    if not _pool_direct_ok(cache, Bp, T, logits_mode):
+        return _prefill_into_slots(params, cache, tokens, lengths, slots,
+                                   config, precision=precision,
+                                   logits_mode=logits_mode)
+    bw = max(1, min(Bp, _WAVE_ROWS // _POOL_CHUNK))  # largest divisor of
+    while Bp % bw:  # Bp with bw * chunk <= _WAVE_ROWS rows per wave
+        bw -= 1
+    outs = []
+    for w in range(0, Bp, bw):
+        # pool_direct=True: a 16-slot wave is under the rows threshold, but
+        # the compact path's duplicate cache cannot coexist with the pool
+        last_w, _, cache = _prefill_into_slots(
+            params, cache, tokens[w:w + bw], lengths[w:w + bw],
+            slots[w:w + bw], config, precision=precision,
+            logits_mode=logits_mode, pool_direct=True)
+        outs.append(last_w)
+    last = jnp.concatenate(outs, axis=0)
+    return last, last, cache
+
+
+@partial(jax.jit, static_argnames=("config", "precision", "logits_mode",
+                                   "pool_direct"),
          donate_argnums=(1,))
 def _prefill_into_slots(
     params: LlamaParams,
@@ -55,6 +98,9 @@ def _prefill_into_slots(
     config: ModelConfig,
     precision: str = "default",
     logits_mode: str = "last",
+    pool_direct: bool = False,  # force the pool-direct path (wave calls:
+    # each wave is under the rows gate, but the compact duplicate cannot
+    # coexist with the full pool)
 ):
     """Compact prefill + scatter into slot cache.
 
@@ -63,43 +109,16 @@ def _prefill_into_slots(
     before any query attends to it (mask is ``s <= pos``).
     """
     Bp, T = tokens.shape
-    if (isinstance(cache, PagedKVCache) and logits_mode == "last"
-            and Bp * T > _POOL_DIRECT_ROWS and T % _POOL_CHUNK == 0
-            and cache.k.shape[3] % _POOL_CHUNK == 0):
-        # very large admissions prefill DIRECTLY INTO the pool: at 7B
-        # b64 x 512 the compact block below is 8.6 GB next to a 8.7 GB pool
-        # and 6.7 GB of params — nothing that size fits (NEXT r3 #4b).  The
-        # pool-chunked path's temporaries are O(Bp x chunk).
+    if pool_direct or _pool_direct_ok(cache, Bp, T, logits_mode):
+        # pool-direct chunked prefill — O(Bp x chunk) temporaries; callers
+        # with more than _WAVE_ROWS rows should come through
+        # prefill_into_slots_waved (a single huge direct call runs out of
+        # activation HBM at b64)
         from tpu_llama.models.llama import forward_prefill_paged_chunked
 
-        # Slot WAVES: pool pages are disjoint per slot, so the admission
-        # splits into sequential waves inside this one program (pool in the
-        # scan carry) and the activation working set scales with the WAVE,
-        # not the batch.  Wave x chunk <= 4096 rows keeps chunk temporaries
-        # ~0.3 GB — at b64 that is all the HBM left beside params + pool
-        # (measured r3: 0.83 GB of temps = runtime ResourceExhausted).
-        chunk = _POOL_CHUNK
-        bw = max(1, min(Bp, _WAVE_ROWS // chunk))  # largest divisor of Bp
-        while Bp % bw:  # with bw * chunk <= _WAVE_ROWS rows per wave
-            bw -= 1
-        if bw == Bp:
-            last, cache = forward_prefill_paged_chunked(
-                params, cache, tokens, lengths, slots, config,
-                precision=precision, chunk=chunk)
-            return last, last, cache
-        nw = Bp // bw
-
-        def wave(cache, ins):
-            tok_w, len_w, slot_w = ins
-            last_w, cache = forward_prefill_paged_chunked(
-                params, cache, tok_w, len_w, slot_w, config,
-                precision=precision, chunk=chunk)
-            return cache, last_w
-
-        cache, last = jax.lax.scan(
-            wave, cache, (tokens.reshape(nw, bw, T),
-                          lengths.reshape(nw, bw), slots.reshape(nw, bw)))
-        last = last.reshape(Bp, -1)
+        last, cache = forward_prefill_paged_chunked(
+            params, cache, tokens, lengths, slots, config,
+            precision=precision, chunk=_POOL_CHUNK)
         return last, last, cache
     kv_dtype = ("int8" if isinstance(cache, (QuantKVCache, PagedKVCache))
                 else cache.k.dtype)
@@ -489,7 +508,7 @@ class Engine:
                 jnp.asarray(np.asarray(slots, np.int32)),
                 self.config, self.mesh, self.precision)
             return np.asarray(last)
-        last, _, self.cache = _prefill_into_slots(
+        last, _, self.cache = prefill_into_slots_waved(
             self.params, self.cache,
             jnp.asarray(toks), jnp.asarray(lengths),
             jnp.asarray(np.asarray(slots, np.int32)),
