@@ -61,6 +61,14 @@ VARIANTS = [
     # are what this gate validates, not the memory budget of one config
     ("prefill_paged_b8_t512", "ttft",
      dict(batch=8, prompt_len=512, kv_layout="paged", seq_len=1024)),
+    # pool-DIRECT chunked prefill (paged_flash_prefill_attention +
+    # kv_pool_write_chunk + per-layer carry writes): b48 crosses the
+    # >16k-row gate, so bench_ttft routes through prefill_into_slots_waved
+    # — 3 host-dispatched waves of 16 slots.  Run LAST: it is the most
+    # memory-hungry variant, and a crashed near-capacity program poisons
+    # the chip for ~5 min (CLAUDE.md).
+    ("prefill_pool_direct_b48_t512", "ttft",
+     dict(batch=48, prompt_len=512, kv_layout="paged", seq_len=512)),
 ]
 
 
