@@ -165,17 +165,33 @@ def bench_decode_ab(params, config, batch, steps, dtype, variants,
 
 
 def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
-               reps=5, seq_len=None, kv_layout="dense", page_size=512):
+               reps=5, seq_len=None, kv_layout="dense", page_size=512,
+               info=None):
     """p50 time-to-first-token: one batched prefill (logits_mode=last) plus
     one decode step, timed with readback.
 
     kv_layout="paged" prefills through the engine's compact-prefill +
     page-scatter path (runtime/engine.py) — a dense bench cache alongside
-    the decode working set OOMs at b64 on 7B, the page pool does not."""
+    the decode working set OOMs at b64 on 7B, the page pool does not.
+
+    If the prompt fills the cache to CAPACITY (prompt_len >= seq_len), the
+    decode step is skipped: decoding at pos == capacity is an out-of-bounds
+    cache write (paged: pt[b, pos//ps] reads past the page table — the
+    zero-headroom geometry behind the r3 b64 'Internal' error, ADVICE r3).
+    ``info`` (dict) gets ``ttft_no_decode: True`` so records stay honest."""
     from tpu_llama.models import make_kv_cache
     from tpu_llama.models.llama import forward_decode, forward_prefill
 
     kv = kv_dtype or dtype
+    S = seq_len or config.seq_len
+    capacity = -(-S // page_size) * page_size if kv_layout == "paged" else S
+    with_decode = prompt_len < capacity
+    if not with_decode:
+        print(f"bench_ttft: prompt_len {prompt_len} >= cache capacity "
+              f"{capacity} — no decode headroom; skipping the decode step",
+              file=sys.stderr)
+        if info is not None:
+            info["ttft_no_decode"] = True
     tokens = jnp.zeros((batch, prompt_len), jnp.int32)
     start = jnp.zeros((batch,), jnp.int32)
     lengths = jnp.full((batch,), prompt_len, jnp.int32)
@@ -211,6 +227,8 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                     precision="default", logits_mode="last",
                     assume_fresh=True)  # start==0: cache out of the loop
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if not with_decode:
+            return nxt
         # the engine's decode step DONATES the cache — the plain
         # forward_decode would hold a second multi-GB copy, which pushed
         # the b8 S2048 TTFT program over HBM (tpu_smoke r3)
@@ -338,7 +356,7 @@ def main():
                             params, config, b, args.prompt_len, dtype,
                             kv_dtype=args.kv, reps=max(3, args.reps - 2),
                             seq_len=args.seq_len, kv_layout=args.kv_layout,
-                            page_size=args.page_size)
+                            page_size=args.page_size, info=rec)
                         rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
                     except Exception as e:
                         rec["ttft_error"] = f"{type(e).__name__}: {e}"[:120]
@@ -358,7 +376,7 @@ def main():
                                     dtype, kv_dtype=args.kv,
                                     reps=max(3, args.reps - 2),
                                     seq_len=args.seq_len, kv_layout="paged",
-                                    page_size=args.page_size)
+                                    page_size=args.page_size, info=rec)
                                 rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
                                 rec["ttft_path"] = "paged"
                                 rec["ttft_error_dense"] = rec.pop(
@@ -391,7 +409,7 @@ def main():
                                    dtype, kv_dtype=args.kv, reps=args.reps,
                                    seq_len=args.seq_len,
                                    kv_layout=args.kv_layout,
-                                   page_size=args.page_size)
+                                   page_size=args.page_size, info=rec)
             rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
             rec["prompt_len"] = args.prompt_len
         except Exception as e:
@@ -405,7 +423,7 @@ def main():
                         params, config, args.batch, args.prompt_len, dtype,
                         kv_dtype=args.kv, reps=args.reps,
                         seq_len=args.seq_len, kv_layout="paged",
-                        page_size=args.page_size)
+                        page_size=args.page_size, info=rec)
                     rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
                     rec["prompt_len"] = args.prompt_len
                     rec["ttft_path"] = "paged"

@@ -64,9 +64,12 @@ VARIANTS = [
     # pool-DIRECT chunked prefill (paged_flash_prefill_attention +
     # kv_pool_write_chunk + per-layer carry writes): b48 crosses the
     # >16k-row gate, so bench_ttft routes through prefill_into_slots_waved
-    # — 3 host-dispatched waves of 16 slots.  Run LAST: it is the most
-    # memory-hungry variant, and a crashed near-capacity program poisons
-    # the chip for ~5 min (CLAUDE.md).
+    # — 3 host-dispatched waves of 16 slots.  prompt_len == pool capacity,
+    # so bench_ttft SKIPS the decode step (zero decode headroom would be an
+    # OOB page-table read, ADVICE r3 high); this variant validates the wave
+    # prefill kernels only.  Run LAST: it is the most memory-hungry
+    # variant, and a crashed near-capacity program poisons the chip for
+    # ~5 min (CLAUDE.md).
     ("prefill_pool_direct_b48_t512", "ttft",
      dict(batch=48, prompt_len=512, kv_layout="paged", seq_len=512)),
 ]

@@ -1462,6 +1462,14 @@ def forward_prefill_paged_chunked(
     B, T = tokens.shape
     ps = cache.k.shape[3]
     assert T % chunk == 0 and ps % chunk == 0, (T, chunk, ps)
+    # A prompt longer than per-slot capacity would make kv_pool_write_chunk's
+    # scalar-prefetch read pt_ref[b, start//ps] PAST the table — an undefined
+    # page id corrupting the pool (the compact path maps overflow to the
+    # trash page; this path must refuse instead).  Static shapes, zero cost.
+    assert -(-T // ps) <= cache.page_table.shape[1], (
+        f"prompt buckets to {T} positions = {-(-T // ps)} pages/slot, but "
+        f"the page table holds {cache.page_table.shape[1]} — raise seq_len "
+        "or reject the request at admission")
     n = T // chunk
     prec = (jax.lax.Precision(precision) if isinstance(precision, str)
             else precision)

@@ -1313,16 +1313,25 @@ def kv_pool_flush_rows(
     slot's page (grid (L, B); only page id and in-page row are dynamic)."""
     L, B, KVH, hd = rows_k.shape
     P, ps = ck.shape[1], ck.shape[3]
+    MP = page_table.shape[1]
     RC, SC = _row_chunks(ps)
     shp5, sshp = ck.shape, cks.shape
     ck4 = ck.reshape(L * P, KVH, ps, hd)
     cv4 = cv.reshape(L * P, KVH, ps, hd)
     scal = pos.astype(jnp.int32)[None, :]  # [1, B]
 
+    def page_of(b, pt_ref, s_ref):
+        # pos past the slot's table (zero decode headroom, parked slots at
+        # a bucketed park position) must NOT read pt_ref out of bounds —
+        # an undefined page id is an OOB aliased pool write (ADVICE r3).
+        # Redirect to the trash page 0 exactly like reservation overflow.
+        col = s_ref[0, b] // ps
+        return pt_ref[b, jnp.minimum(col, MP - 1)] * (col < MP).astype(jnp.int32)
+
     kvspec = pl.BlockSpec(
         (1, KVH, RC, hd),
         lambda l, b, pt_ref, s_ref: (
-            l * P + pt_ref[b, s_ref[0, b] // ps], 0,
+            l * P + page_of(b, pt_ref, s_ref), 0,
             (s_ref[0, b] % ps) // RC, 0),
         memory_space=pltpu.VMEM)
     rowspec = pl.BlockSpec((1, 1, KVH, hd), lambda l, b, *_: (l, b, 0, 0),
@@ -1363,7 +1372,7 @@ def kv_pool_flush_rows(
     sspec = pl.BlockSpec(
         (1, KVH, SC),
         lambda l, b, pt_ref, s_ref: (
-            l * P + pt_ref[b, s_ref[0, b] // ps], 0,
+            l * P + page_of(b, pt_ref, s_ref), 0,
             (s_ref[0, b] % ps) // SC),
         memory_space=pltpu.VMEM)
     rsspec = pl.BlockSpec((1, 1, KVH, 1), lambda l, b, *_: (l, b, 0, 0),
@@ -1821,9 +1830,15 @@ def kv_pool_write_chunk(
     cvs3 = cvs.reshape(L * P, KVH, ps)
     scal = _decode_scalars(start, layer)
 
+    MP = page_table.shape[1]
+
     def pool_index(b, j, pt_ref, s_ref):
-        return (s_ref[1, 0] * P + pt_ref[b, s_ref[0, b] // ps], 0,
-                (s_ref[0, b] % ps) // rp + j, 0)
+        # chunks past the slot's table land on the trash page 0 instead of
+        # reading an undefined page id past pt_ref (defense in depth — the
+        # caller asserts ceil(T/ps) <= MP, ADVICE r3)
+        col = s_ref[0, b] // ps
+        page = pt_ref[b, jnp.minimum(col, MP - 1)] * (col < MP).astype(jnp.int32)
+        return (s_ref[1, 0] * P + page, 0, (s_ref[0, b] % ps) // rp + j, 0)
 
     inspec = pl.BlockSpec((1, KVH, rp, hd),
                           lambda b, j, *_: (b, 0, j, 0),

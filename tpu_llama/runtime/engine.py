@@ -70,9 +70,11 @@ def prefill_into_slots_waved(params, cache, tokens, lengths, slots, config,
         return _prefill_into_slots(params, cache, tokens, lengths, slots,
                                    config, precision=precision,
                                    logits_mode=logits_mode)
-    bw = max(1, min(Bp, _WAVE_ROWS // _POOL_CHUNK))  # largest divisor of
-    while Bp % bw:  # Bp with bw * chunk <= _WAVE_ROWS rows per wave
-        bw -= 1
+    # waves of bw slots (bw * chunk <= _WAVE_ROWS rows of chunk working
+    # set); the final wave may be smaller — one extra program shape at
+    # most, vs. the old exact-divisor rule that degraded awkward batches
+    # (prime 17, 61, ...) to bw=1: one ~27 ms dispatch PER SLOT (ADVICE r3)
+    bw = max(1, min(Bp, _WAVE_ROWS // _POOL_CHUNK))
     outs = []
     for w in range(0, Bp, bw):
         # pool_direct=True: a 16-slot wave is under the rows threshold, but
@@ -109,11 +111,13 @@ def _prefill_into_slots(
     before any query attends to it (mask is ``s <= pos``).
     """
     Bp, T = tokens.shape
-    if pool_direct or _pool_direct_ok(cache, Bp, T, logits_mode):
-        # pool-direct chunked prefill — O(Bp x chunk) temporaries; callers
-        # with more than _WAVE_ROWS rows should come through
-        # prefill_into_slots_waved (a single huge direct call runs out of
-        # activation HBM at b64)
+    if pool_direct:
+        # Pool-direct chunked prefill — O(Bp x chunk) temporaries.  ONLY
+        # the explicit flag routes here: prefill_into_slots_waved is the
+        # documented front door that applies the rows auto-gate AND splits
+        # into waves; auto-firing here too sent direct callers above the
+        # gate down the UNWAVED path that runs out of activation HBM at
+        # b64 (ADVICE r3).
         from tpu_llama.models.llama import forward_prefill_paged_chunked
 
         last, cache = forward_prefill_paged_chunked(
