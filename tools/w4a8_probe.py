@@ -46,12 +46,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pack_w4(w_int4: np.ndarray) -> np.ndarray:
-    """[IN, OUT] int4-valued int8 -> [IN, OUT/2] packed bytes (lo | hi<<4)."""
+def pack_w4(w_int4: np.ndarray, TO: int) -> np.ndarray:
+    """[IN, OUT] int4-valued int8 -> [IN, OUT/2] packed bytes, TILE-aware:
+    within each group of TO logical columns, the first TO/2 are the low
+    nibbles and the last TO/2 the high nibbles of the group's TO/2 packed
+    bytes — so a (TI, TO/2) packed block unpacks to output tile o with one
+    lane concat (no interleave reshape; Mosaic rejects sub-128-lane
+    collapses, CLAUDE.md).  MEASURED r4: the original whole-matrix halves
+    layout scrambles any multi-tile output (the concat covers logical
+    columns [o*TO/2, o*TO/2+TO/2) + [OUT/2 + ...), not tile o)."""
     IN, OUT = w_int4.shape
-    lo = w_int4[:, : OUT // 2].astype(np.int8)
-    hi = w_int4[:, OUT // 2 :].astype(np.int8)
-    return ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.int8)
+    g = w_int4.reshape(IN, OUT // TO, TO)
+    lo = g[:, :, : TO // 2].astype(np.int8)
+    hi = g[:, :, TO // 2 :].astype(np.int8)
+    return ((lo & 0xF) | ((hi & 0xF) << 4)).reshape(IN, OUT // 2).astype(
+        np.int8)
 
 
 def _w4a8_kernel(x_ref, sx_ref, p_ref, sw_ref, o_ref, acc_ref, *, n_in: int,
@@ -72,10 +81,19 @@ def _w4a8_kernel(x_ref, sx_ref, p_ref, sw_ref, o_ref, acc_ref, *, n_in: int,
         b32 = b.astype(jnp.int32)
         lo = ((b32 << 28) >> 28).astype(jnp.int8)
         hi = (b32 >> 4).astype(jnp.int8)
-    else:  # "mask": shift-free (and/select/sub + f32 scale)
+    elif unpack == "mask":  # shift-free (and/select/sub + f32 scale)
+        # MEASURED r4: Mosaic rejects the int8-lane compare ('Target does
+        # not support this comparison', arith.cmpi on vector<...xi8>)
         lo4 = jnp.bitwise_and(b, jnp.int8(0xF))  # 0..15
         lo = lo4 - jnp.where(lo4 >= 8, jnp.int8(16), jnp.int8(0))
         hi = ((b - lo4).astype(jnp.float32) * 0.0625).astype(jnp.int8)
+    else:  # "float": comparison- and shift-free — floor/mul/sub in f32
+        bf = b.astype(jnp.float32)  # signed byte value
+        bu = bf - 256.0 * jnp.floor(bf * (1.0 / 256.0))  # unsigned 0..255
+        hi4 = jnp.floor(bu * 0.0625)  # 0..15
+        lo4 = bu - 16.0 * hi4  # 0..15
+        lo = (lo4 - 16.0 * jnp.floor(lo4 * 0.125)).astype(jnp.int8)
+        hi = (hi4 - 16.0 * jnp.floor(hi4 * 0.125)).astype(jnp.int8)
     w = jnp.concatenate([lo, hi], axis=1)  # [TI, TO] int8 in logical order
     acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
 
@@ -117,50 +135,220 @@ def w4a8_matmul_probe(xq, sx, packed, sw, TI=512, TO=512, unpack="int8"):
     )(xq, sx[:, None], packed, sw[None, :])
 
 
+def _w4_native_kernel(x_ref, sx_ref, w_ref, sw_ref, o_ref, acc_ref, *,
+                      n_in: int, mode: str = "int8"):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if mode == "direct":
+        # mixed int8 x int4 dot — MEASURED r4: Mosaic 'Mix int/int - NYI'
+        acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                              preferred_element_type=jnp.int32)
+    elif mode == "bf16":
+        # S4 -> bf16 upconvert + bf16 MXU (decode is bandwidth-bound, MXU
+        # rate irrelevant) — acc stays int32-exact in f32 range
+        w = w_ref[:].astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), w,
+                              preferred_element_type=jnp.float32).astype(
+                                  acc_ref.dtype)
+    else:
+        w = w_ref[:].astype(jnp.int8)  # native S4 load + VPU convert
+        acc_ref[:] += jnp.dot(x_ref[:], w,
+                              preferred_element_type=jnp.int32)
+
+    @pl.when(i == n_in - 1)
+    def _():
+        o_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+        ).astype(o_ref.dtype)
+
+
+def _w4_native_call(xq, sx, w4, sw, TI, TO, mode="int8"):
+    """Pallas call on an ALREADY-int4 traced array.  int4 must never cross
+    a jit boundary: both eager device_put of int4 and passing a
+    device-resident S4 array as a jit argument recurse in _array_shard_arg
+    through this relay (measured r4) — convert inside the same jit."""
+    Bp, IN = xq.shape
+    OUT = w4.shape[1]
+    TI, TO = min(TI, IN), min(TO, OUT)
+    n_in, n_out = IN // TI, OUT // TO
+    kern = functools.partial(_w4_native_kernel, n_in=n_in, mode=mode)
+    return pl.pallas_call(
+        kern,
+        grid=(1, n_out, n_in),
+        in_specs=[
+            pl.BlockSpec((Bp, TI), lambda m, o, i: (m, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda m, o, i: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, TO), lambda m, o, i: (i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TO), lambda m, o, i: (0, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bp, TO), lambda m, o, i: (m, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, OUT), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bp, TO), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=jax.default_backend() != "tpu",
+    )(xq, sx[:, None], w4, sw[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "TI", "TO"))
+def w8_baseline_probe_loop(xq, sx, w8, sw, iters, TI=512, TO=512):
+    def body(c, _):
+        o = _w4_native_call(xq, sx, w8, sw, TI, TO)
+        return c + o[0, :8], None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), length=iters)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("TI", "TO"))
+def w8_baseline_probe(xq, sx, w8, sw, TI=512, TO=512):
+    """Identical kernel structure with FULL int8 weights — the baseline the
+    int4 stream is judged against (same grid, same launch cost)."""
+    return _w4_native_call(xq, sx, w8, sw, TI, TO)
+
+
+@functools.partial(jax.jit, static_argnames=("TI", "TO", "mode"))
+def w4_native_once(xq, sx, w4i8, sw, TI=512, TO=512, mode="int8"):
+    return _w4_native_call(xq, sx, w4i8.astype(jnp.int4), sw, TI, TO,
+                           mode=mode)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "TI", "TO", "mode"))
+def w4_native_loop(xq, sx, w4i8, sw, iters, TI=512, TO=512, mode="int8"):
+    # convert ONCE before the scan (loop-invariant): the scan body streams
+    # the S4 buffer from HBM — that stream is what this probe measures
+    w4 = w4i8.astype(jnp.int4)
+
+    def body(c, _):
+        o = _w4_native_call(xq, sx, w4, sw, TI, TO, mode=mode)
+        return c + o[0, :8], None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), length=iters)
+    return acc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--iters", type=int, default=256)
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--unpack", default="int32",
-                    choices=["int8", "int32", "mask"])
+                    choices=["int8", "int32", "mask", "float", "int4",
+                             "int4dot", "int4bf16", "int8full"])
+    ap.add_argument("--ti", type=int, default=512)
+    ap.add_argument("--to", type=int, default=512)
+    ap.add_argument("--ab", action="store_true",
+                    help="interleaved A/B of int8full vs int4 vs int4bf16 "
+                         "(the only method that resolves <10%% deltas on "
+                         "this time-shared chip, CLAUDE.md)")
     args = ap.parse_args()
 
     IN = OUT = args.size
     rng = np.random.default_rng(0)
     w4 = rng.integers(-8, 8, (IN, OUT)).astype(np.int8)
-    packed = jnp.asarray(pack_w4(w4))
+    packed = jnp.asarray(pack_w4(w4, TO=min(512, OUT)))
     # scale columns so unpacked@scales reproduces a float weight
     sw = jnp.asarray(rng.random(OUT).astype(np.float32) * 0.02)
     xq = jnp.asarray(rng.integers(-127, 128, (args.rows, IN)), jnp.int8)
     sx = jnp.asarray(rng.random(args.rows).astype(np.float32) * 0.05)
 
+    if args.ab:
+        w4dev = jnp.asarray(w4)
+        runs = {
+            "int8full": lambda: w8_baseline_probe_loop(
+                xq, sx, w4dev, sw, args.iters, args.ti, args.to),
+            "int4": lambda: w4_native_loop(
+                xq, sx, w4dev, sw, args.iters, TI=args.ti, TO=args.to,
+                mode="int8"),
+            "int4bf16": lambda: w4_native_loop(
+                xq, sx, w4dev, sw, args.iters, TI=args.ti, TO=args.to,
+                mode="bf16"),
+        }
+        for name, fn in runs.items():  # compile + warm
+            np.asarray(fn())
+        times = {name: [] for name in runs}
+        for _ in range(7):
+            for name, fn in runs.items():
+                t0 = time.perf_counter()
+                np.asarray(fn())
+                times[name].append(time.perf_counter() - t0)
+        res = {}
+        for name, ts in times.items():
+            med = float(np.median(ts)) / args.iters
+            res[name] = {"us_per_matmul": round(med * 1e6, 1),
+                         "spread": round((max(ts) - min(ts)) / np.median(ts),
+                                         3)}
+        print(json.dumps({"shape": [IN, OUT], "rows": args.rows,
+                          "ti": args.ti, "to": args.to, "ab": res}))
+        return
+
+    if args.unpack in ("int4", "int4dot", "int4bf16"):
+        w4dev = jnp.asarray(w4)  # int8 on device; int4 convert stays in-jit
+        mode = {"int4": "int8", "int4dot": "direct",
+                "int4bf16": "bf16"}[args.unpack]
+
+        def run_once(xq, sx):
+            return w4_native_once(xq, sx, w4dev, sw, TI=args.ti, TO=args.to,
+                                  mode=mode)
+
+        def run_loop(xq, sx):
+            return w4_native_loop(xq, sx, w4dev, sw, args.iters,
+                                  TI=args.ti, TO=args.to, mode=mode)
+    elif args.unpack == "int8full":
+        w8dev = jnp.asarray(w4)  # full int8, same kernel/grid as int4
+
+        def run_once(xq, sx):
+            return w8_baseline_probe(xq, sx, w8dev, sw, TI=args.ti,
+                                     TO=args.to)
+
+        @jax.jit
+        def run_loop(xq, sx):
+            def body(c, _):
+                o = w8_baseline_probe(xq, sx, w8dev, sw, TI=args.ti,
+                                      TO=args.to)
+                return c + o[0, :8], None
+            acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32),
+                                  length=args.iters)
+            return acc
+    else:
+        def run_once(xq, sx):
+            return w4a8_matmul_probe(xq, sx, packed, sw, unpack=args.unpack)
+
+        @jax.jit
+        def run_loop(xq, sx):
+            def body(c, _):
+                o = w4a8_matmul_probe(xq, sx, packed, sw,
+                                      unpack=args.unpack)
+                return c + o[0, :8], None
+            acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32),
+                                  length=args.iters)
+            return acc
+
     # correctness vs numpy
-    out = np.asarray(w4a8_matmul_probe(xq, sx, packed, sw,
-                                       unpack=args.unpack))
+    out = np.asarray(run_once(xq, sx))
     ref = (np.asarray(xq).astype(np.int32) @ w4.astype(np.int32)
            ).astype(np.float32) * np.asarray(sx)[:, None] * np.asarray(sw)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
     print("correctness: OK", file=sys.stderr)
 
     # throughput: iterate the matmul in-program (dispatch floor is ~27 ms)
-    @jax.jit
-    def loop(xq, sx):
-        def body(c, _):
-            o = w4a8_matmul_probe(xq, sx, packed, sw, unpack=args.unpack)
-            return c + o[0, :8], None
-        acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32),
-                              length=args.iters)
-        return acc
-
-    np.asarray(loop(xq, sx))  # warm
+    np.asarray(run_loop(xq, sx))  # warm
     reps = []
     for _ in range(5):
         t0 = time.perf_counter()
-        np.asarray(loop(xq, sx))
+        np.asarray(run_loop(xq, sx))
         reps.append(time.perf_counter() - t0)
     dt = float(np.median(reps)) / args.iters
-    packed_bytes = IN * OUT // 2
+    packed_bytes = IN * OUT // (1 if args.unpack == "int8full" else 2)
     print(json.dumps({
         "shape": [IN, OUT], "rows": args.rows, "unpack": args.unpack,
         "us_per_matmul": round(dt * 1e6, 1),
