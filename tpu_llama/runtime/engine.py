@@ -39,7 +39,9 @@ from tpu_llama.runtime.paged import PagePool
 # Pool-direct admission gate (see _prefill_into_slots): above
 # _POOL_DIRECT_ROWS total prompt rows, prefill straight into the page pool
 # in waves of <= _WAVE_ROWS rows, _POOL_CHUNK positions at a time.
-_POOL_DIRECT_ROWS = 16384
+_POOL_DIRECT_ROWS = 8192  # r4: b64 x 256-token prompts (16384 rows) must go
+# pool-direct — the compact duplicate (4.3 GB at 7B) cannot coexist with a
+# 129-page pool + params; b16 x 512 (8192 rows) stays compact (known-good)
 _POOL_CHUNK = 256
 _WAVE_ROWS = 4096
 
