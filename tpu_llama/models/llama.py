@@ -1323,8 +1323,8 @@ def _forward_prefill_fresh(params, cache, tokens, lengths,
             vs = vs.transpose(0, 2, 1)
             if attn == "flash":
                 att = flash_prefill_attention(
-                    q, kq, vq, start0, ks, vs).reshape(
-                        B, T, config.dim).astype(x.dtype)
+                    q, kq, vq, start0, ks, vs, out_dtype=x.dtype,
+                    assume_fresh=True).reshape(B, T, config.dim)
             else:
                 kf = kq.astype(jnp.float32) * ks[..., None]
                 vf = vq.astype(jnp.float32) * vs[..., None]
@@ -1337,8 +1337,8 @@ def _forward_prefill_fresh(params, cache, tokens, lengths,
             vc = vt.astype(cache.v.dtype)
             if attn == "flash":
                 att = flash_prefill_attention(
-                    q, kc, vc, start0).reshape(
-                        B, T, config.dim).astype(x.dtype)
+                    q, kc, vc, start0, out_dtype=x.dtype,
+                    assume_fresh=True).reshape(B, T, config.dim)
             else:
                 att = _attention_prefill(q, kc, vc, q_pos, config, prec)
             fresh = (kc, vc)
@@ -1677,8 +1677,8 @@ def forward_prefill(
                 # scales stay in-kernel: no layer-wide f32 dequant temporary
                 att = flash_prefill_attention(
                     q, cache_l.k, cache_l.v, start_pos, cache_l.ks,
-                    cache_l.vs, max_keys=max_keys).reshape(
-                        B, T, config.dim).astype(x.dtype)
+                    cache_l.vs, max_keys=max_keys,
+                    out_dtype=x.dtype).reshape(B, T, config.dim)
             else:
                 kf = cache_l.k.astype(jnp.float32) * cache_l.ks[..., None]
                 vf = cache_l.v.astype(jnp.float32) * cache_l.vs[..., None]
@@ -1691,8 +1691,8 @@ def forward_prefill(
             if attn == "flash":
                 att = flash_prefill_attention(
                     q, cache_l.k, cache_l.v, start_pos,
-                    max_keys=max_keys).reshape(
-                        B, T, config.dim).astype(x.dtype)
+                    max_keys=max_keys,
+                    out_dtype=x.dtype).reshape(B, T, config.dim)
             else:
                 att = _attention_prefill(q, cache_l.k, cache_l.v, q_pos,
                                          config, prec)

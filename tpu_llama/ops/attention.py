@@ -1417,6 +1417,149 @@ def kv_pool_flush_rows(
 # ---------------------------------------------------------------------------
 
 
+def _flash_prefill_hb_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
+                             m_ref, l_ref, acc_ref, s_scr, *, G: int,
+                             TQ: int, TS: int, HB: int, n_s: int, int8: bool,
+                             ks_ref=None, vs_ref=None):
+    """Head-blocked prefill cell: HB kv-heads share one grid cell.
+
+    The per-head kernel's cost at TTFT shapes is per-CELL issue overhead,
+    not lane work (~9.5 us x B x KVH x 32 layers = ~78 ms of the 7B b8 T512
+    prefill, measured r4) — the same failure mode mega2 fixed for decode.
+    Here the QK/PV dots stay per-head 2-D (a KVH-batched dot_general hangs
+    the remote Mosaic compile, CLAUDE.md) but their scores stack into ONE
+    [HB*TQ, TS] scratch and the entire mask/max/exp/sum softmax chain runs
+    once per cell; probabilities are written back IN-PLACE so the scratch
+    is the only O(HB*TQ*TS) buffer (HB=4 => ~11 MB total cell footprint).
+    """
+    b = pl.program_id(0)
+    qb = pl.program_id(2)
+    sb = pl.program_id(3)
+    R = HB * TQ
+
+    @pl.when(sb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    start = start_ref[b]
+
+    @pl.when(sb * TS <= start + (qb * TQ + TQ - 1) // G)
+    def _():
+        for h in range(HB):
+            q = q_ref[0, h]  # [TQ, hd], pre-scaled by 1/sqrt(hd)
+            k = k_ref[0, h]  # [TS, hd]
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
+                k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [TQ, TS]
+            if int8:
+                s = s * ks_ref[0, h]  # [1, TS] per-token K scales
+            s_scr[h * TQ:(h + 1) * TQ, :] = s
+
+        # one stacked softmax chain for all HB heads
+        s = s_scr[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 0)
+        qpos = start + (qb * TQ + row % TQ) // G
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 1) + sb * TS
+        mask = kpos <= qpos
+        m_prev = m_ref[:, :1]
+        s_max = jnp.max(jnp.where(mask, s, _NEG_INF), axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, s_max)
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        s_scr[:] = p  # reuse the scores scratch for the probabilities
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        acc_ref[:] = acc_ref[:] * corr
+
+        for h in range(HB):
+            ph = s_scr[h * TQ:(h + 1) * TQ, :]
+            if int8:
+                ph = (ph * vs_ref[0, h]).astype(jnp.bfloat16)
+                v = v_ref[0, h].astype(jnp.bfloat16)
+            else:
+                ph = ph.astype(jnp.float32)
+                v = v_ref[0, h].astype(jnp.float32)
+            acc_ref[h * TQ:(h + 1) * TQ, :] = (
+                acc_ref[h * TQ:(h + 1) * TQ, :]
+                + jnp.dot(ph, v, preferred_element_type=jnp.float32))
+
+    @pl.when(sb == n_s - 1)
+    def _():
+        hd = acc_ref.shape[-1]
+        out = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = out.reshape(HB, TQ, hd).astype(o_ref.dtype)
+
+
+def _flash_prefill_fresh_kernel(q_ref, k_ref, v_ref, o_ref, bias_scr, *,
+                                G: int, TQ: int, TS: int, int8: bool,
+                                ks_ref=None, vs_ref=None):
+    """Prefill-from-zero single-block cell: start == 0 and one S block.
+
+    The general kernel pays ~9.5 us/cell of which most is VPU pass count,
+    not issue (measured r4: head-blocking cells 4x changed nothing).  With
+    start == 0 (static) and n_s == 1 the online-softmax carry (m/l refs,
+    corr exp, acc rescale) is dead weight, and the causal mask is a
+    LAUNCH-CONSTANT [TQ, TS] bias — computed once into a scratch at the
+    first cell and applied as one fused multiply-add per cell, replacing
+    the per-cell iota/mod/compare/where chain (~5 wide passes -> 1)."""
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 1)
+        bias_scr[:] = jnp.where(kpos <= row // G, 0.0, _NEG_INF)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
+        k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [TQ, TS]
+    if int8:
+        s = s * ks_ref[0, 0] + bias_scr[:]
+    else:
+        s = s + bias_scr[:]
+    s_max = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - s_max)  # masked lanes underflow to exact zeros
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if int8:
+        p = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+    else:
+        p = p.astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+    acc = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pick_prefill_hb(KVH: int, TQ: int, TS: int, hd: int, int8: bool,
+                     out_bytes: int) -> int:
+    """Largest divisor-of-KVH head block whose cell footprint fits VMEM.
+
+    Budget model: scores scratch (reused in-place for probabilities) +
+    double-buffered q/k/v/out blocks + acc + m/l running stats, against a
+    conservative 11 MB (Mosaic's real stack runs ~1-2 MB above any model —
+    CLAUDE.md; the remaining headroom absorbs it)."""
+    qb = 2 if int8 else 4
+    kb = 1 if int8 else 4
+    for hb in (8, 4, 2):
+        if KVH % hb:
+            continue
+        r = hb * TQ
+        total = (r * TS * 4  # s_scr
+                 + 2 * hb * (TQ * hd * qb + 2 * TS * hd * kb
+                             + TQ * hd * out_bytes + 2 * TS * 4)
+                 + r * hd * 4 + 2 * r * 128 * 4)
+        if total <= 11 * 1024 * 1024:
+            return hb
+    return 1
+
+
 def _flash_prefill_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
                           m_ref, l_ref, acc_ref, *, G: int, TQ: int, TS: int,
                           n_s: int, int8: bool,
@@ -1485,7 +1628,8 @@ def _flash_prefill_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_s",
-                                              "max_keys"))
+                                              "max_keys", "block_h",
+                                              "out_dtype", "assume_fresh"))
 def flash_prefill_attention(
     q: jax.Array,  # [B, T, NH, hd] — raw queries for this chunk
     k_cache: jax.Array,  # [B, KVH, S, hd] fp or int8 (chunk already written)
@@ -1496,6 +1640,13 @@ def flash_prefill_attention(
     block_q: int = 512,
     block_s: int = 512,
     max_keys: int | None = None,
+    block_h: int | None = None,  # kv-heads per grid cell (None = auto)
+    out_dtype=None,  # output dtype (None = f32); callers that cast the
+    # result to the residual dtype pass it here so the epilogue
+    # transpose/reshape moves half the bytes
+    assume_fresh: bool = False,  # STATIC promise: start_pos == 0 everywhere
+    # — enables the single-pass fresh kernel when the shape also has one
+    # q block and one s block (the TTFT / admission shape)
 ) -> jax.Array:
     """Returns [B, T, NH*hd] f32. Causality: key s attends iff
     s <= start_pos[b] + t (matches _attention_prefill's mask).
@@ -1534,13 +1685,133 @@ def flash_prefill_attention(
     if max_keys is not None:
         n_s = min(n_s, -(-min(max_keys, S) // TS))
 
-    grid = (B, KVH, rows_p // TQ, n_s)
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
+
+    if assume_fresh and n_s == 1 and rows_p == TQ:
+        if int8:
+            qr = qr.astype(jnp.bfloat16)  # exact: the dots cast anyway
+        qspec_f = pl.BlockSpec((1, 1, TQ, hd), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)
+        kvspec_f = pl.BlockSpec((1, 1, TS, hd), lambda b, h: (b, h, 0, 0),
+                                memory_space=pltpu.VMEM)
+        sspec_f = pl.BlockSpec((1, 1, 1, TS), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)
+        kern = functools.partial(_flash_prefill_fresh_kernel, G=G, TQ=TQ,
+                                 TS=TS, int8=int8)
+        if int8:
+            def kern_int8(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                          bias_scr):
+                kern(q_ref, k_ref, v_ref, o_ref, bias_scr,
+                     ks_ref=ks_ref, vs_ref=vs_ref)
+
+            out = pl.pallas_call(
+                kern_int8,
+                grid=(B, KVH),
+                in_specs=[qspec_f, kvspec_f, kvspec_f, sspec_f, sspec_f],
+                out_specs=qspec_f,
+                scratch_shapes=[pltpu.VMEM((TQ, TS), jnp.float32)],
+                out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd),
+                                               out_dtype),
+                interpret=_interpret(),
+            )(qr, k_cache, v_cache,
+              k_scale[:, :, None, :], v_scale[:, :, None, :])
+        else:
+            out = pl.pallas_call(
+                kern,
+                grid=(B, KVH),
+                in_specs=[qspec_f, kvspec_f, kvspec_f],
+                out_specs=qspec_f,
+                scratch_shapes=[pltpu.VMEM((TQ, TS), jnp.float32)],
+                out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd),
+                                               out_dtype),
+                interpret=_interpret(),
+            )(qr, k_cache.astype(jnp.float32), v_cache.astype(jnp.float32))
+        out = out[:, :, :rows].reshape(B, KVH, T, G, hd).transpose(
+            0, 2, 1, 3, 4)
+        return out.reshape(B, T, NH * hd)
+
+    HB = block_h
+    if HB is None:
+        HB = _pick_prefill_hb(KVH, TQ, TS, hd, int8,
+                              jnp.dtype(out_dtype).itemsize)
 
     def sb_clamp(b, qb, sb, start_ref):
         # fully-masked S-blocks clamp to the causal boundary block: no DMA
         # is issued for them and the kernel predicates their update off
         hi = (start_ref[b] + (qb * TQ + TQ - 1) // G) // TS
         return jnp.minimum(sb, hi)
+
+    if HB > 1:
+        if int8:
+            # exact: the kernel's dots cast q to bf16 anyway; staging the
+            # cast halves the q block's VMEM/DMA footprint
+            qr = qr.astype(jnp.bfloat16)
+        grid = (B, KVH // HB, rows_p // TQ, n_s)
+        R = HB * TQ
+        qspec_h = pl.BlockSpec((1, HB, TQ, hd),
+                               lambda b, h, qb, sb, *_: (b, h, qb, 0),
+                               memory_space=pltpu.VMEM)
+        kvspec_h = pl.BlockSpec(
+            (1, HB, TS, hd),
+            lambda b, h, qb, sb, start_ref: (
+                b, h, sb_clamp(b, qb, sb, start_ref), 0),
+            memory_space=pltpu.VMEM)
+        sspec_h = pl.BlockSpec(
+            (1, HB, 1, TS),
+            lambda b, h, qb, sb, start_ref: (
+                b, h, 0, sb_clamp(b, qb, sb, start_ref)),
+            memory_space=pltpu.VMEM)
+        ospec_h = pl.BlockSpec((1, HB, TQ, hd),
+                               lambda b, h, qb, sb, *_: (b, h, qb, 0),
+                               memory_space=pltpu.VMEM)
+        scratch_h = [
+            pltpu.VMEM((R, 128), jnp.float32),  # running max
+            pltpu.VMEM((R, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((R, hd), jnp.float32),  # weighted-value accum
+            pltpu.VMEM((R, TS), jnp.float32),  # stacked scores/probs
+        ]
+        kern = functools.partial(_flash_prefill_hb_kernel, G=G, TQ=TQ,
+                                 TS=TS, HB=HB, n_s=n_s, int8=int8)
+        if int8:
+            def kern_int8(start_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                          o_ref, m_ref, l_ref, acc_ref, s_scr):
+                kern(start_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+                     acc_ref, s_scr, ks_ref=ks_ref, vs_ref=vs_ref)
+
+            out = pl.pallas_call(
+                kern_int8,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=grid,
+                    in_specs=[qspec_h, kvspec_h, kvspec_h, sspec_h, sspec_h],
+                    out_specs=ospec_h,
+                    scratch_shapes=scratch_h,
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd),
+                                               out_dtype),
+                interpret=_interpret(),
+            )(start_pos.astype(jnp.int32), qr, k_cache, v_cache,
+              k_scale[:, :, None, :], v_scale[:, :, None, :])
+        else:
+            out = pl.pallas_call(
+                kern,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=grid,
+                    in_specs=[qspec_h, kvspec_h, kvspec_h],
+                    out_specs=ospec_h,
+                    scratch_shapes=scratch_h,
+                ),
+                out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd),
+                                               out_dtype),
+                interpret=_interpret(),
+            )(start_pos.astype(jnp.int32), qr,
+              k_cache.astype(jnp.float32), v_cache.astype(jnp.float32))
+        out = out[:, :, :rows].reshape(B, KVH, T, G, hd).transpose(
+            0, 2, 1, 3, 4)
+        return out.reshape(B, T, NH * hd)
+
+    grid = (B, KVH, rows_p // TQ, n_s)
 
     qspec = pl.BlockSpec((1, 1, TQ, hd), lambda b, h, qb, sb, *_: (b, h, qb, 0),
                          memory_space=pltpu.VMEM)
@@ -1576,7 +1847,7 @@ def flash_prefill_attention(
                 out_specs=ospec,
                 scratch_shapes=scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd), out_dtype),
             interpret=_interpret(),
         )(start_pos.astype(jnp.int32), qr, k_cache, v_cache,
           k_scale[:, :, None, :], v_scale[:, :, None, :])
@@ -1590,7 +1861,7 @@ def flash_prefill_attention(
                 out_specs=ospec,
                 scratch_shapes=scratch,
             ),
-            out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, KVH, rows_p, hd), out_dtype),
             interpret=_interpret(),
         )(start_pos.astype(jnp.int32), qr, k_cache.astype(jnp.float32),
           v_cache.astype(jnp.float32))
