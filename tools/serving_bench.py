@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--occupancy-sweep", action="store_true",
                     help="measure at slots/2, slots, and 3x-oversubscribed; "
                          "append results to BENCH_serving.jsonl")
+    ap.add_argument("--profile", action="store_true",
+                    help="print per-phase wall-time attribution "
+                         "(ContinuousBatcher.timers) after each measurement")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +90,20 @@ def main() -> None:
 
     def measure(n_requests: int) -> dict:
         batcher.finished.clear()
+        for k in batcher.timers:
+            batcher.timers[k] = 0 if isinstance(batcher.timers[k], int) \
+                else 0.0
         reqs, wall = wave(n_requests)
+        if args.profile:
+            t = batcher.timers
+            attributed = t["admit"] + t["decode_dispatch"] + \
+                t["decode_read"] + t["emit"]
+            print(f"# timers: admit={t['admit']:.2f}s "
+                  f"dispatch={t['decode_dispatch']:.2f}s "
+                  f"read={t['decode_read']:.2f}s emit={t['emit']:.2f}s "
+                  f"| other={wall - attributed:.2f}s of {wall:.2f}s "
+                  f"| {t['chunks']} chunks/{t['chunk_steps']} steps, "
+                  f"{t['admits']} admits/{t['admitted']} reqs", flush=True)
         rep = summarize(reqs)
         return {
             "config": args.config, "slots": args.slots,

@@ -382,6 +382,15 @@ def _decode_sample_chunk(
     return out.T, cache
 
 
+@jax.jit
+def _sample_rows(logits, base_keys, temps, topps, topks, pos):
+    """Stateless one-token sampling over logits rows (admission path)."""
+    from tpu_llama.ops.sampling import sample_nosort
+
+    keys = jax.vmap(jax.random.fold_in)(base_keys, pos)
+    return sample_nosort(logits, keys, temps, topps, topks)
+
+
 def _make_page_pool(num_pages: int, page_size: int, slots: int,
                     max_pages_per_slot: int):
     """Prefer the native C++ allocator (native/pagepool.cpp, same
@@ -477,12 +486,19 @@ class Engine:
             self._sync_page_table()
 
     def prefill(self, prompts: Sequence[Sequence[int]], slots: Sequence[int],
-                reserve_tokens: Sequence[int] | None = None):
+                reserve_tokens: Sequence[int] | None = None,
+                return_device: bool = False):
         """Prefill fresh prompts into slots. Returns next-token logits [n, V].
 
         ``reserve_tokens`` (paged layout): total positions each request may
         ever occupy (prompt + generation budget); that many pages are
-        reserved up front so decode never fails mid-flight."""
+        reserved up front so decode never fails mid-flight.
+
+        ``return_device=True`` skips the host readback and returns the
+        device array — a [32, 32000] f32 readback costs ~220 ms through
+        the relay (~18 MB/s, CLAUDE.md), which dominated the admission
+        phase when the scheduler only needed one sampled token per row
+        (serving profile r4)."""
         assert len(prompts) == len(slots) and prompts
         lengths = np.array([len(p) for p in prompts], np.int32)
         assert lengths.min() >= 1, "prompts must be non-empty (include BOS)"
@@ -513,14 +529,14 @@ class Engine:
                 jnp.asarray(lengths),
                 jnp.asarray(np.asarray(slots, np.int32)),
                 self.config, self.mesh, self.precision)
-            return np.asarray(last)
+            return last if return_device else np.asarray(last)
         last, _, self.cache = prefill_into_slots_waved(
             self.params, self.cache,
             jnp.asarray(toks), jnp.asarray(lengths),
             jnp.asarray(np.asarray(slots, np.int32)),
             self.config, self.precision, "last",
         )
-        return np.asarray(last)
+        return last if return_device else np.asarray(last)
 
     def prefill_with_all_logits(self, prompt: Sequence[int], slot: int):
         """Single-row prefill returning logits at EVERY prompt position
@@ -541,7 +557,8 @@ class Engine:
         return np.asarray(full)[0, : len(prompt)]
 
     def prefill_continue(self, suffixes: Sequence[Sequence[int]],
-                         slots: Sequence[int], starts: Sequence[int]):
+                         slots: Sequence[int], starts: Sequence[int],
+                         return_device: bool = False):
         """Prefill prompt suffixes into slots whose caches already hold the
         prefix (prefix-reuse admission).  Returns next-token logits [n, V]."""
         assert len(suffixes) == len(slots) == len(starts) and suffixes
@@ -571,7 +588,7 @@ class Engine:
                 jnp.asarray(lengths),
                 jnp.asarray(np.asarray(slots, np.int32)),
                 self.config, self.precision)
-        return np.asarray(logits)
+        return logits if return_device else np.asarray(logits)
 
     def _tp_decode(self, tokens, pos):
         from tpu_llama.parallel.tp import tp_forward_decode_fused
@@ -625,6 +642,30 @@ class Engine:
             self.precision, self.attn,
         )
         return np.asarray(next_tokens)
+
+    def sample_logits(self, logits, temps, topps, topks, base_keys,
+                      pos) -> np.ndarray:
+        """Sample one token per row from logits rows ON DEVICE; returns
+        [n] int32.  Keys derive as fold_in(base_key, pos) — the admission
+        token uses the last PROMPT position, so it never collides with the
+        decode steps' keys (those fold in positions >= pos+1).  Rows pad to
+        a power-of-two bucket to bound the jit shape count."""
+        rows = [jnp.asarray(lg) for lg in logits]
+        keys = list(base_keys)
+        n = len(rows)
+        nb = _bucket(n, minimum=1)
+        rows += [rows[0]] * (nb - n)
+        keys += [keys[0]] * (nb - n)
+
+        def pad(a, fill):
+            a = np.asarray(a)
+            return jnp.asarray(np.concatenate(
+                [a, np.full(nb - n, fill, a.dtype)]))
+
+        out = _sample_rows(
+            jnp.stack(rows), jnp.stack(keys), pad(temps, 0.0),
+            pad(topps, 1.0), pad(topks, 0), pad(pos, 0))
+        return np.asarray(out)[:n]
 
     def decode_sample_chunk_async(self, tokens, pos, temps, topps, base_keys,
                                   steps: int, topks=None) -> jax.Array:

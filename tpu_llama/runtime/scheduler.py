@@ -256,14 +256,19 @@ class ContinuousBatcher:
                 misses.append(i)
 
         if misses:
+            # logits stay ON DEVICE: device-sampled requests never read the
+            # [n, V] rows back (~220 ms/wave through the relay at n=32 —
+            # the dominant admission cost, serving profile r4)
             miss_logits = self.engine.prefill(
                 [prompts[i] for i in misses], [slot_ids[i] for i in misses],
-                reserve_tokens=[reserves[i] for i in misses])
-            for i, lg in zip(misses, miss_logits):
-                last_logits[i] = lg
+                reserve_tokens=[reserves[i] for i in misses],
+                return_device=True)
+            for j, i in enumerate(misses):
+                last_logits[i] = miss_logits[j]
             if self.prefix_cache_size > 0:
-                for i, lg in zip(misses, miss_logits):
-                    self._store_prefix(tuple(prompts[i]), slot_ids[i], lg)
+                for j, i in enumerate(misses):
+                    self._store_prefix(tuple(prompts[i]), slot_ids[i],
+                                       miss_logits[j])
 
         # Restore every hit first, then BATCH the partial-prefix
         # continuations into one prefill_continue per suffix-length bucket:
@@ -286,14 +291,36 @@ class ContinuousBatcher:
             logits = self.engine.prefill_continue(
                 [prompts[i][len(key):] for i, key in continuations],
                 [slot_ids[i] for i, key in continuations],
-                [len(key) for i, key in continuations])
+                [len(key) for i, key in continuations],
+                return_device=True)
             for (i, key), lg in zip(continuations, logits):
                 last_logits[i] = lg
+
+        # first-token selection: device-sampled requests sample ON DEVICE
+        # (one [n]-int32 readback, same sort-free sampler + fold_in(seed,
+        # pos) derivation as the decode chunks); host-sampled / logprobs
+        # requests keep the reference-exact compat path on np logits
+        import jax
+
+        first_tok: dict[int, int] = {}
+        dev = [i for i, ((_, req), a) in enumerate(zip(batch, actives))
+               if req.device_sampling and req.logprobs == 0
+               and a.pos + 1 >= len(req.prompt_tokens) + 1]
+        if dev:
+            toks = self.engine.sample_logits(
+                [last_logits[i] for i in dev],
+                np.array([batch[i][1].temperature for i in dev], np.float32),
+                np.array([batch[i][1].topp for i in dev], np.float32),
+                np.array([batch[i][1].topk for i in dev], np.int32),
+                [jax.random.key(batch[i][1].seed) for i in dev],
+                np.array([actives[i].pos for i in dev], np.int32))
+            first_tok = {i: int(t) for i, t in zip(dev, toks)}
 
         self.timers["admit"] += time.time() - t_admit0
         self.timers["admits"] += 1
         self.timers["admitted"] += len(batch)
-        for (slot, req), active, logits in zip(batch, actives, last_logits):
+        for j, ((slot, req), active, logits) in enumerate(
+                zip(batch, actives, last_logits)):
             self.slots[slot] = active
             # If the budget truncated the prompt (n_forward < len(seq)), the
             # reference would keep teacher-forcing until steps ran out and
@@ -304,8 +331,12 @@ class ContinuousBatcher:
             if active.pos + 1 < len(req.prompt_tokens) + 1:
                 self._retire(slot, active)
                 continue
-            nxt = _select_token(logits, req, active.rng)
-            self._emit(slot, active, nxt, logits)
+            if j in first_tok:
+                self._emit(slot, active, first_tok[j])
+            else:
+                logits = np.asarray(logits)
+                nxt = _select_token(logits, req, active.rng)
+                self._emit(slot, active, nxt, logits)
 
     def _next_request_index(self) -> int:
         if self.policy == "fifo":
@@ -361,6 +392,15 @@ class ContinuousBatcher:
         max_budget = max(self.slots[i].budget for i in active_slots)
         lim = min(self.max_chunk, max(1, min_cap), max(1, max_budget))
         k = 1 << (lim.bit_length() - 1)
+        # retire-in-chunk round-up: when the next power-of-two chunk covers
+        # every remaining budget with <=2 wasted steps (and fits capacity +
+        # the chunk cap), take it — the batch retires INSIDE the chunk, the
+        # queued admissions overlap with it, and the k=1 tail dispatch
+        # disappears (e.g. uniform 97-step budgets: 64+32+1 -> 64+32+2)
+        if (self.queue and (max_budget > k or k == 1)
+                and 2 * k - max_budget <= 2
+                and 2 * k <= min(self.max_chunk, max(1, min_cap))):
+            k *= 2
         if k <= 1:
             return None
         import jax
