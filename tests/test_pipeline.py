@@ -217,3 +217,89 @@ def test_pipeline_fused_w8a8_int8(devices):
         ref.append(np.asarray(t))
     for r, g in zip(ref, stream):
         np.testing.assert_array_equal(g, r)
+
+
+# ---------------------------------------------------------------------------
+# device-side ring pipeline (pp-device): one program, ppermute hand-offs
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_pp_device_greedy_matches_single_chip(devices, n_stages):
+    """The device-side ring-pipelined greedy decode (microbatch rotation,
+    token feedback over ppermute, fill-phase trash writes) must emit exactly
+    the single-chip greedy token stream."""
+    from jax.sharding import Mesh
+
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.models.llama import random_params
+    from tpu_llama.parallel.pipeline import STAGE_AXIS, pp_device_greedy_decode
+
+    c = ModelConfig(dim=64, hidden_dim=172, n_layers=8, n_heads=4,
+                    n_kv_heads=2, vocab_size=97, seq_len=64,
+                    shared_weights=True)
+    params = random_params(c, dtype=jnp.float32, seed=3)
+    B, K = 8, 5
+    rng = np.random.default_rng(0)
+    tok0 = rng.integers(3, c.vocab_size - 1, size=B).astype(np.int32)
+    pos0 = np.zeros(B, np.int32)
+
+    cache = make_kv_cache(c, B)
+    ref = []
+    tok, pos = jnp.asarray(tok0), jnp.asarray(pos0)
+    for _ in range(K):
+        logits, cache = forward_decode(params, cache, tok, pos, c,
+                                       precision="highest", attn="xla",
+                                       fused=False)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos = pos + 1
+        ref.append(np.asarray(tok))
+    ref = np.stack(ref, axis=1)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), (STAGE_AXIS,))
+    out, _ = pp_device_greedy_decode(params, c, mesh, make_kv_cache(c, B),
+                                     tok0, pos0, K)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_pp_device_prefilled_start(devices):
+    """pp-device decode continuing from a prefilled cache (init_pos > 0,
+    per-row staggered lengths) matches stepwise single-chip decode."""
+    from jax.sharding import Mesh
+
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.models import forward_prefill
+    from tpu_llama.models.llama import random_params
+    from tpu_llama.parallel.pipeline import STAGE_AXIS, pp_device_greedy_decode
+
+    c = ModelConfig(dim=64, hidden_dim=172, n_layers=4, n_heads=4,
+                    n_kv_heads=2, vocab_size=97, seq_len=64,
+                    shared_weights=True)
+    params = random_params(c, dtype=jnp.float32, seed=5)
+    B, T, K = 4, 6, 4
+    rng = np.random.default_rng(1)
+    prompts = rng.integers(3, c.vocab_size - 1, (B, T)).astype(np.int32)
+    lengths = np.array([6, 4, 5, 6], np.int32)
+
+    cache = make_kv_cache(c, B)
+    logits, cache = forward_prefill(params, cache, jnp.asarray(prompts),
+                                    jnp.zeros(B, jnp.int32),
+                                    jnp.asarray(lengths), c,
+                                    precision="highest", logits_mode="last")
+    tok0 = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+    pos0 = lengths.copy()  # next decode position per row
+
+    ref, tok, pos = [], jnp.asarray(tok0), jnp.asarray(pos0)
+    ref_cache = cache
+    for _ in range(K):
+        logits, ref_cache = forward_decode(params, ref_cache, tok, pos, c,
+                                           precision="highest", attn="xla",
+                                           fused=False)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        pos = pos + 1
+        ref.append(np.asarray(tok))
+    ref = np.stack(ref, axis=1)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), (STAGE_AXIS,))
+    out, _ = pp_device_greedy_decode(params, c, mesh, cache, tok0, pos0, K)
+    np.testing.assert_array_equal(np.asarray(out), ref)

@@ -232,6 +232,163 @@ def _stage_prefill(
     return out, new_cache
 
 
+STAGE_AXIS = "stage"
+
+
+def pp_device_greedy_decode(
+    params: LlamaParams,
+    config: ModelConfig,
+    mesh: jax.sharding.Mesh,  # 1-D mesh over STAGE_AXIS
+    cache,  # KVCache [L, B, KVH, S, hd] fp (stage-sharded by this fn)
+    init_tokens: jax.Array,  # [B] int32 — first decode token per row
+    init_pos: jax.Array,  # [B] int32 — its position (rows prefilled below)
+    steps: int,
+    precision: str = "highest",
+):
+    """Device-side pipelined greedy decode: ONE jitted program for ALL
+    stages and ALL tokens — no host dispatch between stages or steps.
+
+    The host-driven ``PipelineRunner.decode`` pays the relay's ~27 ms
+    dispatch+readback per stage per token (NEXT.md r3 #6) because every
+    stage hand-off surfaces to Python.  Here the reference's layer loop
+    (llama2.ts:215) staged across devices and its generate loop
+    (llama2.ts:465-511) both live INSIDE one shard_map program:
+
+      - the batch splits into ``n_stages`` microbatches that rotate around
+        the stage ring — at every tick each stage runs its layer slice on
+        the microbatch resident on it, then the activations ``ppermute``
+        one hop along the ring (ICI, not host);
+      - the last stage classifies, samples greedy (argmax, ties -> lowest
+        id, llama2.ts:366-374), and the sampled token rides the same
+        ppermute back to stage 0, which embeds it on arrival — the
+        steady-state keeps ALL stages busy on different microbatches,
+        unlike the host loop where stages idle 1/n_stages of the time;
+      - the fill phase is handled with a validity flag that rides the
+        ring: a stage holding a microbatch that has not yet entered
+        stage 0 redirects its KV writes to the trash position S-1 and its
+        (garbage) activations are never sampled.
+
+    v1 scope: dense fp caches + the XLA attention path (the parity/dryrun
+    configuration — this loop's value is removing host dispatch, which
+    only materializes on real multi-chip hardware; wiring the fused int8
+    kernel stack into the per-stage body is hardware-gated, NEXT.md).
+
+    Returns (tokens [B, steps] int32, final cache).  Requires
+    L % n_stages == 0, B % n_stages == 0, and max(init_pos) + steps < S-1
+    (S-1 is the trash row for fill-phase writes).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_llama.models.llama import decode_stack
+
+    NS = mesh.shape[STAGE_AXIS]
+    L = params.layers.rms_att.shape[0]
+    B = int(init_tokens.shape[0])
+    assert L % NS == 0 and B % NS == 0, (L, B, NS)
+    Ls, MB = L // NS, B // NS
+    S = cache.k.shape[3]
+    if not isinstance(cache, KVCache):
+        raise NotImplementedError(
+            "pp_device_greedy_decode v1 takes a dense fp KVCache "
+            "(int8/paged stage bodies are hardware-gated, NEXT.md)")
+    scfg = dataclasses.replace(config, n_layers=Ls)
+    prec = jax.lax.Precision(precision)
+    K = steps
+    D = config.dim
+
+    # [L, ...] -> [NS, Ls, ...]: stage s's layer slice lands on device s
+    layers_st = jax.tree.map(
+        lambda a: a.reshape((NS, Ls) + a.shape[1:]), params.layers)
+    cache_st = jax.tree.map(
+        lambda a: a.reshape((NS, Ls) + a.shape[1:]), cache)
+
+    def body(layers_s, tok_emb, rms_final, wcls, rope_cos, rope_sin,
+             cache_s, init_tok, init_pos):
+        s = jax.lax.axis_index(STAGE_AXIS)
+        first = s == 0
+        last = s == NS - 1
+        layers_l = jax.tree.map(lambda a: a[0], layers_s)
+        cache_l = jax.tree.map(lambda a: a[0], cache_s)
+        ring = [(i, (i + 1) % NS) for i in range(NS)]
+
+        def tick(t, carry):
+            del t
+            cache_l, x, tok, pos, valid, mbidx, cnt, out = carry
+            row0 = mbidx * MB
+            # stage 0 starts a microbatch's token: the fed-back sampled
+            # token when the ring delivered a real one, else the host-
+            # provided init token (the microbatch's FIRST decode input)
+            it = jax.lax.dynamic_slice(init_tok, (row0,), (MB,))
+            ip = jax.lax.dynamic_slice(init_pos, (row0,), (MB,))
+            tok_use = jnp.where(valid, tok, it)
+            pos_use = jnp.where(valid, pos, ip)
+            valid_here = jnp.logical_or(valid, first)
+            # fill-phase residents write KV to the trash row S-1
+            pos_eff = jnp.where(valid_here, pos_use, S - 1)
+            x_in = jnp.where(first, tok_emb[tok_use].astype(x.dtype), x)
+            sub = jax.tree.map(
+                lambda c: jax.lax.dynamic_slice_in_dim(c, row0, MB, axis=1),
+                cache_l)
+            y, sub = decode_stack(layers_l, sub, x_in, pos_eff,
+                                  rope_cos[pos_eff], rope_sin[pos_eff],
+                                  scfg, prec, "xla")
+            cache_l = jax.tree.map(
+                lambda c, u: jax.lax.dynamic_update_slice_in_dim(
+                    c, u, row0, axis=1),
+                cache_l, sub)
+            logits = matmul_any(rmsnorm(y, rms_final), wcls, prec)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # the last stage records the sampled token for this microbatch
+            write = jnp.logical_and(last, valid_here)
+            k_ix = jnp.minimum(cnt[mbidx], K - 1)
+            cur = jax.lax.dynamic_slice(out, (k_ix, row0), (1, MB))
+            row = jnp.where(write, nxt[None], cur)
+            out = jax.lax.dynamic_update_slice(out, row, (k_ix, row0))
+            cnt = cnt.at[mbidx].add(write.astype(jnp.int32))
+            # rotating state, one hop along the ring: activations forward,
+            # (token, pos+1) from the last stage back to stage 0
+            state = (y,
+                     jnp.where(last, nxt, tok_use),
+                     jnp.where(last, pos_use + 1, pos_use),
+                     valid_here, mbidx)
+            x, tok, pos, valid, mbidx = jax.tree.map(
+                lambda a: jax.lax.ppermute(a, STAGE_AXIS, ring), state)
+            return cache_l, x, tok, pos, valid, mbidx, cnt, out
+
+        carry = (cache_l,
+                 jnp.zeros((MB, D), params.tok_emb.dtype),
+                 jnp.zeros((MB,), jnp.int32),
+                 jnp.zeros((MB,), jnp.int32),
+                 # valid == "the ROTATING state carries real data" — False
+                 # everywhere at tick 0 (stage 0 starts microbatches from
+                 # init_tok/init_pos, not from the zero carry; valid_here
+                 # promotes its work to real)
+                 jnp.zeros((), bool),
+                 s,  # resident microbatch index at tick 0
+                 jnp.zeros((NS,), jnp.int32),
+                 jnp.zeros((K, B), jnp.int32))
+        n_ticks = (K + 1) * NS - 1  # K full rounds + ring fill/drain
+        carry = jax.lax.fori_loop(0, n_ticks, tick, carry)
+        cache_l, out = carry[0], carry[7]
+        return (jax.tree.map(lambda a: a[None], cache_l), out[None])
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(STAGE_AXIS), P(), P(), P(), P(), P(),
+                  P(STAGE_AXIS), P(), P()),
+        out_specs=(P(STAGE_AXIS), P(STAGE_AXIS)),
+        check_rep=False,
+    )
+    new_cache_st, out_st = jax.jit(fn)(
+        layers_st, params.tok_emb, params.rms_final, params.wcls,
+        params.rope_cos, params.rope_sin, cache_st,
+        jnp.asarray(init_tokens, jnp.int32), jnp.asarray(init_pos, jnp.int32))
+    new_cache = jax.tree.map(
+        lambda a: a.reshape((L,) + a.shape[2:]), new_cache_st)
+    return out_st[NS - 1].T, new_cache  # [B, steps], stage-(NS-1) copy
+
+
 class PipelineRunner:
     """Host-orchestrated inference pipeline over explicit device placements.
 
