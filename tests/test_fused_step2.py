@@ -281,3 +281,35 @@ def test_mega2_path_ok_gates():
     paged = make_kv_cache(config, batch=2, kv_dtype="int8", seq_len=64,
                           paged=True, num_pages=5, page_size=32)
     assert not _mega2_path_ok(params, config, paged, 2)
+
+
+def test_mega2_depth1_ring_matches_composed():
+    """The depth-1 KV-ring fallback (13B shapes: the minimal depth-2 plan
+    overflows the VMEM budget) must stay numerically identical — the ring
+    degenerates to wait-per-block, changing only the DMA schedule."""
+    from tpu_llama.ops.fused_step2 import step2_plan
+
+    c = _make_case(23, L=3, B=2, KVH=2, G=1, hd=128, H=384, S=64,
+                   pos_list=[5, 33])
+    budget = int(0.78 * (1 << 20))  # depth-1 window for this shape
+    assert step2_plan(c["Bp"], c["D"], c["H"], c["QO"], c["KVH"], c["G"],
+                      c["hd"], c["S"], budget=budget)[1][4] == 1
+    x_ref, attq_ref, satt_ref, *_ = _composed(c, 0)
+    TS = step2_block_s(c["S"])
+    base, dcell, doff, total = decode_dma_descs(c["pos"], c["B"], c["S"], TS)
+    rc, rsa, rsb = rope_tables(c["cos"], c["sin"], c["Bp"])
+    x_got, attq_got, satt_got, *_ = fused_step2_layer(
+        c["x"], c["attq"], c["satt"], c["kc"], c["vc"], c["ks"], c["vs"],
+        c["pos"], rc, rsa, rsb, base, dcell, doff, total,
+        c["wo"].q, c["wo"].s, c["w13"].q, c["w13"].s,
+        c["w2"].q, c["w2"].s, c["qkv"].q, c["qkv"].s,
+        c["rms_ffn"], c["rms_att"], jnp.int32(0), c["L"],
+        c["KVH"] * c["G"], budget=budget)
+    B = c["B"]
+    np.testing.assert_allclose(np.asarray(x_got)[:B], np.asarray(x_ref)[:B],
+                               rtol=1e-2, atol=1e-2)
+    att_got = (np.asarray(attq_got[:B]).astype(np.float32)
+               * np.asarray(satt_got)[:B, None])
+    att_ref = (np.asarray(attq_ref[:B]).astype(np.float32)
+               * np.asarray(satt_ref)[:B, None])
+    np.testing.assert_allclose(att_got, att_ref, rtol=2e-2, atol=2e-2)

@@ -412,6 +412,13 @@ def _pick_step2_blocks(Bp: int, D: int, H: int, QO: int, KVH: int, G: int,
     def total(c, dep):
         return fixed(c["D"], dep) + operand_bytes(c)
 
+    if total(choices, depth) > budget:
+        # depth-1 fallback (13B: KVH=40 rings + D=5120 operands put the
+        # minimal depth-2 plan at 16.3 MB model).  A single-slot ring loses
+        # the cross-block DMA overlap (~12 us/layer, r3) but keeps the
+        # launch-count win — worth it only when depth 2 cannot fit at all.
+        depth = 1
+
     improved = True
     while improved:
         improved = False
