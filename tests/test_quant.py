@@ -205,3 +205,77 @@ def test_w8a8_matmul_prefill_rows_use_pallas_quant():
     ref = w8a8_matmul_xla(x, w, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_rmsnorm_quantize_pallas_matches_chain():
+    """Fused rmsnorm+quant == models.llama.rmsnorm -> quantize_activations
+    (same formula, same cast points) — the prefill fast path must not drift
+    from the unfused chain."""
+    import jax
+
+    from tpu_llama.models.llama import rmsnorm
+    from tpu_llama.ops.quant import (
+        quantize_activations,
+        rmsnorm_quantize_pallas,
+    )
+
+    x = (jax.random.normal(jax.random.PRNGKey(11), (512, 256), jnp.float32)
+         * 2.0).astype(jnp.bfloat16)
+    w = (jax.random.normal(jax.random.PRNGKey(12), (256,), jnp.float32)
+         * 0.5 + 1.0).astype(jnp.bfloat16)
+    q_got, s_got = rmsnorm_quantize_pallas(x, w)
+    s_got, q_got = np.asarray(s_got), np.asarray(q_got, np.float32)
+
+    # the fused op defines its numerics in f32 (no intermediate bf16
+    # rounding) — compare the DEQUANTIZED values against the f32 chain
+    x32 = np.asarray(x, np.float32)
+    ms = np.mean(x32 * x32, axis=-1, keepdims=True)
+    ref = x32 / np.sqrt(1e-5 + ms) * np.asarray(w, np.float32)[None, :]
+    np.testing.assert_allclose(q_got * s_got[:, None], ref,
+                               atol=float(s_got.max()) * 0.75, rtol=0)
+
+    # and stay within one quant step of the unfused bf16 chain
+    q_ref, s_ref = quantize_activations(rmsnorm(x, w))
+    deq_ref = np.asarray(q_ref, np.float32) * np.asarray(s_ref)[:, None]
+    np.testing.assert_allclose(q_got * s_got[:, None], deq_ref,
+                               atol=float(s_got.max()) * 1.5, rtol=0)
+
+
+def test_silu_mul_quantize_pallas_matches_chain():
+    import jax
+
+    from tpu_llama.ops.quant import (
+        quantize_activations,
+        silu_mul_quantize_pallas,
+    )
+
+    g = (jax.random.normal(jax.random.PRNGKey(21), (256, 384), jnp.float32)
+         * 2.0).astype(jnp.bfloat16)
+    u = (jax.random.normal(jax.random.PRNGKey(22), (256, 384), jnp.float32)
+         * 2.0).astype(jnp.bfloat16)
+    q_got, s_got = silu_mul_quantize_pallas(g, u)
+    s_got, q_got = np.asarray(s_got), np.asarray(q_got, np.float32)
+    g32, u32 = np.asarray(g, np.float32), np.asarray(u, np.float32)
+    ref = g32 / (1.0 + np.exp(-g32)) * u32
+    np.testing.assert_allclose(q_got * s_got[:, None], ref,
+                               atol=float(s_got.max()) * 0.75, rtol=0)
+
+
+def test_w8a8_matmul_residual_epilogue():
+    """residual + x @ W in one kernel == the unfused add, at both the
+    decode tiling (B<=256) and the prefill rows tiling (B>256)."""
+    from tpu_llama.ops import quantize_channel
+    from tpu_llama.ops.matmul import w8a8_matmul
+
+    rng = np.random.default_rng(31)
+    w = quantize_channel(rng.normal(size=(256, 384)).astype(np.float32) * 0.05)
+    for B in (64, 512):
+        x = jnp.asarray(rng.normal(size=(B, 256)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        r = jnp.asarray(rng.normal(size=(B, 384)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        ref = r + w8a8_matmul(x, w, out_dtype=jnp.bfloat16)
+        got = w8a8_matmul(x, w, out_dtype=jnp.bfloat16, residual=r)
+        np.testing.assert_allclose(
+            np.asarray(got, dtype=np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)

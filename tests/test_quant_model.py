@@ -55,3 +55,49 @@ def test_quantized_memory_is_int8(tiny_weights):
     fp_bytes = np.prod(qparams.layers.wq.q.shape) * 4
     q_bytes = np.prod(qparams.layers.wq.q.shape) + np.prod(qparams.layers.wq.s.shape) * 4
     assert q_bytes < fp_bytes / 3
+
+
+def test_w8a8_fused_prefill_fresh_matches_decode():
+    """The one-pass fused prefill stages (rmsnorm+quant, silu*up+quant,
+    residual matmul epilogues) must agree with the step-by-step decode
+    path, which shares none of those kernels."""
+    import jax
+
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+    from tpu_llama.models.llama import (
+        _prefill_w8a8_fast_ok,
+        fuse_projections,
+        quantize_params,
+    )
+
+    c = ModelConfig(dim=256, hidden_dim=384, n_layers=2, n_heads=2,
+                    n_kv_heads=2, vocab_size=320, seq_len=64,
+                    shared_weights=False)
+    raw = make_random_weights(c, seed=7)
+    qp = quantize_params(
+        fuse_projections(params_from_raw(raw, dtype=jnp.bfloat16)),
+        mode="w8a8")
+    B, T = 2, 16
+    assert _prefill_w8a8_fast_ok(qp, c, B, T)  # the fast path must engage
+
+    tokens = np.array([[1, 5, 17, 300, 42, 7, 9, 250, 3, 11, 2, 99,
+                        104, 33, 8, 61],
+                       [4, 9, 280, 6, 12, 33, 150, 2, 87, 5, 19, 44,
+                        1, 310, 22, 13]], np.int32)
+    cache_a = KVCache.create(c, batch=B)
+    dec = []
+    for p in range(T):
+        logits, cache_a = forward_decode(
+            qp, cache_a, jnp.asarray(tokens[:, p]),
+            jnp.full((B,), p, jnp.int32), c)
+        dec.append(np.asarray(logits))
+    dec = np.stack(dec, axis=1)  # [B, T, V]
+
+    cache_b = KVCache.create(c, batch=B)
+    pre, _ = forward_prefill(
+        qp, cache_b, jnp.asarray(tokens), jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), T, jnp.int32), c, assume_fresh=True)
+    scale = np.abs(dec).max()
+    np.testing.assert_allclose(np.asarray(pre) / scale, dec / scale,
+                               atol=4e-2)

@@ -1,0 +1,71 @@
+"""Bisect the B=2 mega/mega2 TPU fault (r4).
+
+Observed: bench.py --ab at 7B b2 dense-int8 crashes the TPU worker on the
+mega2 warmup run; a follow-up bisect showed two-launch OK at b2 and mega
+faulting too.  B=1 (mega) and B=8/16 (mega2) run fine — only B=2..7 is
+unmeasured and apparently faulting.  This probe runs ONE forward_decode step
+for a requested variant/batch on an L=2 model at exactly the 7B layer shape
+(D=4096 H=11008 NH=KVH=32 hd=128 S=2048) so compiles are fast and a worker
+crash poisons little memory.
+
+Usage: python tools/b2_fault_probe.py <variant> <batch> [pos]
+  variant in {mega, mega2, true, attn_only}
+Prints "PROBE_OK <variant> b<B> tokens=..." on success; a kernel fault
+crashes the process (driver script records the exit code).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_llama_jax_cache")
+
+from tpu_llama.config import ModelConfig  # noqa: E402
+
+
+def main():
+    variant, B = sys.argv[1], int(sys.argv[2])
+    pos0 = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    config = ModelConfig(dim=4096, hidden_dim=11008, n_layers=2, n_heads=32,
+                         n_kv_heads=32, vocab_size=32000, seq_len=2048,
+                         shared_weights=False)
+    import bench
+    t0 = time.time()
+    params = bench._build(config, jnp.dtype("bfloat16"), "w8a8", fuse=True)
+    cache = bench._make_cache(config, B, "int8", None, "dense", 512)
+    print(f"built L2 model in {time.time()-t0:.1f}s", flush=True)
+    tokens = jnp.zeros((B,), jnp.int32)
+    pos = jnp.full((B,), pos0, jnp.int32)
+
+    if variant == "attn_only":
+        # standalone manual-DMA decode attention at this batch (the kernel
+        # two-launch uses; known good at b2 via the two-launch pass, this
+        # is the control for the in-kernel cell logic)
+        from tpu_llama.ops.attention import flash_decode_attention_dma
+        q = jnp.ones((B, 32, 1, 128), jnp.bfloat16) * 0.01
+        nk = jnp.ones((B, 32, 128), jnp.int8)
+        ns = jnp.full((B, 32), 0.01, jnp.float32)
+        out = flash_decode_attention_dma(
+            q, cache.k, cache.v, pos, nk, nk, k_scale=cache.ks,
+            v_scale=cache.vs, new_ks=ns, new_vs=ns, layer=0)
+        np.asarray(out)
+        print(f"PROBE_OK attn_only b{B}", flush=True)
+        return
+
+    from tpu_llama.models.llama import forward_decode
+    t0 = time.time()
+    logits, cache = forward_decode(params, cache, tokens, pos, config,
+                                   fused=variant if variant != "true"
+                                   else True)
+    tok = np.asarray(jnp.argmax(logits, -1))
+    print(f"PROBE_OK {variant} b{B} {time.time()-t0:.1f}s tokens={tok[:4]}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

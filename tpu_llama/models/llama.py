@@ -1269,6 +1269,26 @@ def decode_stack(layers, cache, x, pos, cos, sin, config: ModelConfig,
     return x, new_cache
 
 
+def _prefill_w8a8_fast_ok(params, config: ModelConfig, B: int, T: int) -> bool:
+    """Gate for the fused one-pass W8A8 prefill stages: fused qkv/gate-up
+    ChannelQuant layouts with zero padding (the prequant kernels slice
+    nothing) and lane/sublane-aligned shapes."""
+    D, KVD, H = config.dim, config.kv_dim, config.hidden_dim
+    lp = params.layers
+    return (
+        isinstance(lp.wq, ChannelQuantTensor)
+        and isinstance(lp.w1, ChannelQuantTensor)
+        and isinstance(lp.wo, ChannelQuantTensor)
+        and isinstance(lp.w2, ChannelQuantTensor)
+        and lp.wq.logical_out == D + 2 * KVD  # fused qkv
+        and lp.w1.logical_out == 2 * H        # fused gate/up
+        and lp.wq.q.shape[-2:] == (D, D + 2 * KVD)
+        and lp.w1.q.shape[-2:] == (D, 2 * H)
+        and lp.wo.q.shape[-2:] == (D, D)
+        and lp.w2.q.shape[-2:] == (H, D)
+        and (B * T) % 32 == 0 and D % 128 == 0 and H % 128 == 0)
+
+
 def _forward_prefill_fresh(params, cache, tokens, lengths,
                            config: ModelConfig, precision, logits_mode,
                            attn):
@@ -1302,9 +1322,41 @@ def _forward_prefill_fresh(params, cache, tokens, lengths,
     def mm(a, w):
         return matmul_any(a, w, prec)
 
-    def layer_step(x, lp):
-        h = rmsnorm(x, lp.rms_att)
-        q, k, v = _project_qkv(h, lp, config, mm)
+    # One-pass fused activation stages for the W8A8 fused-projection layout
+    # (the TTFT headline path): rmsnorm+quant and silu*up+quant each become
+    # a single Pallas pass feeding w8a8_matmul_prequant, and the residual
+    # adds ride the matmul epilogue — the unfused chain's XLA rmsnorm,
+    # silu-mul and add passes each round-tripped [B*T, D]-scale activations
+    # through HBM plus their own op-chain overhead (~1.3 ms/layer at 7B b8
+    # T512, tools/prefill_probe.py).  Numerics: f32 rmsnorm/silu without
+    # the unfused path's intermediate bf16 rounding (ops/quant.py).
+    D, KVD, H = config.dim, config.kv_dim, config.hidden_dim
+    w8a8_fast = _prefill_w8a8_fast_ok(params, config, B, T)
+
+    def layer_step_w8a8(x, lp):
+        from tpu_llama.ops.matmul import w8a8_matmul_prequant
+        from tpu_llama.ops.quant import (
+            rmsnorm_quantize_pallas,
+            silu_mul_quantize_pallas,
+        )
+
+        M = B * T
+        x2 = x.reshape(M, D)
+        xq_, sx_ = rmsnorm_quantize_pallas(x2, lp.rms_att)
+        qkv = w8a8_matmul_prequant(xq_, sx_, lp.wq, out_dtype=x.dtype)[:M]
+        q, k, v = (qkv[:, :D], qkv[:, D:D + KVD], qkv[:, D + KVD:])
+        att, fresh = attend(q, k, v)
+        x2 = w8a8_matmul(att.reshape(M, D), lp.wo, out_dtype=x.dtype,
+                         residual=x2)
+        hq, hs = rmsnorm_quantize_pallas(x2, lp.rms_ffn)
+        gu = w8a8_matmul_prequant(hq, hs, lp.w1, out_dtype=x.dtype)[:M]
+        fq, fs = silu_mul_quantize_pallas(gu[:, :H], gu[:, H:])
+        x2 = w8a8_matmul_prequant(fq, fs, lp.w2, out_dtype=x.dtype,
+                                  residual=x2)[:M]
+        return x2.reshape(B, T, D), fresh
+
+    def attend(q, k, v):
+        """RoPE + KV quant + fresh attention; q/k/v [B*T or B,T, heads*hd]."""
         q = q.reshape(B, T, config.n_heads, config.head_dim)
         k = k.reshape(B, T, config.n_kv_heads, config.head_dim)
         v = v.reshape(B, T, config.n_kv_heads, config.head_dim)
@@ -1329,26 +1381,31 @@ def _forward_prefill_fresh(params, cache, tokens, lengths,
                 kf = kq.astype(jnp.float32) * ks[..., None]
                 vf = vq.astype(jnp.float32) * vs[..., None]
                 att = _attention_prefill(q, kf, vf, q_pos, config, prec)
-            fresh = (kq, vq, ks, vs)
+            return att, (kq, vq, ks, vs)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        kc = kt.astype(cache.k.dtype)
+        vc = vt.astype(cache.v.dtype)
+        if attn == "flash":
+            att = flash_prefill_attention(
+                q, kc, vc, start0, out_dtype=x.dtype,
+                assume_fresh=True).reshape(B, T, config.dim)
         else:
-            kt = k.transpose(0, 2, 1, 3)  # [B, KVH, T, hd]
-            vt = v.transpose(0, 2, 1, 3)
-            kc = kt.astype(cache.k.dtype)
-            vc = vt.astype(cache.v.dtype)
-            if attn == "flash":
-                att = flash_prefill_attention(
-                    q, kc, vc, start0, out_dtype=x.dtype,
-                    assume_fresh=True).reshape(B, T, config.dim)
-            else:
-                att = _attention_prefill(q, kc, vc, q_pos, config, prec)
-            fresh = (kc, vc)
+            att = _attention_prefill(q, kc, vc, q_pos, config, prec)
+        return att, (kc, vc)
+
+    def layer_step(x, lp):
+        h = rmsnorm(x, lp.rms_att)
+        q, k, v = _project_qkv(h, lp, config, mm)
+        att, fresh = attend(q, k, v)
         x = x + mm(att, lp.wo)
         h = rmsnorm(x, lp.rms_ffn)
         gate, up = _project_gate_up(h, lp, config, mm)
         x = x + mm(jax.nn.silu(gate) * up, lp.w2)
         return x, fresh
 
-    x, fresh = jax.lax.scan(layer_step, x, params.layers)
+    x, fresh = jax.lax.scan(layer_step_w8a8 if w8a8_fast else layer_step,
+                            x, params.layers)
 
     from tpu_llama.ops.attention import kv_cache_scatter_slots
 

@@ -60,7 +60,8 @@ _INT8_TOPS = 394e12
 def _pick_tiles_rows(M: int, IN: int, OUT: int, align: int,
                      out_bytes: int, acc_bytes: int = 4,
                      scale_frac: float = 0.0,
-                     x_bytes: int = 1) -> tuple[int, int, int] | None:
+                     x_bytes: int = 1,
+                     res_bytes: int = 0) -> tuple[int, int, int] | None:
     """(BM, TI, TO) for row-blocked (prefill) matmuls, or None when no
     full-IN row block fits VMEM (caller falls back to ``_pick_tiles``).
 
@@ -78,7 +79,8 @@ def _pick_tiles_rows(M: int, IN: int, OUT: int, align: int,
             if OUT % to:
                 continue
             w_bytes = int(2 * IN * to * (1 + scale_frac))
-            o_bytes = 2 * bm * to * out_bytes + bm * to * acc_bytes
+            o_bytes = (2 * bm * to * (out_bytes + res_bytes)
+                       + bm * to * acc_bytes)
             if xb_bytes + w_bytes + o_bytes > _VMEM_ROWS_BUDGET:
                 continue
             n_m = -(-M // bm)
@@ -236,6 +238,27 @@ def _w8a8_kernel(x_ref, sx_ref, q_ref, sw_ref, o_ref, acc_ref, *, n_in: int):
         ).astype(o_ref.dtype)
 
 
+def _w8a8_res_kernel(x_ref, sx_ref, q_ref, sw_ref, r_ref, o_ref, acc_ref,
+                     *, n_in: int):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], q_ref[:], preferred_element_type=jnp.int32)
+
+    @pl.when(i == n_in - 1)
+    def _():
+        # residual epilogue: r + x@W without a separate XLA add pass (the
+        # matmul output would otherwise round-trip HBM just to be added).
+        # The add mirrors the unfused `x + mm(...)`: the matmul term is
+        # rounded to the OUTPUT dtype first, then added in that dtype.
+        mm = (acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+              ).astype(o_ref.dtype)
+        o_ref[:] = r_ref[:].astype(o_ref.dtype) + mm
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
 def w8a8_matmul_xla(
     x: jax.Array, w: ChannelQuantTensor, out_dtype=jnp.float32
@@ -266,6 +289,7 @@ def w8a8_matmul(
     out_dtype=jnp.float32,
     block_out: int | None = None,
     block_in: int | None = None,
+    residual: jax.Array | None = None,  # [..., logical_out]: res + x @ W
 ) -> jax.Array:
     """``x @ dequant(w)`` where x is dynamically quantized per token and the
     contraction runs on the int8 MXU (2x bf16 MACs, 2-4x less HBM traffic,
@@ -279,6 +303,10 @@ def w8a8_matmul(
     Bp = max(32, -(-B // 32) * 32)  # int8 sublane tile is 32
     if Bp != B:
         xb = jnp.pad(xb, ((0, Bp - B), (0, 0)))
+    if residual is not None:
+        rb = residual.reshape(-1, residual.shape[-1])
+        rb = jnp.pad(rb, ((0, Bp - B), (0, OUT - rb.shape[-1])))
+        residual = rb
 
     # Prefill-scale rows take the one-pass Pallas row quant (~6x cheaper
     # than the XLA reduce+apply chain: 0.43 ms per [4096, 4096] call,
@@ -294,7 +322,8 @@ def w8a8_matmul(
     else:
         xq, sx = quantize_activations(xb)  # int8 [Bp, IN], f32 [Bp]
     out = w8a8_matmul_prequant(xq, sx, w, out_dtype=out_dtype,
-                               block_out=block_out, block_in=block_in)
+                               block_out=block_out, block_in=block_in,
+                               residual=residual)
     eff_out = min(w.logical_out, OUT)
     return out[:B, :eff_out].reshape(*lead, eff_out)
 
@@ -307,13 +336,20 @@ def w8a8_matmul_prequant(
     out_dtype=jnp.float32,
     block_out: int | None = None,
     block_in: int | None = None,
+    residual: jax.Array | None = None,  # [Bp, OUT] added in the epilogue
 ) -> jax.Array:
     """The Pallas int8-MXU contraction alone (activations pre-quantized) —
     lets callers amortize one activation-quant chain over several matmuls
     that share the same input (qkv fused, gate/up fused) and gives the
-    kernel bench a no-quant-chain probe.  Returns [Bp, OUT] (padded)."""
+    kernel bench a no-quant-chain probe.  Returns [Bp, OUT] (padded).
+
+    ``residual`` streams a same-shape tensor into the last in-step and
+    returns ``residual + xq @ w`` — the prefill residual adds otherwise
+    cost a separate XLA pass per matmul (read mm out + read res + write)."""
     IN, OUT = w.q.shape
     Bp = xq.shape[0]
+    res_bytes = (0 if residual is None
+                 else residual.dtype.itemsize)
 
     BM = min(Bp, 256)
     if block_out or block_in:
@@ -321,7 +357,8 @@ def w8a8_matmul_prequant(
         TI = block_in or IN
     else:
         picked = (_pick_tiles_rows(Bp, IN, OUT, 32,
-                                   out_bytes=jnp.dtype(out_dtype).itemsize)
+                                   out_bytes=jnp.dtype(out_dtype).itemsize,
+                                   res_bytes=res_bytes)
                   if Bp > 256 else None)
         if picked is not None:
             BM, TI, TO = picked
@@ -331,10 +368,51 @@ def w8a8_matmul_prequant(
         pad = -(-Bp // BM) * BM - Bp
         xq = jnp.pad(xq, ((0, pad), (0, 0)))
         sx = jnp.pad(sx, ((0, pad),))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, pad), (0, 0)))
         Bp += pad
     n_m = Bp // BM
     n_in = IN // TI
     n_out = OUT // TO
+
+    if residual is not None:
+        assert residual.shape == (Bp, OUT), (residual.shape, (Bp, OUT))
+        kernel = functools.partial(_w8a8_res_kernel, n_in=n_in)
+        vmem_bytes = (2 * (BM * TI + BM * 4 + TI * TO + TO * 4
+                           + BM * TO * (jnp.dtype(out_dtype).itemsize
+                                        + res_bytes))
+                      + BM * TO * 4 + (4 << 20))
+        return pl.pallas_call(
+            kernel,
+            grid=(n_m, n_out, n_in),
+            in_specs=[
+                pl.BlockSpec((BM, TI), lambda m, o, i: (m, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BM, 1), lambda m, o, i: (m, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TI, TO), lambda m, o, i: (i, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TO), lambda m, o, i: (0, o),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BM, TO), lambda m, o, i: (m, o),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BM, TO), lambda m, o, i: (m, o),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Bp, OUT), out_dtype),
+            scratch_shapes=[pltpu.VMEM((BM, TO), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=int(min(vmem_bytes,
+                                         int(15.75 * (1 << 20))))),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Bp * IN * OUT,
+                bytes_accessed=(Bp * IN + IN * OUT + OUT * 4
+                                + Bp * OUT * (4 + res_bytes)),
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(xq, sx[:, None], w.q, w.s[None, :], residual)
 
     kernel = functools.partial(_w8a8_kernel, n_in=n_in)
     # Declared footprint = buffer model + 4 MB headroom, capped just under

@@ -257,6 +257,113 @@ def quantize_activations_pallas(x: jax.Array, block_rows: int = 256):
     return q, s[:, 0]
 
 
+def _rmsnorm_quant_kernel(x_ref, w_ref, q_ref, s_ref):
+    # rmsnorm in f32 (reference eps placement, llama2.ts:172-179) quantized
+    # WITHOUT the unfused path's intermediate bf16 rounding: XLA folds
+    # f32->bf16->f32 convert chains inside one program anyway (excess
+    # precision), so an in-kernel bf16 round-trip is both unreliable and
+    # strictly less accurate.  Consumers compare at int8-quant tolerance.
+    x32 = x_ref[:].astype(jnp.float32)
+    ms = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    xf = (x32 * jax.lax.rsqrt(1e-5 + ms)) * w_ref[:].astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = absmax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q_ref[:] = jnp.clip(jnp.rint(xf * inv), -127, 127).astype(jnp.int8)
+    s_ref[:] = s
+
+
+def rmsnorm_quantize_pallas(x: jax.Array, w: jax.Array,
+                            block_rows: int = 256):
+    """Fused rmsnorm (llama2.ts:172-179 numerics) + per-row INT8 quant in ONE
+    Pallas pass: x [M, IN], w [IN] -> (q int8 [M, IN], s f32 [M]).
+
+    Prefill's unfused chain is an XLA rmsnorm (reduce + apply, its own
+    op-chain overhead and a full bf16 round trip through HBM) followed by
+    the Pallas row quant — at 7B b8 T512 that is 2 x 32 calls reading and
+    writing [4096, 4096] activations twice.  Fusing them reads x once and
+    writes only the int8 rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, IN = x.shape
+    assert w.shape == (IN,), (x.shape, w.shape)
+    BM = min(block_rows, M)
+    per_row = IN * (2 * x.dtype.itemsize + 2)
+    while BM > 8 and (M % BM != 0 or BM * per_row > 4 << 20):
+        BM //= 2
+    vmem_bytes = BM * per_row + 2 * IN * w.dtype.itemsize + BM * 8 + (2 << 20)
+    q, s = pl.pallas_call(
+        _rmsnorm_quant_kernel,
+        grid=(M // BM,),
+        in_specs=[pl.BlockSpec((BM, IN), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, IN), lambda m: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((BM, IN), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BM, 1), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((M, IN), jnp.int8),
+                   jax.ShapeDtypeStruct((M, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_bytes)),
+        interpret=jax.default_backend() != "tpu",
+    )(x, w[None, :])
+    return q, s[:, 0]
+
+
+def _silu_mul_quant_kernel(g_ref, u_ref, q_ref, s_ref):
+    # silu(gate) * up in f32 (see _rmsnorm_quant_kernel on why the fused
+    # ops define their numerics in f32), then the exact row-quant formula.
+    xf = (jax.nn.silu(g_ref[:].astype(jnp.float32))
+          * u_ref[:].astype(jnp.float32))
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = absmax / 127.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q_ref[:] = jnp.clip(jnp.rint(xf * inv), -127, 127).astype(jnp.int8)
+    s_ref[:] = s
+
+
+def silu_mul_quantize_pallas(gate: jax.Array, up: jax.Array,
+                             block_rows: int = 256):
+    """Fused SwiGLU gate (silu(gate) * up) + per-row INT8 quant in ONE pass:
+    gate/up [M, H] -> (q int8 [M, H], s f32 [M]).
+
+    The unfused chain writes the [M, H] bf16 product to HBM and the quant
+    kernel reads it back (~180 MB/layer round trip at 7B b8 T512, H=11008)
+    plus a separate launch; fused, the product never leaves VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, H = gate.shape
+    assert up.shape == (M, H), (gate.shape, up.shape)
+    BM = min(block_rows, M)
+    # two fp inputs + one int8 output per row, all double-buffered
+    per_row = H * (4 * gate.dtype.itemsize + 2)
+    while BM > 8 and (M % BM != 0 or BM * per_row > 8 << 20):
+        BM //= 2
+    vmem_bytes = BM * per_row + BM * 8 + (2 << 20)
+    q, s = pl.pallas_call(
+        _silu_mul_quant_kernel,
+        grid=(M // BM,),
+        in_specs=[pl.BlockSpec((BM, H), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BM, H), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((BM, H), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BM, 1), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((M, H), jnp.int8),
+                   jax.ShapeDtypeStruct((M, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_bytes)),
+        interpret=jax.default_backend() != "tpu",
+    )(gate, up)
+    return q, s[:, 0]
+
+
 def quantization_error(w, group_size: int | None = None) -> float:
     """Relative RMS error of a quantize->dequantize roundtrip (diagnostics)."""
     t = quantize_q8(w, group_size)
