@@ -313,3 +313,33 @@ def test_mega2_depth1_ring_matches_composed():
     att_ref = (np.asarray(attq_ref[:B]).astype(np.float32)
                * np.asarray(satt_ref)[:B, None])
     np.testing.assert_allclose(att_got, att_ref, rtol=2e-2, atol=2e-2)
+
+
+def test_mega_kernels_blocked_at_b2_on_tpu(monkeypatch):
+    """B == 2 kernel-faults the real chip in every in-kernel-attention
+    decode kernel (mega/mega2/mega3) while B=1/3/4/6/8/16 run clean —
+    r4 bisect, tools/b2_fault_probe.py.  The path gates must hard-block
+    exactly B=2 on the TPU backend and keep interpret mode (these tests)
+    open, where the kernels are numerically correct."""
+    import jax
+
+    from tpu_llama.models import make_kv_cache
+    from tpu_llama.models.llama import (
+        _mega2_path_ok,
+        _mega3_path_ok,
+        _mega_path_ok,
+    )
+
+    config = _tiny_config()
+    params = _fused_model(config)
+    caches = {b: make_kv_cache(config, batch=b, kv_dtype="int8")
+              for b in (2, 3, 4)}
+    # interpret (CPU) backend: B=2 stays allowed
+    assert _mega_path_ok(params, config, caches[2], 2)
+    assert _mega2_path_ok(params, config, caches[2], 2)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for fn in (_mega_path_ok, _mega2_path_ok, _mega3_path_ok):
+        assert not fn(params, config, caches[2], 2), fn.__name__
+    # neighbors stay open on TPU
+    assert _mega2_path_ok(params, config, caches[3], 3)
+    assert _mega2_path_ok(params, config, caches[4], 4)

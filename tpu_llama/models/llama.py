@@ -661,11 +661,23 @@ def _mega2_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
     """True when the trailing-attention one-launch kernel applies
     (ops/fused_step2.py): fused W8A8 layouts + dense INT8 stacked cache +
     128-aligned head_dim + a VMEM-feasible tiling whose phase-D block width
-    tiles the q/k/v boundaries."""
+    tiles the q/k/v boundaries.
+
+    B == 2 is HARD-BLOCKED: both in-kernel-attention kernels (mega and
+    mega2) kernel-fault the real chip at exactly B=2 with pos > 0 while
+    B=1/3/4/6/8/16 run clean (r4 bisect, tools/b2_fault_probe.py +
+    b2_probe_r4*.log; the structural skeleton alone passes at B=2 —
+    tools/cell_micro_repro.py — so the trigger is a deeper Mosaic
+    codegen interaction that is not yet isolated).  Two-launch, which
+    r2 measured FASTER at b2 anyway (170.0 vs 164.6 tok/s), takes over.
+    Interpret mode (CPU tests) is numerically correct at B=2 and stays
+    allowed — the fault is hardware-level, not logical."""
     if not isinstance(cache, QuantKVCache) or isinstance(cache, PagedKVCache):
         return False
     if config.head_dim % 128 != 0:
         return False
+    if B == 2 and jax.default_backend() == "tpu":
+        return False  # B=2 kernel fault on the real chip (see docstring)
     from tpu_llama.ops.fused_step2 import step2_plan
 
     Bp = max(32, -(-B // 32) * 32)
@@ -778,6 +790,8 @@ def _mega3_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
         return False
     if config.head_dim % 128 != 0 or config.n_layers % 2 != 0:
         return False
+    if B == 2 and jax.default_backend() == "tpu":
+        return False  # B=2 kernel fault, same cell structure (r4 bisect)
     from tpu_llama.ops.fused_step3 import step3_plan
 
     Bp = max(32, -(-B // 32) * 32)
@@ -888,6 +902,8 @@ def _mega_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
         return False
     if config.head_dim % 128 != 0:
         return False
+    if B == 2 and jax.default_backend() == "tpu":
+        return False  # B=2 kernel fault, same as _mega2_path_ok (r4 bisect)
     from tpu_llama.ops.fused_step import _pick_step_tiling
 
     Bp = max(32, -(-B // 32) * 32)
@@ -1079,9 +1095,12 @@ def forward_decode(
         #         unfused 397.7 tok/s, spreads <=0.006 (r3, TOD=256 plan).
         #         (mega loses at b>=2: its leading cells' HBM reads
         #         serialize in front of the weight streams.)
-        #         Measured points are b8/b16; b2-b7 take mega2 by
-        #         interpolation, not measurement (the prior mega kernel
-        #         LOST at b2, 164.6 vs 170.0 — re-A/B if b2-b4 matters).
+        #         Measured points are b8/b16; b3-b7 take mega2 by
+        #         interpolation (r4 verified they RUN: b3/b4/b6 probes
+        #         green).  B==2 is HARD-BLOCKED — both in-kernel-attention
+        #         kernels fault the chip at exactly b2 (r4 bisect, see
+        #         _mega2_path_ok) — so b2 decodes two-launch, which r2
+        #         measured faster there anyway (170.0 vs 164.6).
         #   B=1:  mega (leading attention, ops/fused_step.py) 95.5 vs
         #         two-launch 94.6 vs mega2 93.9 -> mega (r2 numbers).
         #   mega3 (two layers per launch, ops/fused_step3.py) measured
