@@ -279,3 +279,49 @@ def test_w8a8_matmul_residual_epilogue():
         np.testing.assert_allclose(
             np.asarray(got, dtype=np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+def test_rope_split_quantize_pallas_matches_chain():
+    """Fused qkv epilogue == apply_rope + quantize_kv (the unfused XLA
+    chain), at int8-quant tolerance (the fused op quantizes unrounded f32
+    rope outputs; the chain rounds to bf16 between rope and quant)."""
+    import jax
+
+    from tpu_llama.models.llama import apply_rope
+    from tpu_llama.ops.attention import quantize_kv
+    from tpu_llama.ops.quant import rope_split_quantize_pallas
+
+    B, T, NH, KVH, hd = 2, 16, 4, 2, 128
+    D, KVD = NH * hd, KVH * hd
+    M = B * T
+    key = jax.random.PRNGKey(5)
+    qkv = (jax.random.normal(key, (M, D + 2 * KVD), jnp.float32) * 2.0
+           ).astype(jnp.bfloat16)
+    t = jnp.broadcast_to(jnp.arange(T)[None], (B, T)).astype(jnp.float32)
+    ang = t[..., None] / (10.0 ** (2 * jnp.arange(hd // 2) / hd))[None, None]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)  # [B, T, hd/2]
+
+    qr, kq, ks, vq, vs = rope_split_quantize_pallas(qkv, cos, sin, D, KVH, hd)
+
+    q = qkv[:, :D].reshape(B, T, NH, hd)
+    k = qkv[:, D:D + KVD].reshape(B, T, KVH, hd)
+    v = qkv[:, D + KVD:].reshape(B, T, KVH, hd)
+    q_ref = apply_rope(q, cos, sin)
+    k_ref = apply_rope(k, cos, sin)
+    kq_r, ks_r = quantize_kv(k_ref)
+    vq_r, vs_r = quantize_kv(v)
+
+    np.testing.assert_allclose(
+        np.asarray(qr.reshape(B, T, NH, hd), np.float32),
+        np.asarray(q_ref, np.float32), atol=0.05, rtol=0.02)
+    # dequantized k/v agree with the chain's dequantized values
+    deq = np.asarray(kq, np.float32).reshape(B, T, KVH, hd) \
+        * np.asarray(ks).reshape(B, T, KVH)[..., None]
+    deq_r = np.asarray(kq_r, np.float32) * np.asarray(ks_r)[..., None]
+    np.testing.assert_allclose(deq, deq_r, atol=float(np.abs(deq_r).max())
+                               * 0.03)
+    deqv = np.asarray(vq, np.float32).reshape(B, T, KVH, hd) \
+        * np.asarray(vs).reshape(B, T, KVH)[..., None]
+    deqv_r = np.asarray(vq_r, np.float32) * np.asarray(vs_r)[..., None]
+    np.testing.assert_allclose(deqv, deqv_r,
+                               atol=float(np.abs(deqv_r).max()) * 0.03)

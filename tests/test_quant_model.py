@@ -101,3 +101,59 @@ def test_w8a8_fused_prefill_fresh_matches_decode():
     scale = np.abs(dec).max()
     np.testing.assert_allclose(np.asarray(pre) / scale, dec / scale,
                                atol=4e-2)
+
+
+def test_w8a8_fused_prefill_int8_cache_matches_decode():
+    """The attend_prequant path (fused rope+split+quant epilogue, int8
+    cache) must agree with the step-by-step decode path at int8-KV
+    tolerance — and its cache contents must round-trip into decode."""
+    import jax
+
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+    from tpu_llama.models.llama import (
+        QuantKVCache,
+        _prefill_w8a8_fast_ok,
+        fuse_projections,
+        quantize_params,
+    )
+
+    c = ModelConfig(dim=512, hidden_dim=384, n_layers=2, n_heads=4,
+                    n_kv_heads=2, vocab_size=320, seq_len=64,
+                    shared_weights=False)
+    raw = make_random_weights(c, seed=11)
+    qp = quantize_params(
+        fuse_projections(params_from_raw(raw, dtype=jnp.bfloat16)),
+        mode="w8a8")
+    B, T = 2, 16
+    assert _prefill_w8a8_fast_ok(qp, c, B, T)
+
+    tokens = np.array([[1, 5, 17, 300, 42, 7, 9, 250, 3, 11, 2, 99,
+                        104, 33, 8, 61],
+                       [4, 9, 280, 6, 12, 33, 150, 2, 87, 5, 19, 44,
+                        1, 310, 22, 13]], np.int32)
+    cache_a = QuantKVCache.create(c, batch=B)
+    dec = []
+    for p in range(T):
+        logits, cache_a = forward_decode(
+            qp, cache_a, jnp.asarray(tokens[:, p]),
+            jnp.full((B,), p, jnp.int32), c)
+        dec.append(np.asarray(logits))
+    dec = np.stack(dec, axis=1)  # [B, T, V]
+
+    cache_b = QuantKVCache.create(c, batch=B)
+    # attn="flash" so attend_prequant (the TPU default) engages under
+    # interpret mode — CPU auto would take the xla branch and skip it
+    pre, cache_b = forward_prefill(
+        qp, cache_b, jnp.asarray(tokens), jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), T, jnp.int32), c, assume_fresh=True, attn="flash")
+    scale = np.abs(dec).max()
+    np.testing.assert_allclose(np.asarray(pre) / scale, dec / scale,
+                               atol=6e-2)
+
+    # one decode step from each cache continues identically (cache parity)
+    nxt = jnp.asarray(np.argmax(np.asarray(pre)[:, -1], -1).astype(np.int32))
+    la, _ = forward_decode(qp, cache_a, nxt, jnp.full((B,), T, jnp.int32), c)
+    lb, _ = forward_decode(qp, cache_b, nxt, jnp.full((B,), T, jnp.int32), c)
+    np.testing.assert_allclose(np.asarray(la) / scale,
+                               np.asarray(lb) / scale, atol=6e-2)

@@ -1363,8 +1363,14 @@ def _forward_prefill_fresh(params, cache, tokens, lengths,
         x2 = x.reshape(M, D)
         xq_, sx_ = rmsnorm_quantize_pallas(x2, lp.rms_att)
         qkv = w8a8_matmul_prequant(xq_, sx_, lp.wq, out_dtype=x.dtype)[:M]
-        q, k, v = (qkv[:, :D], qkv[:, D:D + KVD], qkv[:, D + KVD:])
-        att, fresh = attend(q, k, v)
+        if quant and attn == "flash" and config.head_dim % 128 == 0:
+            # one-pass rope + k/v per-head INT8 quant over the qkv rows —
+            # replaces 4 XLA chains/layer (apply_rope x2, quantize_kv x2;
+            # quantize_kv alone was 49.6 ms/prefill, prefill_probe r4)
+            att, fresh = attend_prequant(qkv)
+        else:
+            q, k, v = (qkv[:, :D], qkv[:, D:D + KVD], qkv[:, D + KVD:])
+            att, fresh = attend(q, k, v)
         x2 = w8a8_matmul(att.reshape(M, D), lp.wo, out_dtype=x.dtype,
                          residual=x2)
         hq, hs = rmsnorm_quantize_pallas(x2, lp.rms_ffn)
@@ -1373,6 +1379,27 @@ def _forward_prefill_fresh(params, cache, tokens, lengths,
         x2 = w8a8_matmul_prequant(fq, fs, lp.w2, out_dtype=x.dtype,
                                   residual=x2)[:M]
         return x2.reshape(B, T, D), fresh
+
+    def attend_prequant(qkv):
+        """Fused-epilogue fresh attention: rope_split_quantize_pallas turns
+        the [M, D+2*KVD] qkv rows into roped q + per-head-quantized int8
+        k/v in ONE pass; only the int8 tensors (4x fewer bytes) cross the
+        head-major transpose.  Same math as attend()'s int8-flash branch
+        with the fused ops' f32 numerics (no bf16 round before quant)."""
+        from tpu_llama.ops.quant import rope_split_quantize_pallas
+
+        KVH, hd = config.n_kv_heads, config.head_dim
+        qr, kq, ks, vq, vs = rope_split_quantize_pallas(
+            qkv, cos, sin, D, KVH, hd)
+        q = qr.reshape(B, T, config.n_heads, hd)
+        kq = kq.reshape(B, T, KVH, hd).transpose(0, 2, 1, 3)
+        vq = vq.reshape(B, T, KVH, hd).transpose(0, 2, 1, 3)
+        ks = ks.reshape(B, T, KVH).transpose(0, 2, 1)
+        vs = vs.reshape(B, T, KVH).transpose(0, 2, 1)
+        att = flash_prefill_attention(
+            q, kq, vq, start0, ks, vs, out_dtype=x.dtype,
+            assume_fresh=True).reshape(B, T, config.dim)
+        return att, (kq, vq, ks, vs)
 
     def attend(q, k, v):
         """RoPE + KV quant + fresh attention; q/k/v [B*T or B,T, heads*hd]."""

@@ -364,6 +364,108 @@ def silu_mul_quantize_pallas(gate: jax.Array, up: jax.Array,
     return q, s[:, 0]
 
 
+def _rope_split_quant_kernel(cos_ref, sa_ref, sb_ref, qkv_ref,
+                             qo_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+                             *, D: int, KVD: int, KVH: int, hd: int):
+    # rope in f32 (roll-based interleaved rotation, the decode mega2
+    # formula — ops/fused_step2._rope_block — applied per hd-lane head via
+    # a [BM, W/hd, hd] view), then quantize_kv's exact per-(row, head)
+    # absmax formula on the UNROUNDED f32 values (see _rmsnorm_quant_kernel
+    # on why the fused ops skip the unfused chain's intermediate bf16).
+    from jax.experimental.pallas import tpu as pltpu
+
+    BM = qkv_ref.shape[0]
+    c = cos_ref[:][:, None, :]
+    sa = sa_ref[:][:, None, :]
+    sb = sb_ref[:][:, None, :]
+
+    def rope3(x3):
+        left = pltpu.roll(x3, hd - 1, axis=2)  # y[i] = x[i+1]
+        right = pltpu.roll(x3, 1, axis=2)  # y[i] = x[i-1]
+        return x3 * c + left * sa + right * sb
+
+    def quant3(x3, q_ref, s_ref, width):
+        am = jnp.max(jnp.abs(x3), axis=-1, keepdims=True)  # [BM, KVH, 1]
+        s = am / 127.0
+        inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+        q_ref[:] = jnp.clip(jnp.rint(x3 * inv), -127, 127
+                            ).astype(jnp.int8).reshape(BM, width)
+        s_ref[:] = s[:, :, 0]
+
+    q3 = qkv_ref[:, :D].astype(jnp.float32).reshape(BM, D // hd, hd)
+    qo_ref[:] = rope3(q3).reshape(BM, D).astype(qo_ref.dtype)
+    k3 = qkv_ref[:, D:D + KVD].astype(jnp.float32).reshape(BM, KVH, hd)
+    quant3(rope3(k3), kq_ref, ks_ref, KVD)
+    v3 = qkv_ref[:, D + KVD:].astype(jnp.float32).reshape(BM, KVH, hd)
+    quant3(v3, vq_ref, vs_ref, KVD)
+
+
+def rope_split_quantize_pallas(qkv: jax.Array, cos: jax.Array,
+                               sin: jax.Array, D: int, KVH: int, hd: int,
+                               block_rows: int = 128):
+    """Fused qkv epilogue for the W8A8 prefill fast path, ONE Pallas pass:
+    qkv [M, D + 2*KVD] -> (q roped [M, D] in qkv.dtype,
+    kq int8 [M, KVD], ks f32 [M, KVH], vq int8 [M, KVD], vs f32 [M, KVH]).
+
+    Replaces four XLA op chains per layer (apply_rope on q and k,
+    quantize_kv on k and v — quantize_kv alone measured 49.6 ms across the
+    64 calls of a 7B b8 T512 prefill, tools/prefill_probe.py r4) with one
+    read of the qkv matmul output.  RoPE matches ``apply_rope``
+    (llama2.ts:224-235 interleaved pairs) via the roll identity the decode
+    kernels use; cos/sin arrive as [M, hd/2] rows (position-gathered).
+
+    Requires hd % 128 == 0 (lane-aligned head slices) and M % 8 == 0."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_llama.ops.fused_step2 import rope_tables
+
+    M, QO = qkv.shape
+    KVD = KVH * hd
+    assert QO == D + 2 * KVD, (qkv.shape, D, KVD)
+    assert hd % 128 == 0 and M % 8 == 0, (hd, M)
+    rc, rsa, rsb = rope_tables(cos.reshape(M, hd // 2),
+                               sin.reshape(M, hd // 2), M)
+    BM = min(block_rows, M)
+    # footprint: qkv in + q out + int8 outs, double-buffered, plus the
+    # kernel's f32 temporaries (~3 head-view blocks); keep blocks lean
+    per_row = QO * 2 * qkv.dtype.itemsize + D * 2 * qkv.dtype.itemsize \
+        + 2 * 2 * KVD + 3 * hd * 4
+    while BM > 8 and (M % BM != 0 or BM * per_row > 8 << 20):
+        BM //= 2
+    vmem_bytes = BM * per_row + BM * (D + 2 * KVD) * 4 + (4 << 20)
+    outs = pl.pallas_call(
+        functools.partial(_rope_split_quant_kernel, D=D, KVD=KVD, KVH=KVH,
+                          hd=hd),
+        grid=(M // BM,),
+        in_specs=[pl.BlockSpec((BM, hd), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((BM, QO), lambda m: (m, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((BM, D), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BM, KVD), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BM, KVH), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BM, KVD), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((BM, KVH), lambda m: (m, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((M, D), qkv.dtype),
+                   jax.ShapeDtypeStruct((M, KVD), jnp.int8),
+                   jax.ShapeDtypeStruct((M, KVH), jnp.float32),
+                   jax.ShapeDtypeStruct((M, KVD), jnp.int8),
+                   jax.ShapeDtypeStruct((M, KVH), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(vmem_bytes, int(15.5 * (1 << 20))))),
+        interpret=jax.default_backend() != "tpu",
+    )(rc, rsa, rsb, qkv)
+    return outs
+
+
 def quantization_error(w, group_size: int | None = None) -> float:
     """Relative RMS error of a quantize->dequantize roundtrip (diagnostics)."""
     t = quantize_q8(w, group_size)
