@@ -260,3 +260,48 @@ def test_paged_prefill_attention_matches_reference():
                 ref = p @ vals[:n]
                 np.testing.assert_allclose(out[b, t, h], ref,
                                            rtol=5e-2, atol=5e-2)
+
+
+def test_pool_chunked_w8a8_fused_matches_compact():
+    """The fused W8A8 chunk body (rmsnorm+quant, rope/split/quant epilogue,
+    residual epilogues) must match the compact admission path at int8
+    tolerance on a fused-layout model."""
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+    from tpu_llama.models.llama import fuse_projections, quantize_params
+
+    c = ModelConfig(dim=512, hidden_dim=384, n_layers=2, n_heads=4,
+                    n_kv_heads=2, vocab_size=320, seq_len=64,
+                    shared_weights=False)
+    raw = make_random_weights(c, seed=17)
+    params = quantize_params(
+        fuse_projections(params_from_raw(raw, dtype=jnp.bfloat16)),
+        mode="w8a8")
+    B, T, ps, chunk = 2, 64, 32, 32
+    from tpu_llama.models.llama import _prefill_w8a8_fast_ok
+    assert _prefill_w8a8_fast_ok(params, c, B, chunk)
+    rng = np.random.default_rng(9)
+    tokens = jnp.asarray(rng.integers(3, c.vocab_size, (B, T)), jnp.int32)
+    lengths = jnp.array([T, T - 7], jnp.int32)
+    slots = jnp.arange(B, dtype=jnp.int32)
+
+    ca = _make_paged(c, B, ps)
+    last_a, _, ca = _prefill_into_slots(
+        params, ca, tokens, lengths, slots, c, logits_mode="last")
+
+    cb = _make_paged(c, B, ps)
+    last_b, cb = forward_prefill_paged_chunked(
+        params, cb, tokens, lengths, slots, c, chunk=chunk)
+
+    sa, sb = np.asarray(last_a), np.asarray(last_b)
+    scale = np.abs(sa).max() + 1e-9
+    np.testing.assert_allclose(sb / scale, sa / scale, atol=6e-2)
+    # pool contents round-trip: K rows of slot 0 match at int8 tolerance.
+    # Layer 0 sees identical inputs (only the fused ops' f32-vs-bf16
+    # rounding differs -> within one step); deeper layers add residual
+    # drift (a couple of steps).
+    ka = _gather_rows(ca, 0, T, ps).astype(np.float32)
+    kb = _gather_rows(cb, 0, T, ps).astype(np.float32)
+    assert np.mean(np.abs(ka[0] - kb[0]) <= 1) > 0.995
+    # deeper layers compound residual drift in the int8 codes; end-to-end
+    # correctness is held by the logits check above

@@ -157,3 +157,55 @@ def test_w8a8_fused_prefill_int8_cache_matches_decode():
     lb, _ = forward_decode(qp, cache_b, nxt, jnp.full((B,), T, jnp.int32), c)
     np.testing.assert_allclose(np.asarray(la) / scale,
                                np.asarray(lb) / scale, atol=6e-2)
+
+
+def test_w8a8_fused_continuation_prefill_matches_decode():
+    """The non-fresh fused layer body (chunked prefill / start_pos>0
+    continuations) must agree with step-by-step decode at int8-KV
+    tolerance."""
+    import jax
+
+    from tpu_llama.config import ModelConfig
+    from tpu_llama.io.checkpoint import make_random_weights
+    from tpu_llama.models.llama import (
+        QuantKVCache,
+        _prefill_w8a8_fast_ok,
+        fuse_projections,
+        quantize_params,
+    )
+
+    c = ModelConfig(dim=512, hidden_dim=384, n_layers=2, n_heads=4,
+                    n_kv_heads=2, vocab_size=320, seq_len=64,
+                    shared_weights=False)
+    raw = make_random_weights(c, seed=13)
+    qp = quantize_params(
+        fuse_projections(params_from_raw(raw, dtype=jnp.bfloat16)),
+        mode="w8a8")
+    B, T = 2, 32
+    T1 = 16  # fresh part; the rest continues at start_pos=T1
+    assert _prefill_w8a8_fast_ok(qp, c, B, T - T1)
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(1, 320, (B, T)).astype(np.int32)
+    cache_a = QuantKVCache.create(c, batch=B)
+    dec = []
+    for p in range(T):
+        logits, cache_a = forward_decode(
+            qp, cache_a, jnp.asarray(tokens[:, p]),
+            jnp.full((B,), p, jnp.int32), c)
+        dec.append(np.asarray(logits))
+    dec = np.stack(dec, axis=1)
+
+    cache_b = QuantKVCache.create(c, batch=B)
+    _, cache_b = forward_prefill(
+        qp, cache_b, jnp.asarray(tokens[:, :T1]), jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), T1, jnp.int32), c, assume_fresh=True, attn="flash")
+    # continuation: start_pos = T1, the NON-fresh path (scatter + attend
+    # over the warm cache) through the fused w8a8 body
+    pre2, cache_b = forward_prefill(
+        qp, cache_b, jnp.asarray(tokens[:, T1:]),
+        jnp.full((B,), T1, jnp.int32), jnp.full((B,), T - T1, jnp.int32),
+        c, attn="flash", max_keys=T)
+    scale = np.abs(dec).max()
+    np.testing.assert_allclose(np.asarray(pre2) / scale,
+                               dec[:, T1:] / scale, atol=6e-2)

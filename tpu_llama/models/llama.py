@@ -1595,6 +1595,11 @@ def forward_prefill_paged_chunked(
     def mm(a, w):
         return matmul_any(a, w, prec)
 
+    # fused one-pass W8A8 stages (see _forward_prefill_fresh); the pool is
+    # always INT8, so the only gates are the fused layout + aligned shapes
+    w8a8_fast = (_prefill_w8a8_fast_ok(params, config, B, chunk)
+                 and hd % 128 == 0)
+
     def chunk_body(pool, i):
         ck, cv, cks, cvs = pool
         start_s = i * chunk  # traced scalar
@@ -1607,6 +1612,67 @@ def forward_prefill_paged_chunked(
         sin = jnp.broadcast_to(params.rope_sin[poss][None],
                                (B, chunk, hd // 2))
         start_vec = jnp.full((B,), start_s, jnp.int32)
+
+        def layer_step_w8a8(carry, scanned):
+            # fused one-pass stages (same ladder as _forward_prefill_fresh /
+            # the non-fresh fused body): rmsnorm+quant, qkv rope/split/quant
+            # epilogue, residual matmul epilogues, silu+quant — the b32/b64
+            # admission pays these XLA chains PER CHUNK otherwise
+            from tpu_llama.ops.matmul import w8a8_matmul, w8a8_matmul_prequant
+            from tpu_llama.ops.quant import (
+                rmsnorm_quantize_pallas,
+                rope_split_quantize_pallas,
+                silu_mul_quantize_pallas,
+            )
+
+            x, ck, cv, cks, cvs = carry
+            lp, l = scanned
+            D, HID = config.dim, config.hidden_dim
+            M = B * chunk
+            x2 = x.reshape(M, D)
+            xq_, sx_ = rmsnorm_quantize_pallas(x2, lp.rms_att)
+            qkv = w8a8_matmul_prequant(xq_, sx_, lp.wq,
+                                       out_dtype=x.dtype)[:M]
+            qr, kqr, ksr, vqr, vsr = rope_split_quantize_pallas(
+                qkv, cos, sin, D, KVH, hd)
+            q = qr.reshape(B, chunk, H, hd)
+            kq = kqr.reshape(B, chunk, KVH, hd).transpose(0, 2, 1, 3)
+            vq = vqr.reshape(B, chunk, KVH, hd).transpose(0, 2, 1, 3)
+            ks = ksr.reshape(B, chunk, KVH).transpose(0, 2, 1)
+            vs = vsr.reshape(B, chunk, KVH).transpose(0, 2, 1)
+            att = paged_flash_prefill_attention(
+                q, ck, cv, cks, cvs, pt, start_vec, kq, vq, ks, vs,
+                layer=l, past_pages=past_pages).astype(x.dtype)
+            ck, cv, cks, cvs = kv_pool_write_chunk(
+                kq, vq, ks, vs, pt, start_vec, l, ck, cv, cks, cvs)
+            x2 = w8a8_matmul(att.reshape(M, D), lp.wo, out_dtype=x.dtype,
+                             residual=x2)
+            hq, hs = rmsnorm_quantize_pallas(x2, lp.rms_ffn)
+            if ffn_split > 1:
+                # row-split the FFN (see layer_step) with the fused stages:
+                # the [rows, 2H] gate-up block stays the peak — cap it
+                def ff(args):
+                    hqb, hsb, x2b = args
+                    gu = w8a8_matmul_prequant(hqb, hsb, lp.w1,
+                                              out_dtype=x.dtype)
+                    fq, fs = silu_mul_quantize_pallas(gu[:, :HID],
+                                                      gu[:, HID:])
+                    return w8a8_matmul_prequant(fq, fs, lp.w2,
+                                                out_dtype=x.dtype,
+                                                residual=x2b)
+
+                mb = M // ffn_split
+                x2 = jax.lax.map(
+                    ff, (hq.reshape(ffn_split, mb, D),
+                         hs.reshape(ffn_split, mb),
+                         x2.reshape(ffn_split, mb, D))).reshape(M, D)
+            else:
+                gu = w8a8_matmul_prequant(hq, hs, lp.w1,
+                                          out_dtype=x.dtype)[:M]
+                fq, fs = silu_mul_quantize_pallas(gu[:, :HID], gu[:, HID:])
+                x2 = w8a8_matmul_prequant(fq, fs, lp.w2, out_dtype=x.dtype,
+                                          residual=x2)[:M]
+            return (x2.reshape(B, chunk, D), ck, cv, cks, cvs), None
 
         def layer_step(carry, scanned):
             x, ck, cv, cks, cvs = carry
@@ -1648,7 +1714,8 @@ def forward_prefill_paged_chunked(
             return (x, ck, cv, cks, cvs), None
 
         (x, ck, cv, cks, cvs), _ = jax.lax.scan(
-            layer_step, (x, ck, cv, cks, cvs), (params.layers, layer_ix))
+            layer_step_w8a8 if w8a8_fast else layer_step,
+            (x, ck, cv, cks, cvs), (params.layers, layer_ix))
         # classifier at each row's last valid position within this chunk
         own_t = jnp.clip(lengths - 1 - start_s, 0, chunk - 1)
         xl = jnp.take_along_axis(x, own_t[:, None, None], axis=1)[:, 0]
@@ -1752,6 +1819,57 @@ def forward_prefill(
     def mm(a, w):
         return matmul_any(a, w, prec)
 
+    # Fused one-pass stages for the W8A8 layout (same ladder as
+    # _forward_prefill_fresh: rmsnorm+quant, qkv rope/split/quant epilogue,
+    # residual matmul epilogues, silu+quant) — this body serves chunked
+    # prefill (b16+ TTFT) and start_pos>0 continuations, which paid the
+    # same per-layer XLA op chains the fresh path shed.
+    D, KVD, H = config.dim, config.kv_dim, config.hidden_dim
+    w8a8_fast = (_prefill_w8a8_fast_ok(params, config, B, T)
+                 and isinstance(cache, QuantKVCache) and attn == "flash"
+                 and config.head_dim % 128 == 0)
+
+    def layer_step_w8a8(x, scanned):
+        from tpu_llama.ops.matmul import w8a8_matmul, w8a8_matmul_prequant
+        from tpu_llama.ops.quant import (
+            rmsnorm_quantize_pallas,
+            rope_split_quantize_pallas,
+            silu_mul_quantize_pallas,
+        )
+
+        lp, cache_l = scanned
+        KVH, hd = config.n_kv_heads, config.head_dim
+        M = B * T
+        x2 = x.reshape(M, D)
+        xq_, sx_ = rmsnorm_quantize_pallas(x2, lp.rms_att)
+        qkv = w8a8_matmul_prequant(xq_, sx_, lp.wq, out_dtype=x.dtype)[:M]
+        qr, kq, ks, vq, vs = rope_split_quantize_pallas(
+            qkv, cos, sin, D, KVH, hd)
+        q = qr.reshape(B, T, config.n_heads, hd)
+        kqt = kq.reshape(B, T, KVH, hd).transpose(0, 2, 1, 3)
+        vqt = vq.reshape(B, T, KVH, hd).transpose(0, 2, 1, 3)
+        kst = ks.reshape(B, T, KVH).transpose(0, 2, 1)
+        vst = vs.reshape(B, T, KVH).transpose(0, 2, 1)
+        b_ix = batch_idx[:, None, None]
+        h_ix = jnp.arange(KVH)[None, :, None]
+        p_ix = write_pos[:, None, :]
+        cache_l = QuantKVCache(
+            k=cache_l.k.at[b_ix, h_ix, p_ix].set(kqt),
+            v=cache_l.v.at[b_ix, h_ix, p_ix].set(vqt),
+            ks=cache_l.ks.at[b_ix, h_ix, p_ix].set(kst),
+            vs=cache_l.vs.at[b_ix, h_ix, p_ix].set(vst),
+        )
+        att = flash_prefill_attention(
+            q, cache_l.k, cache_l.v, start_pos, cache_l.ks, cache_l.vs,
+            max_keys=max_keys, out_dtype=x.dtype).reshape(M, D)
+        x2 = w8a8_matmul(att, lp.wo, out_dtype=x.dtype, residual=x2)
+        hq, hs = rmsnorm_quantize_pallas(x2, lp.rms_ffn)
+        gu = w8a8_matmul_prequant(hq, hs, lp.w1, out_dtype=x.dtype)[:M]
+        fq, fs = silu_mul_quantize_pallas(gu[:, :H], gu[:, H:])
+        x2 = w8a8_matmul_prequant(fq, fs, lp.w2, out_dtype=x.dtype,
+                                  residual=x2)[:M]
+        return x2.reshape(B, T, D), cache_l
+
     def layer_step(x, scanned):
         lp, cache_l = scanned
         h = rmsnorm(x, lp.rms_att)
@@ -1805,7 +1923,8 @@ def forward_prefill(
         x = x + mm(jax.nn.silu(gate) * up, lp.w2)
         return x, cache_l
 
-    x, new_cache = jax.lax.scan(layer_step, x, (params.layers, cache))
+    x, new_cache = jax.lax.scan(layer_step_w8a8 if w8a8_fast else layer_step,
+                                x, (params.layers, cache))
     if logits_mode == "last":
         # classifier only at each row's final valid position — the admission
         # path needs just the next-token logits; skips T x V matmul work
