@@ -1095,9 +1095,11 @@ def forward_decode(
         #         unfused 397.7 tok/s, spreads <=0.006 (r3, TOD=256 plan).
         #         (mega loses at b>=2: its leading cells' HBM reads
         #         serialize in front of the weight streams.)
-        #         Measured points are b8/b16; b3-b7 take mega2 by
-        #         interpolation (r4 verified they RUN: b3/b4/b6 probes
-        #         green).  B==2 is HARD-BLOCKED — both in-kernel-attention
+        #         Measured points: b4 mega2 364.7 vs two-launch 321.1
+        #         (r4 A/B, spreads 0.002/0.013), b8 653.3 vs 591.0, b16;
+        #         13B b4 mega2-depth1 181.2 vs 177.9 (r4).  b3/b5-b7
+        #         interpolate (verified to RUN, b3/b6 probes green).
+        #         B==2 is HARD-BLOCKED — both in-kernel-attention
         #         kernels fault the chip at exactly b2 (r4 bisect, see
         #         _mega2_path_ok) — so b2 decodes two-launch, which r2
         #         measured faster there anyway (170.0 vs 164.6).
