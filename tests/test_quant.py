@@ -325,3 +325,41 @@ def test_rope_split_quantize_pallas_matches_chain():
     deqv_r = np.asarray(vq_r, np.float32) * np.asarray(vs_r)[..., None]
     np.testing.assert_allclose(deqv, deqv_r,
                                atol=float(np.abs(deqv_r).max()) * 0.03)
+
+
+def test_w8a8_rows_resident_matches_default(monkeypatch):
+    """The resident-x rows kernel (single-buffered x scratch, weights
+    streamed once per m-block) must match the double-buffered rows path
+    bit-for-bit at the prefill shapes, with and without residual."""
+    import tpu_llama.ops.matmul as mt
+    from tpu_llama.ops import quantize_channel
+    from tpu_llama.ops.matmul import (
+        _pick_rows_resident,
+        w8a8_matmul_prequant,
+    )
+
+    rng = np.random.default_rng(41)
+    M, IN, OUT = 512, 256, 384
+    assert _pick_rows_resident(M, IN, OUT, 2) is not None
+    w = quantize_channel(rng.normal(size=(IN, OUT)).astype(np.float32) * 0.05)
+    xq = jnp.asarray(rng.integers(-127, 128, (M, IN)).astype(np.int8))
+    sx = jnp.asarray(rng.uniform(0.01, 0.1, (M,)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(M, OUT)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    monkeypatch.setenv("TPU_LLAMA_ROWS_RESIDENT", "0")
+    base = np.asarray(w8a8_matmul_prequant(xq, sx, w, out_dtype=jnp.bfloat16),
+                      np.float32)
+    base_r = np.asarray(w8a8_matmul_prequant(
+        xq, sx, w, out_dtype=jnp.bfloat16, residual=r), np.float32)
+    monkeypatch.setenv("TPU_LLAMA_ROWS_RESIDENT", "1")
+    # a fresh trace is needed — w8a8_matmul_prequant is jitted and the env
+    # gate is read at trace time
+    w8a8_matmul_prequant._clear_cache()
+    got = np.asarray(w8a8_matmul_prequant(xq, sx, w, out_dtype=jnp.bfloat16),
+                     np.float32)
+    got_r = np.asarray(w8a8_matmul_prequant(
+        xq, sx, w, out_dtype=jnp.bfloat16, residual=r), np.float32)
+    w8a8_matmul_prequant._clear_cache()
+    np.testing.assert_array_equal(got, base)
+    np.testing.assert_array_equal(got_r, base_r)

@@ -220,6 +220,141 @@ def q8_matmul(
 # ---------------------------------------------------------------------------
 
 
+def _rows_resident_enabled() -> bool:
+    """Resident-x rows kernel gate — env-controlled while the TPU A/B is
+    pending (TPU_LLAMA_ROWS_RESIDENT=1 to enable)."""
+    import os
+
+    return os.environ.get("TPU_LLAMA_ROWS_RESIDENT", "0") == "1"
+
+
+def _pick_rows_resident(M: int, IN: int, OUT: int, out_bytes: int,
+                        res_bytes: int = 0,
+                        budget: int = int(13.2 * (1 << 20))):
+    """(BM, TO) for the RESIDENT-X rows kernel, or None.
+
+    The double-buffered x row-block of `_pick_tiles_rows` caps BM at
+    1024 (qkv/wo) or 256-512 (w2, IN=11008) under the 16 MB scoped-vmem
+    limit, so the weight matrix re-streams n_m = M/BM times — at 7B b8
+    T512 that is 4-16 restreams, ~60% of the measured 230 ms matmul-only
+    prefill floor gap (tools/prefill_probe.py r4).  Holding x SINGLE-
+    buffered in a scratch filled by one manual DMA per m-block lets BM
+    double: weight traffic halves/quarters and grid cells shrink.  The
+    o==0 DMA stall (~11 us per m-block at 8 MB) is amortized over the
+    n_out cells of that block."""
+    if IN % 128 or M % 32:
+        return None
+    best = None
+    for n_m in (1, 2, 4, 8):
+        if M % n_m:
+            continue
+        bm = M // n_m
+        if bm % 32 or bm > 4096:
+            continue
+        xv = bm * IN  # int8, SINGLE-buffered scratch
+        for to in (512, 384, 256, 128):
+            if OUT % to:
+                continue
+            w_bytes = 2 * (IN * to + to * 4)
+            o_bytes = 2 * bm * to * (out_bytes + res_bytes) + bm * 8
+            if xv + w_bytes + o_bytes > budget:
+                continue
+            cells = n_m * (OUT // to)
+            traffic = n_m * IN * OUT + M * IN
+            cost = (traffic / _HBM_GBPS + cells * _CELL_US
+                    + 2 * M * IN * OUT / _INT8_TOPS)
+            if best is None or cost < best[0]:
+                best = (cost, bm, to)
+    if best is None:
+        return None
+    return best[1], best[2]
+
+
+def _w8a8_rows_res_kernel(sx_ref, q_ref, sw_ref, x_hbm, o_ref, xv, sem,
+                          *, BM: int):
+    m = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(m * BM, BM), :], xv, sem)
+        cp.start()
+        cp.wait()
+
+    acc = jnp.dot(xv[:], q_ref[:], preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+                ).astype(o_ref.dtype)
+
+
+def _w8a8_rows_res_res_kernel(sx_ref, q_ref, sw_ref, r_ref, x_hbm, o_ref,
+                              xv, sem, *, BM: int):
+    m = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(m * BM, BM), :], xv, sem)
+        cp.start()
+        cp.wait()
+
+    acc = jnp.dot(xv[:], q_ref[:], preferred_element_type=jnp.int32)
+    mm = (acc.astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+          ).astype(o_ref.dtype)
+    o_ref[:] = r_ref[:].astype(o_ref.dtype) + mm
+
+
+def _w8a8_rows_resident_call(xq, sx, w, out_dtype, BM, TO,
+                             residual=None):
+    """pallas_call plumbing for the resident-x rows kernel: grid
+    (n_m, n_out), x in ANY memory (one manual DMA per m-block into a
+    single-buffered scratch), each weight block streamed exactly once per
+    m-block."""
+    IN, OUT = w.q.shape
+    Bp = xq.shape[0]
+    n_m, n_out = Bp // BM, OUT // TO
+    ob = jnp.dtype(out_dtype).itemsize
+    rb = 0 if residual is None else residual.dtype.itemsize
+    vmem_bytes = (BM * IN + 2 * (IN * TO + TO * 4)
+                  + 2 * BM * TO * (ob + rb) + BM * 8 + (2 << 20))
+    in_specs = [
+        pl.BlockSpec((BM, 1), lambda m, o: (m, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IN, TO), lambda m, o: (0, o), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TO), lambda m, o: (0, o), memory_space=pltpu.VMEM),
+    ]
+    args = [sx[:, None], w.q, w.s[None, :]]
+    if residual is not None:
+        kernel = functools.partial(_w8a8_rows_res_res_kernel, BM=BM)
+        in_specs.append(pl.BlockSpec((BM, TO), lambda m, o: (m, o),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual)
+    else:
+        kernel = functools.partial(_w8a8_rows_res_kernel, BM=BM)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # x rows (HBM)
+    args.append(xq)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_m, n_out),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BM, TO), lambda m, o: (m, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, OUT), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, IN), jnp.int8),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(min(vmem_bytes, int(15.75 * (1 << 20))))),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * IN * OUT,
+            bytes_accessed=(Bp * IN + (Bp // BM) * IN * OUT + OUT * 4
+                            + Bp * OUT * (ob + rb)),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
 def _w8a8_kernel(x_ref, sx_ref, q_ref, sw_ref, o_ref, acc_ref, *, n_in: int):
     i = pl.program_id(2)
 
@@ -356,6 +491,13 @@ def w8a8_matmul_prequant(
         TO = block_out or 256
         TI = block_in or IN
     else:
+        if Bp > 256 and _rows_resident_enabled():
+            pr = _pick_rows_resident(Bp, IN, OUT,
+                                     jnp.dtype(out_dtype).itemsize,
+                                     res_bytes)
+            if pr is not None:
+                return _w8a8_rows_resident_call(
+                    xq, sx, w, out_dtype, pr[0], pr[1], residual=residual)
         picked = (_pick_tiles_rows(Bp, IN, OUT, 32,
                                    out_bytes=jnp.dtype(out_dtype).itemsize,
                                    res_bytes=res_bytes)
