@@ -198,7 +198,16 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
     # very large B*T one-shot prefill OOMs on activations; the fresh path
     # (cache out of the loop) made one-shot safe and faster up to ~8k rows
     # (b16 T512: chunked 904 ms vs projected ~600 one-shot)
-    chunked = batch * prompt_len > 8192 and prompt_len % 256 == 0
+    # >= 8192 rows go chunked with rows-per-chunk capped at 4096: the
+    # one-shot fused program at M=8192 reproducibly kills the remote
+    # compile helper (HTTP 500, both service ports — r4 sweep), while
+    # every M<=4096 kernel shape compiles fine
+    chunk = 256
+    while batch * chunk > 4096 and chunk % 2 == 0 and prompt_len % (
+            chunk // 2) == 0:
+        chunk //= 2
+    chunked = (batch * prompt_len >= 8192 and prompt_len % chunk == 0
+               and batch * chunk <= 4096)
 
     def once():
         if kv_layout == "paged":
@@ -220,7 +229,7 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
 
                 logits, cache = forward_prefill_chunked(
                     params, cache, tokens, lengths, config,
-                    precision="default", chunk=256)
+                    precision="default", chunk=chunk)
             else:
                 logits, cache = forward_prefill(
                     params, cache, tokens, start, lengths, config,
