@@ -1307,7 +1307,12 @@ def _prefill_w8a8_fast_ok(params, config: ModelConfig, B: int, T: int) -> bool:
         and lp.w1.q.shape[-2:] == (D, 2 * H)
         and lp.wo.q.shape[-2:] == (D, D)
         and lp.w2.q.shape[-2:] == (H, D)
-        and (B * T) % 32 == 0 and D % 128 == 0 and H % 128 == 0)
+        and (B * T) % 32 == 0 and D % 128 == 0 and H % 128 == 0
+        # fused one-pass programs at M=8192 rows reproducibly crash the
+        # remote compile helper (HTTP 500, multiple service ports — r4
+        # sweep) while every M<=4096 shape compiles and runs; callers
+        # above this split into chunks/waves (bench_ttft, engine waves)
+        and B * T <= 4096)
 
 
 def _forward_prefill_fresh(params, cache, tokens, lengths,
@@ -1598,9 +1603,13 @@ def forward_prefill_paged_chunked(
         return matmul_any(a, w, prec)
 
     # fused one-pass W8A8 stages (see _forward_prefill_fresh); the pool is
-    # always INT8, so the only gates are the fused layout + aligned shapes
+    # always INT8, so the only gates are the fused layout + aligned shapes.
+    # ffn_split > 1 (the b64 admission waves) stays UNFUSED: the fused
+    # paged body with the row-split lax.map crashed the remote compile
+    # helper (HTTP 500, r4 sweep) where the 3f24db2 unfused wave program
+    # is proven on-chip — re-gate only with a green compile probe.
     w8a8_fast = (_prefill_w8a8_fast_ok(params, config, B, chunk)
-                 and hd % 128 == 0)
+                 and hd % 128 == 0 and ffn_split == 1)
 
     def chunk_body(pool, i):
         ck, cv, cks, cvs = pool
