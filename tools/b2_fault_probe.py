@@ -57,11 +57,29 @@ def main():
         print(f"PROBE_OK attn_only b{B}", flush=True)
         return
 
-    from tpu_llama.models.llama import forward_decode
     t0 = time.time()
-    logits, cache = forward_decode(params, cache, tokens, pos, config,
-                                   fused=variant if variant != "true"
-                                   else True)
+    if variant in ("mega", "mega2"):
+        # call the internals directly: the _mega*_path_ok gates now block
+        # these kernels on the TPU backend (r4 faults) and this probe
+        # exists precisely to re-test them on a new toolchain
+        import functools
+
+        from tpu_llama.models.llama import (
+            _forward_decode_fused,
+            _forward_decode_mega2,
+        )
+        fn = jax.jit(
+            (functools.partial(_forward_decode_fused, mega=True, attn="flash",
+                               unroll=1)
+             if variant == "mega" else
+             functools.partial(_forward_decode_mega2, unroll=1)),
+            static_argnames=("config",), donate_argnums=(1,))
+        logits, cache = fn(params, cache, tokens, pos, config=config)
+    else:
+        from tpu_llama.models.llama import forward_decode
+
+        logits, cache = forward_decode(params, cache, tokens, pos, config,
+                                       fused=True)
     tok = np.asarray(jnp.argmax(logits, -1))
     print(f"PROBE_OK {variant} b{B} {time.time()-t0:.1f}s tokens={tok[:4]}",
           flush=True)

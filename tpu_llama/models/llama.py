@@ -897,13 +897,24 @@ def _mega_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
     """True when the ONE-launch-per-layer merged kernel applies: the fused
     linear layouts (see _fused_path_ok) + a dense INT8 stacked cache +
     128-aligned head_dim (per-head lane writes + DMA ring slices) + a
-    VMEM-feasible merged tiling (ops/fused_step.py)."""
+    VMEM-feasible merged tiling (ops/fused_step.py).
+
+    TPU-BLOCKED entirely as of r4: the mega kernel now kernel-faults the
+    chip at EVERY measured batch under the current remote toolchain —
+    b2 (first seen, shared with mega2) and then b1, where the SAME HLO
+    ran 94.99 tok/s on the r3 toolchain and a fresh r4 recompile crashes
+    the worker (b1_freshcache.log).  mega2 recompiled green the same day
+    (b3-b16 probes), so this is mega-specific miscompilation, not a
+    machine problem.  Auto policy at B=1 falls to two-launch (93.5 vs
+    95.0 tok/s, -1.5%).  Interpret mode stays open (numerically correct,
+    CPU parity tests).  Re-open only with a green
+    `tools/b2_fault_probe.py mega 1` on the then-current toolchain."""
     if not isinstance(cache, QuantKVCache) or isinstance(cache, PagedKVCache):
         return False
     if config.head_dim % 128 != 0:
         return False
-    if B == 2 and jax.default_backend() == "tpu":
-        return False  # B=2 kernel fault, same as _mega2_path_ok (r4 bisect)
+    if jax.default_backend() == "tpu":
+        return False  # faults at every measured batch on r4 toolchain
     from tpu_llama.ops.fused_step import _pick_step_tiling
 
     Bp = max(32, -(-B // 32) * 32)
@@ -1103,8 +1114,11 @@ def forward_decode(
         #         kernels fault the chip at exactly b2 (r4 bisect, see
         #         _mega2_path_ok) — so b2 decodes two-launch, which r2
         #         measured faster there anyway (170.0 vs 164.6).
-        #   B=1:  mega (leading attention, ops/fused_step.py) 95.5 vs
-        #         two-launch 94.6 vs mega2 93.9 -> mega (r2 numbers).
+        #   B=1:  two-launch since r4 — mega (leading attention,
+        #         ops/fused_step.py; 95.5 vs 94.6 two-launch in r2) now
+        #         kernel-faults on the current toolchain at EVERY batch
+        #         and is TPU-blocked in _mega_path_ok.  b1 two-launch
+        #         measured 93.5 (r4).
         #   mega3 (two layers per launch, ops/fused_step3.py) measured
         #         PARITY-MINUS at b8: 654.0 vs mega2 656.4 (7 interleaved
         #         reps, spreads 0.001) — halving the launch count (~16 x

@@ -414,7 +414,9 @@ def rope_split_quantize_pallas(qkv: jax.Array, cos: jax.Array,
     (llama2.ts:224-235 interleaved pairs) via the roll identity the decode
     kernels use; cos/sin arrive as [M, hd/2] rows (position-gathered).
 
-    Requires hd % 128 == 0 (lane-aligned head slices) and M % 8 == 0."""
+    Requires hd % 128 == 0 (lane-aligned head slices) and M % 8 == 0.
+    Callers must keep M <= 4096: fused prefill programs containing this
+    pass at M=8192 crash the remote compile helper (r4 sweep)."""
     import functools
 
     from jax.experimental import pallas as pl
