@@ -1307,7 +1307,16 @@ def decode_stack(layers, cache, x, pos, cos, sin, config: ModelConfig,
 def _prefill_w8a8_fast_ok(params, config: ModelConfig, B: int, T: int) -> bool:
     """Gate for the fused one-pass W8A8 prefill stages: fused qkv/gate-up
     ChannelQuant layouts with zero padding (the prequant kernels slice
-    nothing) and lane/sublane-aligned shapes."""
+    nothing) and lane/sublane-aligned shapes.
+
+    TPU_LLAMA_FUSED_PREFILL=0 disables the fused bodies everywhere — the
+    escape hatch for remote-compile-helper failures that are SHAPE
+    specific (r4: b32 chunk=128 crashes the helper while b16 chunk=256
+    and every one-shot M<=4096 shape compile fine)."""
+    import os
+
+    if os.environ.get("TPU_LLAMA_FUSED_PREFILL", "1") == "0":
+        return False
     D, KVD, H = config.dim, config.kv_dim, config.hidden_dim
     lp = params.layers
     return (
