@@ -85,8 +85,14 @@ def main() -> None:
         batcher.run()
         return reqs, time.time() - t0
 
+    # Warm BOTH the full- and half-occupancy admission shapes: the admission
+    # prefill batch is pow2-grouped (engine.prefill), so wave(slots) warms
+    # [slots, T] but NOT [slots//2, T] — measuring the half-occupancy point
+    # against a cold shape charged ~1.1 s of compile/deserialize to its TTFT
+    # and tok/s (r4: 591 tok/s with the stall vs ~1000 without).
     _, warm = wave(min(args.slots, args.requests))
-    print(f"# warmup (compiles): {warm:.1f}s", flush=True)
+    _, warm2 = wave(max(1, min(args.slots, args.requests) // 2))
+    print(f"# warmup (compiles): {warm:.1f}s + {warm2:.1f}s", flush=True)
 
     def measure(n_requests: int) -> dict:
         batcher.finished.clear()

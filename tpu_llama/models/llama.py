@@ -663,21 +663,19 @@ def _mega2_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
     128-aligned head_dim + a VMEM-feasible tiling whose phase-D block width
     tiles the q/k/v boundaries.
 
-    B == 2 is HARD-BLOCKED: both in-kernel-attention kernels (mega and
-    mega2) kernel-fault the real chip at exactly B=2 with pos > 0 while
-    B=1/3/4/6/8/16 run clean (r4 bisect, tools/b2_fault_probe.py +
-    b2_probe_r4*.log; the structural skeleton alone passes at B=2 —
-    tools/cell_micro_repro.py — so the trigger is a deeper Mosaic
-    codegen interaction that is not yet isolated).  Two-launch, which
-    r2 measured FASTER at b2 anyway (170.0 vs 164.6 tok/s), takes over.
-    Interpret mode (CPU tests) is numerically correct at B=2 and stays
-    allowed — the fault is hardware-level, not logical."""
+    TOOLCHAIN-FAULT HISTORY (keep re-probing every round): on the r4
+    toolchain both in-kernel-attention kernels (mega and mega2) kernel-
+    faulted the real chip at exactly B=2 with pos > 0 (bisect in
+    b2_probe_r4*.log) and B==2 was hard-blocked here.  The r5 toolchain
+    update RESOLVED it — `tools/b2_fault_probe.py mega2 2` green on both
+    the cached r4 binary and a fresh r5 compile (r5_probe.log), so the
+    fault was runtime-side, and the block is lifted.  If a future
+    toolchain drift faults any batch again, re-add the block and record
+    the probe log."""
     if not isinstance(cache, QuantKVCache) or isinstance(cache, PagedKVCache):
         return False
     if config.head_dim % 128 != 0:
         return False
-    if B == 2 and jax.default_backend() == "tpu":
-        return False  # B=2 kernel fault on the real chip (see docstring)
     from tpu_llama.ops.fused_step2 import step2_plan
 
     Bp = max(32, -(-B // 32) * 32)
@@ -790,8 +788,6 @@ def _mega3_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
         return False
     if config.head_dim % 128 != 0 or config.n_layers % 2 != 0:
         return False
-    if B == 2 and jax.default_backend() == "tpu":
-        return False  # B=2 kernel fault, same cell structure (r4 bisect)
     from tpu_llama.ops.fused_step3 import step3_plan
 
     Bp = max(32, -(-B // 32) * 32)
@@ -899,22 +895,21 @@ def _mega_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
     128-aligned head_dim (per-head lane writes + DMA ring slices) + a
     VMEM-feasible merged tiling (ops/fused_step.py).
 
-    TPU-BLOCKED entirely as of r4: the mega kernel now kernel-faults the
-    chip at EVERY measured batch under the current remote toolchain —
-    b2 (first seen, shared with mega2) and then b1, where the SAME HLO
-    ran 94.99 tok/s on the r3 toolchain and a fresh r4 recompile crashes
-    the worker (b1_freshcache.log).  mega2 recompiled green the same day
-    (b3-b16 probes), so this is mega-specific miscompilation, not a
-    machine problem.  Auto policy at B=1 falls to two-launch (93.5 vs
-    95.0 tok/s, -1.5%).  Interpret mode stays open (numerically correct,
-    CPU parity tests).  Re-open only with a green
-    `tools/b2_fault_probe.py mega 1` on the then-current toolchain."""
+    TPU-BLOCKED (r4, re-confirmed r5): mega kernel-faulted the chip at
+    every batch on the r4 toolchain (b1_freshcache.log).  The r5
+    toolchain partially recovered it — `tools/b2_fault_probe.py mega 1`
+    (L=2 model, full 7B layer shape) is GREEN on both the cached r4
+    binary and a fresh r5 compile (r5_probe.log) — but the FULL 32-layer
+    7B b1 decode still crashes the worker (ab_r5_b1.log), so the trigger
+    is depth/program-size dependent and the L=2 probe is NOT sufficient
+    evidence for this kernel.  The block stays; b1 auto uses mega2
+    (re-measured r5).  Re-open only with a green full-depth run."""
     if not isinstance(cache, QuantKVCache) or isinstance(cache, PagedKVCache):
         return False
     if config.head_dim % 128 != 0:
         return False
     if jax.default_backend() == "tpu":
-        return False  # faults at every measured batch on r4 toolchain
+        return False  # full-depth kernel fault persists on r5 (see above)
     from tpu_llama.ops.fused_step import _pick_step_tiling
 
     Bp = max(32, -(-B // 32) * 32)
@@ -1110,15 +1105,18 @@ def forward_decode(
         #         (r4 A/B, spreads 0.002/0.013), b8 653.3 vs 591.0, b16;
         #         13B b4 mega2-depth1 181.2 vs 177.9 (r4).  b3/b5-b7
         #         interpolate (verified to RUN, b3/b6 probes green).
-        #         B==2 is HARD-BLOCKED — both in-kernel-attention
-        #         kernels fault the chip at exactly b2 (r4 bisect, see
-        #         _mega2_path_ok) — so b2 decodes two-launch, which r2
-        #         measured faster there anyway (170.0 vs 164.6).
-        #   B=1:  two-launch since r4 — mega (leading attention,
-        #         ops/fused_step.py; 95.5 vs 94.6 two-launch in r2) now
-        #         kernel-faults on the current toolchain at EVERY batch
-        #         and is TPU-blocked in _mega_path_ok.  b1 two-launch
-        #         measured 93.5 (r4).
+        #         B==2: r4 hard-blocked it (both in-kernel-attention
+        #         kernels faulted the chip at exactly b2); the r5
+        #         toolchain update resolved the fault (r5_probe.log) and
+        #         the block is lifted — r2 measured two-launch faster at
+        #         b2 anyway (170.0 vs 164.6), but that predates the
+        #         in-kernel rope/quant mega2; re-A/B when b2 matters.
+        #   B=1:  mega (leading attention, ops/fused_step.py; 95.5 vs
+        #         94.6 two-launch in r2, 94.99 in r3).  The r4 toolchain
+        #         faulted it at every batch and b1 fell to two-launch
+        #         (93.5); the r5 toolchain resolved the fault
+        #         (r5_probe.log, fresh-compile probe green) and mega is
+        #         the b1 auto path again.
         #   mega3 (two layers per launch, ops/fused_step3.py) measured
         #         PARITY-MINUS at b8: 654.0 vs mega2 656.4 (7 interleaved
         #         reps, spreads 0.001) — halving the launch count (~16 x
@@ -1127,8 +1125,8 @@ def forward_decode(
         #         fused="mega3"; do not auto-select without a new plan
         #         that keeps A256 alongside the seam scratches.
         if fused and B == 1 and _mega_path_ok(params, config, cache, B):
-            fused = "mega"
-        elif fused and B > 1 and _mega2_path_ok(params, config, cache, B):
+            fused = "mega"  # CPU/interpret only — TPU-blocked in the gate
+        elif fused and _mega2_path_ok(params, config, cache, B):
             fused = "mega2"
     if fused == "mega":
         if not (_fused_path_ok(params, config)

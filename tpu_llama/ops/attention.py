@@ -20,6 +20,7 @@ slots beyond ``pos`` are masked, so garbage K/V there is never read.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1687,7 +1688,14 @@ def flash_prefill_attention(
 
     out_dtype = jnp.float32 if out_dtype is None else out_dtype
 
-    if assume_fresh and n_s == 1 and rows_p == TQ:
+    # Field kill switch (ADVICE r4): TPU_LLAMA_PREFILL_HB=0 disables the r4
+    # head-blocked and single-pass fresh kernels, forcing HB=1 (the r3-proven
+    # per-head path) — mitigation for a toolchain miscompile without a code
+    # change.  Read at TRACE time: set it before process start; flipping it
+    # mid-process does not affect already-traced shapes.
+    hb_kill = os.environ.get("TPU_LLAMA_PREFILL_HB", "") == "0"
+
+    if assume_fresh and not hb_kill and n_s == 1 and rows_p == TQ:
         if int8:
             qr = qr.astype(jnp.bfloat16)  # exact: the dots cast anyway
         qspec_f = pl.BlockSpec((1, 1, TQ, hd), lambda b, h: (b, h, 0, 0),
@@ -1730,7 +1738,7 @@ def flash_prefill_attention(
             0, 2, 1, 3, 4)
         return out.reshape(B, T, NH * hd)
 
-    HB = block_h
+    HB = 1 if hb_kill else block_h
     if HB is None:
         HB = _pick_prefill_hb(KVH, TQ, TS, hd, int8,
                               jnp.dtype(out_dtype).itemsize)

@@ -222,7 +222,12 @@ def q8_matmul(
 
 def _rows_resident_enabled() -> bool:
     """Resident-x rows kernel gate — env-controlled while the TPU A/B is
-    pending (TPU_LLAMA_ROWS_RESIDENT=1 to enable)."""
+    pending (TPU_LLAMA_ROWS_RESIDENT=1 to enable).
+
+    Read at TRACE time (the callers are jitted): flipping the env var
+    mid-process has no effect on already-traced shapes.  A/B harnesses must
+    run each arm in a fresh process or clear the jit cache between arms
+    (tools/rows_resident_probe.py does the latter)."""
     import os
 
     return os.environ.get("TPU_LLAMA_ROWS_RESIDENT", "0") == "1"

@@ -244,6 +244,9 @@ def pp_device_greedy_decode(
     init_pos: jax.Array,  # [B] int32 — its position (rows prefilled below)
     steps: int,
     precision: str = "highest",
+    attn: str = "auto",  # "auto" | "xla" | "flash" | "flash_dma"
+    fused: bool = False,  # fused (one-linear-launch) stage bodies — requires
+    # ChannelQuant fused-projection params (the W8A8 production layout)
 ):
     """Device-side pipelined greedy decode: ONE jitted program for ALL
     stages and ALL tokens — no host dispatch between stages or steps.
@@ -268,10 +271,14 @@ def pp_device_greedy_decode(
         stage 0 redirects its KV writes to the trash position S-1 and its
         (garbage) activations are never sampled.
 
-    v1 scope: dense fp caches + the XLA attention path (the parity/dryrun
-    configuration — this loop's value is removing host dispatch, which
-    only materializes on real multi-chip hardware; wiring the fused int8
-    kernel stack into the per-stage body is hardware-gated, NEXT.md).
+    v2 (VERDICT r4 #7): the production stack runs inside the ring — int8
+    QuantKVCache stage slices with the deferred-flush flash kernels
+    (``attn="flash"``/``"flash_dma"``) and, with ``fused=True``, the
+    one-linear-launch fused stage body (ops/fused_layer.py) — the same
+    decode_stack/fused_decode_stack bodies the single-chip engine runs.
+    ``attn="auto"`` picks flash for int8 caches, xla for dense fp (the
+    parity/dryrun configuration).  Paged pool caches stay out of scope
+    (PP serving shards requests, not pages, across stages).
 
     Returns (tokens [B, steps] int32, final cache).  Requires
     L % n_stages == 0, B % n_stages == 0, and max(init_pos) + steps < S-1
@@ -288,10 +295,25 @@ def pp_device_greedy_decode(
     assert L % NS == 0 and B % NS == 0, (L, B, NS)
     Ls, MB = L // NS, B // NS
     S = cache.k.shape[3]
-    if not isinstance(cache, KVCache):
+    # S-1 is the fill-phase trash row: real KV written there is corruption,
+    # and init_pos/steps are host values so this is checkable up front.
+    assert int(np.max(np.asarray(init_pos))) + steps < S - 1, (
+        "pp_device_greedy_decode: max(init_pos) + steps must stay below "
+        f"S-1={S - 1} (the fill-phase trash row); got "
+        f"{int(np.max(np.asarray(init_pos)))} + {steps}")
+    from tpu_llama.models.llama import QuantKVCache, fused_decode_stack
+
+    if not isinstance(cache, (KVCache, QuantKVCache)):
         raise NotImplementedError(
-            "pp_device_greedy_decode v1 takes a dense fp KVCache "
-            "(int8/paged stage bodies are hardware-gated, NEXT.md)")
+            "pp_device_greedy_decode takes a dense KVCache (fp) or "
+            "QuantKVCache (int8) — paged pool caches don't stage-shard "
+            "(PP serving shards requests, not pages, across stages)")
+    quant = isinstance(cache, QuantKVCache)
+    if attn == "auto":
+        attn = "flash" if quant else "xla"
+    if fused and attn == "xla":
+        raise ValueError("fused stage bodies use the flash kernel paths; "
+                         "pass attn='flash' or 'flash_dma' (or 'auto')")
     scfg = dataclasses.replace(config, n_layers=Ls)
     prec = jax.lax.Precision(precision)
     K = steps
@@ -330,9 +352,15 @@ def pp_device_greedy_decode(
             sub = jax.tree.map(
                 lambda c: jax.lax.dynamic_slice_in_dim(c, row0, MB, axis=1),
                 cache_l)
-            y, sub = decode_stack(layers_l, sub, x_in, pos_eff,
-                                  rope_cos[pos_eff], rope_sin[pos_eff],
-                                  scfg, prec, "xla")
+            if fused:
+                y, sub = fused_decode_stack(
+                    layers_l, sub, x_in.astype(jnp.float32), pos_eff,
+                    rope_cos[pos_eff], rope_sin[pos_eff], scfg, attn, 1)
+                y = y.astype(x.dtype)
+            else:
+                y, sub = decode_stack(layers_l, sub, x_in, pos_eff,
+                                      rope_cos[pos_eff], rope_sin[pos_eff],
+                                      scfg, prec, attn)
             cache_l = jax.tree.map(
                 lambda c, u: jax.lax.dynamic_update_slice_in_dim(
                     c, u, row0, axis=1),

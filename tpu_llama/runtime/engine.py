@@ -515,13 +515,13 @@ class Engine:
                         f"{self.pool.free_pages} free) — gate admissions "
                         "with Engine.can_admit")
             self._sync_page_table()
-        # power-of-two buckets bound recompiles; cap at the cache length so
-        # the scatter never overflows a non-power-of-two seq_len
-        T = min(_bucket(int(lengths.max())), self.seq_len)
-        toks = np.zeros((len(prompts), T), np.int32)
-        for i, p in enumerate(prompts):
-            toks[i, : len(p)] = p
         if self.tp_fused:
+            # power-of-two T buckets bound recompiles; cap at the cache
+            # length so the scatter never overflows a non-pow2 seq_len
+            T = min(_bucket(int(lengths.max())), self.seq_len)
+            toks = np.zeros((len(prompts), T), np.int32)
+            for i, p in enumerate(prompts):
+                toks[i, : len(p)] = p
             from tpu_llama.parallel.tp import tp_prefill_into_slots
 
             last, self.cache = tp_prefill_into_slots(
@@ -530,12 +530,34 @@ class Engine:
                 jnp.asarray(np.asarray(slots, np.int32)),
                 self.config, self.mesh, self.precision)
             return last if return_device else np.asarray(last)
-        last, _, self.cache = prefill_into_slots_waved(
-            self.params, self.cache,
-            jnp.asarray(toks), jnp.asarray(lengths),
-            jnp.asarray(np.asarray(slots, np.int32)),
-            self.config, self.precision, "last",
-        )
+        # The admission batch splits into power-of-two groups (largest
+        # first): the program set is bounded by log2(slots)+1 batch shapes x
+        # the T buckets actually served, instead of one program per distinct
+        # admission count n — an unwarmed [n, T] shape stalls the admission
+        # (and every TTFT in it) by the in-process compile/deserialize
+        # (~1.1 s at 7B: the r4 half-occupancy serving deficit,
+        # BENCH_serving.jsonl 16-req row).  Each group buckets its own T, so
+        # a short-prompt group doesn't pay a long-prompt group's rows.
+        outs = []
+        start = 0
+        n = len(prompts)
+        while start < n:
+            g = 1 << ((n - start).bit_length() - 1)  # largest pow2 <= rest
+            grp = prompts[start:start + g]
+            T = min(_bucket(int(lengths[start:start + g].max())),
+                    self.seq_len)
+            toks = np.zeros((g, T), np.int32)
+            for i, p in enumerate(grp):
+                toks[i, : len(p)] = p
+            last, _, self.cache = prefill_into_slots_waved(
+                self.params, self.cache,
+                jnp.asarray(toks), jnp.asarray(lengths[start:start + g]),
+                jnp.asarray(np.asarray(slots[start:start + g], np.int32)),
+                self.config, self.precision, "last",
+            )
+            outs.append(last)
+            start += g
+        last = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return last if return_device else np.asarray(last)
 
     def prefill_with_all_logits(self, prompt: Sequence[int], slot: int):

@@ -200,6 +200,11 @@ class ContinuousBatcher:
             self._decode_tick()
 
     def _admit(self, retiring: Sequence[int] = ()) -> None:
+        # See _decode_dispatch_fast's OVERLAP INVARIANT: when called with
+        # `retiring` slots an in-flight chunk may still be writing overshoot
+        # KV through the old page table; releasing + re-reserving those pages
+        # here is safe only because the admission prefill is device-sequenced
+        # after the chunk and overwrites every reused page before any read.
         free = [i for i, s in enumerate(self.slots) if s is None]
         free += [i for i in retiring if i not in free]
         if not free or not self.queue:
@@ -380,7 +385,21 @@ class ContinuousBatcher:
 
         Returns {"actives": {slot: _Active}, "k", "chunk"} with the chunk
         still executing, or None when the fast path doesn't apply (no
-        actives, k == 1, host sampling, logprobs, mixed batch)."""
+        actives, k == 1, host sampling, logprobs, mixed batch).
+
+        OVERLAP INVARIANT (ADVICE r4): the in-flight chunk keeps writing KV
+        for retiring slots past their stop point (overshoot), through the
+        OLD page table — into pages that _admit may release and re-reserve
+        while the chunk executes.  This is safe only because (a) the
+        admission prefill is sequenced AFTER the chunk on device via the
+        cache-buffer dependency, and every page a re-admitted slot reuses is
+        fully overwritten by its prefill before any read; and (b) decode
+        itself always writes a position's KV before attending over it, so a
+        later decode read of an overshoot-dirtied page cannot precede the
+        write that cleans it.  Pages pinned by prefix snapshots are never
+        decode-written.  Changing the dispatch order (prefill before chunk),
+        sharing pages across slots, or reading KV outside these two paths
+        breaks the invariant — re-derive it before touching any of that."""
         active_slots = [i for i, s in enumerate(self.slots) if s is not None]
         if not active_slots:
             return None
