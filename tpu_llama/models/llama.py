@@ -1107,16 +1107,16 @@ def forward_decode(
         #         interpolate (verified to RUN, b3/b6 probes green).
         #         B==2: r4 hard-blocked it (both in-kernel-attention
         #         kernels faulted the chip at exactly b2); the r5
-        #         toolchain update resolved the fault (r5_probe.log) and
-        #         the block is lifted — r2 measured two-launch faster at
-        #         b2 anyway (170.0 vs 164.6), but that predates the
-        #         in-kernel rope/quant mega2; re-A/B when b2 matters.
-        #   B=1:  mega (leading attention, ops/fused_step.py; 95.5 vs
-        #         94.6 two-launch in r2, 94.99 in r3).  The r4 toolchain
-        #         faulted it at every batch and b1 fell to two-launch
-        #         (93.5); the r5 toolchain resolved the fault
-        #         (r5_probe.log, fresh-compile probe green) and mega is
-        #         the b1 auto path again.
+        #         toolchain resolved the fault (r5_probe.log) and the
+        #         full-7B A/B now measures mega2 193.4 vs two-launch
+        #         169.4 tok/s (+14%, 7 interleaved reps, spreads <=0.01,
+        #         ab_r5_b2_confirm.log) — mega2 is the b2 path.
+        #   B=1:  mega2 since r5 — 100.1 vs two-launch 93.4 tok/s
+        #         (+7.2%, spreads <=0.004, ab_r5_b1_mega2.log), beating
+        #         even r3's mega record (94.99).  mega itself (leading
+        #         attention, ops/fused_step.py) remains TPU-blocked: its
+        #         L=2 probe passes on r5 but the full 32-layer b1 decode
+        #         still crashes the worker (ab_r5_b1.log).
         #   mega3 (two layers per launch, ops/fused_step3.py) measured
         #         PARITY-MINUS at b8: 654.0 vs mega2 656.4 (7 interleaved
         #         reps, spreads 0.001) — halving the launch count (~16 x
