@@ -209,12 +209,22 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
     chunked = (batch * prompt_len >= 8192 and prompt_len % chunk == 0
                and batch * chunk <= 4096)
 
+    host_chunks = [False]  # flipped on in-jit chunked compile failure
+    # ONE cache threaded through every rep via the donation chain: per-rep
+    # creation keeps the previous rep's buffers alive while the next
+    # allocates (transient 2x cache = runtime ResourceExhausted at b32
+    # dense, 6.45 GB each — b32_ttft_r5b.log); prefill overwrites the full
+    # prompt span each rep, so reuse is semantically identical
+    cache_box = [None]
+
     def once():
         if kv_layout == "paged":
             from tpu_llama.runtime.engine import prefill_into_slots_waved
 
-            cache = _make_cache(config, batch, "int8", seq_len, "paged",
-                                page_size)
+            if cache_box[0] is None:
+                cache_box[0] = _make_cache(config, batch, "int8", seq_len,
+                                           "paged", page_size)
+            cache, cache_box[0] = cache_box[0], None
             slots = jnp.arange(batch, dtype=jnp.int32)
             # large admissions go pool-direct in host-dispatched waves —
             # the only b64-feasible path (see engine.py)
@@ -222,12 +232,49 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                 params, cache, tokens, lengths, slots, config,
                 precision="default", logits_mode="last")
         else:
-            cache = make_kv_cache(config, batch=batch, kv_dtype=kv,
-                                  seq_len=seq_len)
-            if chunked:
-                from tpu_llama.models.llama import forward_prefill_chunked
+            from tpu_llama.models.llama import (
+                _prefill_chunked_carry_ok, forward_prefill_chunked_carry)
 
-                logits, cache = forward_prefill_chunked(
+            if cache_box[0] is None:
+                cache_box[0] = make_kv_cache(config, batch=batch,
+                                             kv_dtype=kv, seq_len=seq_len)
+            cache, cache_box[0] = cache_box[0], None
+            if chunked and _prefill_chunked_carry_ok(
+                    params, config, cache, batch, chunk) \
+                    and not host_chunks[0]:
+                # cache in the layer-scan CARRY + aliased chunk writes: the
+                # only b32-dense-feasible ONE-dispatch form on the r5
+                # toolchain (the xs/ys bodies charge 2 extra cache-sized
+                # HBM temps — b32_full_err.log)
+                logits, cache = forward_prefill_chunked_carry(
+                    params, cache, tokens, lengths, config,
+                    precision="default", chunk=chunk)
+            elif chunked and host_chunks[0]:
+                # host-dispatched chunk loop: each chunk is ONE donated
+                # forward_prefill program (its scan-ys cache staging
+                # aliases the donated input).  The in-jit chunk forms keep
+                # n-1 extra full-cache temps alive — HBM-infeasible at b32
+                # dense (19.4 G > 15.75, b32_full_err.log) — and the r5
+                # toolchain broke the lax.scan chunk form outright
+                # (CLAUDE.md r5 envelope).  ~27 ms dispatch per extra
+                # chunk is the price of a number that exists.
+                n = prompt_len // chunk
+                logits = None
+                for i in range(n):
+                    tok_c = tokens[:, i * chunk:(i + 1) * chunk]
+                    start_c = jnp.full((batch,), i * chunk, jnp.int32)
+                    len_c = jnp.clip(lengths - i * chunk, 1, chunk)
+                    logits, cache = forward_prefill(
+                        params, cache, tok_c, start_c, len_c, config,
+                        precision="default", logits_mode="last",
+                        max_keys=prompt_len)
+                # uniform prompt_len: every row's final token is in the
+                # last chunk, so the final call's logits are the answer
+            elif chunked:
+                from tpu_llama.models.llama import \
+                    forward_prefill_chunked_unrolled
+
+                logits, cache = forward_prefill_chunked_unrolled(
                     params, cache, tokens, lengths, config,
                     precision="default", chunk=chunk)
             else:
@@ -237,6 +284,7 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                     assume_fresh=True)  # start==0: cache out of the loop
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if not with_decode:
+            cache_box[0] = cache
             return nxt
         # the engine's decode step DONATES the cache — the plain
         # forward_decode would hold a second multi-GB copy, which pushed
@@ -245,9 +293,34 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
 
         logits2, cache = _decode_step(
             params, cache, nxt, lengths, config, "default")
+        cache_box[0] = cache
         return jnp.argmax(logits2, axis=-1)
 
-    np.asarray(once())  # warm/compile
+    retry = False
+    try:
+        np.asarray(once())  # warm/compile
+    except Exception as e:
+        if not chunked or kv_layout == "paged":
+            raise
+        # the one-dispatch unrolled chunk program is HBM-infeasible at
+        # b32 dense (n-1 unaliased cache temps, b32_full_err.log); the
+        # per-chunk programs alias their staging into the donated cache
+        # and fit.  The retry runs OUTSIDE this handler: the exception's
+        # traceback pins the failed attempt's frames (and their 6.45 GB
+        # cache) until the handler exits.
+        print(f"bench_ttft: in-jit chunked prefill failed "
+              f"({type(e).__name__}); retrying with host-dispatched "
+              f"chunks", file=sys.stderr)
+        retry = True
+    if retry:
+        import gc
+
+        cache_box[0] = None
+        gc.collect()
+        host_chunks[0] = True
+        if info is not None:
+            info["ttft_prefill"] = "host_chunks"
+        np.asarray(once())
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -374,10 +447,10 @@ def main():
                         # set > HBM) — any other dense-prefill failure is
                         # a bug that must stay visible, and the dense
                         # error is kept alongside the paged number.
-                        oom = ("RESOURCE_EXHAUSTED" in str(e)
-                               or "Out of memory" in str(e)
-                               or type(e).__name__ == "XlaRuntimeError"
-                               and "exhausted" in str(e).lower())
+                        emsg = str(e).lower()
+                        oom = ("resource_exhausted" in emsg
+                               or "out of memory" in emsg
+                               or "exhausted" in emsg)
                         if args.kv_layout == "dense" and oom:
                             try:
                                 ttft_s, _ = bench_ttft(
@@ -423,9 +496,9 @@ def main():
             rec["prompt_len"] = args.prompt_len
         except Exception as e:
             rec["ttft_error"] = f"{type(e).__name__}: {e}"[:120]
-            oom = ("RESOURCE_EXHAUSTED" in str(e)
-                   or "Out of memory" in str(e)
-                   or "exhausted" in str(e).lower())
+            emsg = str(e).lower()
+            oom = ("resource_exhausted" in emsg or "out of memory" in emsg
+                   or "exhausted" in emsg)
             if args.kv_layout == "dense" and oom:
                 try:
                     ttft_s, _ = bench_ttft(

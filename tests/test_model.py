@@ -237,6 +237,21 @@ def test_chunked_prefill_matches_oneshot(tiny_weights):
             np.asarray(got_cache.k[:, b, :, :ln]),
             np.asarray(ref_cache.k[:, b, :, :ln]), rtol=1e-5, atol=1e-6)
 
+    # the UNROLLED form (the r5-toolchain replacement for the lax.scan
+    # chunk loop on TPU — see forward_prefill_chunked_unrolled docstring)
+    # is numerically identical to the scan form
+    from tpu_llama.models.llama import forward_prefill_chunked_unrolled
+
+    got_u, got_ucache = forward_prefill_chunked_unrolled(
+        params, KVCache.create(c, B), tokens, lengths, c,
+        precision="highest", chunk=8)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    for b, ln in enumerate([T, 19]):
+        np.testing.assert_allclose(
+            np.asarray(got_ucache.k[:, b, :, :ln]),
+            np.asarray(ref_cache.k[:, b, :, :ln]), rtol=1e-5, atol=1e-6)
+
 
 def test_prefill_flash_matches_xla(tiny_weights):
     c = tiny_weights.config
@@ -322,3 +337,53 @@ def test_prefill_assume_fresh_matches(tiny_weights):
             np.testing.assert_allclose(
                 np.asarray(got_cache.k), np.asarray(ref_cache.k),
                 rtol=1e-5, atol=1e-6, err_msg=f"{kv} {mode} cache")
+
+
+def test_chunked_prefill_carry_matches_flash_reference():
+    """forward_prefill_chunked_carry (cache in the layer-scan CARRY +
+    aliased Pallas chunk writes — the r5 b32-dense TTFT path) is
+    bit-identical to host-dispatched forward_prefill chunks through the
+    same fused W8A8 stages (attn=flash)."""
+    import dataclasses
+
+    from tpu_llama.config import STORIES110M
+    from tpu_llama.models import make_kv_cache, random_params
+    from tpu_llama.models.llama import (_prefill_chunked_carry_ok,
+                                        forward_prefill,
+                                        forward_prefill_chunked_carry,
+                                        fuse_projections, quantize_params)
+
+    cfg = dataclasses.replace(STORIES110M, n_layers=3, seq_len=512, dim=768,
+                              n_heads=6, n_kv_heads=6)  # head_dim 128
+    params = quantize_params(
+        fuse_projections(random_params(cfg, dtype=jnp.bfloat16, seed=0)),
+        mode="w8a8")
+    B, T, chunk = 2, 256, 128
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0,
+                                cfg.vocab_size)
+    lengths = jnp.array([256, 131], jnp.int32)
+
+    c1 = make_kv_cache(cfg, batch=B, kv_dtype="int8", seq_len=512)
+    l1 = None
+    for i in range(T // chunk):
+        tok_c = tokens[:, i * chunk:(i + 1) * chunk]
+        start = jnp.full((B,), i * chunk, jnp.int32)
+        len_c = jnp.clip(lengths - i * chunk, 1, chunk)
+        li, c1 = forward_prefill(params, c1, tok_c, start, len_c, cfg,
+                                 precision="default", logits_mode="last",
+                                 attn="flash", max_keys=T)
+        owner = (lengths - 1) // chunk == i
+        l1 = li if l1 is None else jnp.where(owner[:, None], li, l1)
+
+    c2 = make_kv_cache(cfg, batch=B, kv_dtype="int8", seq_len=512)
+    assert _prefill_chunked_carry_ok(params, cfg, c2, B, chunk)
+    l2, c2 = forward_prefill_chunked_carry(params, c2, tokens, lengths, cfg,
+                                           precision="default", chunk=chunk)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5,
+                               atol=1e-5)
+    for b, ln in enumerate([256, 131]):
+        np.testing.assert_array_equal(np.asarray(c1.k[:, b, :, :ln]),
+                                      np.asarray(c2.k[:, b, :, :ln]))
+        np.testing.assert_allclose(np.asarray(c1.ks[:, b, :, :ln]),
+                                   np.asarray(c2.ks[:, b, :, :ln]),
+                                   rtol=1e-6, atol=0)

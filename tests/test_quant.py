@@ -1,5 +1,6 @@
 """INT8 quantization + fused dequant-matmul kernel tests."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -363,3 +364,118 @@ def test_w8a8_rows_resident_matches_default(monkeypatch):
     w8a8_matmul_prequant._clear_cache()
     np.testing.assert_array_equal(got, base)
     np.testing.assert_array_equal(got_r, base_r)
+
+
+def test_quantize_channel4_roundtrip(rng_np):
+    from tpu_llama.ops.quant import (dequantize_channel, quantize_channel4,
+                                     unpack_channel4)
+
+    w = rng_np.standard_normal((256, 256)).astype(np.float32) * 0.1
+    t = quantize_channel4(w)
+    assert t.packed4 and t.q.shape == (256, 128) and t.q.dtype == jnp.int8
+    assert t.s.shape == (256,) and t.padded_out == 256
+    # unpack recovers column order (bitcast pair layout)
+    q4 = np.asarray(jax.jit(unpack_channel4)(t)).astype(np.int8)
+    assert q4.shape == (256, 256) and np.abs(q4).max() <= 7
+    back = np.asarray(dequantize_channel(t))
+    rms = np.sqrt(np.mean((back - w) ** 2)) / np.sqrt(np.mean(w**2))
+    # int4 on gaussian data: step = absmax/7 ~ 0.5 sigma, rms ~ step/sqrt(12)
+    # ~ 0.14 relative — 16x coarser than int8's 0.01 gate
+    assert rms < 0.2
+
+
+def test_quantize_channel4_pads_out_to_256(rng_np):
+    from tpu_llama.ops.quant import quantize_channel4
+
+    w = rng_np.standard_normal((100, 130)).astype(np.float32)
+    t = quantize_channel4(w)
+    assert t.q.shape == (128, 128)  # in->128 (mult 32), out 256 packed
+    assert (t.logical_in, t.logical_out) == (100, 130)
+
+
+@pytest.mark.parametrize("B,IN,OUT", [(1, 256, 256), (8, 512, 256),
+                                      (33, 128, 512)])
+def test_w4a8_matmul_matches_unpacked_reference(rng_np, B, IN, OUT):
+    from tpu_llama.ops import w8a8_matmul
+    from tpu_llama.ops.quant import (quantize_activations, quantize_channel4,
+                                     unpack_channel4)
+
+    x = rng_np.standard_normal((B, IN)).astype(np.float32)
+    w = rng_np.standard_normal((IN, OUT)).astype(np.float32) * 0.05
+    t = quantize_channel4(w)
+    q4 = np.asarray(jax.jit(unpack_channel4)(t)).astype(np.float32)
+    xq, sx = quantize_activations(jnp.asarray(x))
+    want = (np.asarray(xq).astype(np.float32) * np.asarray(sx)[:, None]) @ (
+        q4 * np.asarray(t.s)[None, :])
+    got = np.asarray(w8a8_matmul(jnp.asarray(x), t))
+    np.testing.assert_allclose(got, want[:, :OUT], rtol=1e-5,
+                               atol=1e-5 * np.abs(want).max() + 1e-6)
+
+
+def test_w4a8_matmul_xla_matches_kernel(rng_np):
+    from tpu_llama.ops.matmul import w8a8_matmul, w8a8_matmul_xla
+    from tpu_llama.ops.quant import quantize_channel4
+
+    x = rng_np.standard_normal((4, 256)).astype(np.float32)
+    w = rng_np.standard_normal((256, 256)).astype(np.float32) * 0.05
+    t = quantize_channel4(w)
+    a = np.asarray(w8a8_matmul(jnp.asarray(x), t))
+    b = np.asarray(w8a8_matmul_xla(jnp.asarray(x), t))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_model_decode_close(tiny_weights):
+    from tpu_llama.models import forward_decode, make_kv_cache, params_from_raw
+    from tpu_llama.models.llama import quantize_params
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    qparams = quantize_params(params, mode="w4a8")
+    lp = qparams.layers
+    assert lp.wq.packed4 and lp.w2.packed4 and qparams.wcls.packed4
+    tokens = [1, 5, 17, 300]
+    cf, cq = make_kv_cache(c, 1), make_kv_cache(c, 1, kv_dtype="int8")
+    agree = 0
+    for p, t in enumerate(tokens):
+        tt, pp = jnp.array([t], jnp.int32), jnp.array([p], jnp.int32)
+        lf, cf = forward_decode(params, cf, tt, pp, c)
+        lq, cq = forward_decode(qparams, cq, tt, pp, c)
+        lf, lq = np.asarray(lf[0]), np.asarray(lq[0])
+        # int4 weights: looser gate than w8a8's 0.15
+        assert np.abs(lq - lf).max() / (np.abs(lf).max() + 1e-9) < 0.6, p
+        agree += int(np.argmax(lq) == np.argmax(lf))
+    assert agree >= len(tokens) - 1
+
+
+def test_w4a8_prefill_runs(tiny_weights):
+    from tpu_llama.models import make_kv_cache, params_from_raw
+    from tpu_llama.models.llama import forward_prefill, quantize_params
+
+    c = tiny_weights.config
+    qparams = quantize_params(params_from_raw(tiny_weights), mode="w4a8")
+    B, T = 2, 16
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(2, c.vocab_size, (B, T)), jnp.int32)
+    lengths = jnp.array([T, 9], jnp.int32)
+    cache = make_kv_cache(c, B, kv_dtype="int8")
+    logits, cache = forward_prefill(
+        qparams, cache, tokens, jnp.zeros(B, jnp.int32), lengths, c,
+        logits_mode="last")
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_w4a8_internal_format_roundtrip(tmp_path, tiny_weights):
+    from tpu_llama.io.internal import load_params, save_params
+    from tpu_llama.models import params_from_raw
+    from tpu_llama.models.llama import quantize_params
+
+    c = tiny_weights.config
+    qparams = quantize_params(params_from_raw(tiny_weights), mode="w4a8")
+    save_params(tmp_path / "m", qparams, c)
+    loaded, c2 = load_params(tmp_path / "m")
+    assert c2 == c
+    assert loaded.layers.wq.packed4
+    np.testing.assert_array_equal(np.asarray(loaded.layers.wq.q),
+                                  np.asarray(qparams.layers.wq.q))
+    np.testing.assert_array_equal(np.asarray(loaded.wcls.s),
+                                  np.asarray(qparams.wcls.s))

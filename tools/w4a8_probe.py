@@ -135,6 +135,49 @@ def w4a8_matmul_probe(xq, sx, packed, sw, TI=512, TO=512, unpack="int8"):
     )(xq, sx[:, None], packed, sw[None, :])
 
 
+def pack_w4_pairs(w_int4: np.ndarray) -> np.ndarray:
+    """[IN, OUT] int4-valued int8 -> [IN, OUT/2] packed bytes in BITCAST
+    pair order: byte j holds logical column 2j in its LOW nibble and 2j+1
+    in its HIGH nibble, so ``lax.bitcast_convert_type(packed, int4)``
+    (-> [IN, OUT/2, 2]) followed by a trailing reshape recovers logical
+    column order (little-endian nibble order verified on cpu+tpu, r5)."""
+    IN, OUT = w_int4.shape
+    lo = w_int4[:, 0::2].astype(np.int8)
+    hi = w_int4[:, 1::2].astype(np.int8)
+    return ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.int8)
+
+
+def unpack4(packed: jax.Array) -> jax.Array:
+    """packed int8 [..., IN, OUT/2] -> int4 [..., IN, OUT], INSIDE a jit
+    (int4 cannot cross a jit boundary through the relay, W4A8_PROBE.json).
+    The bitcast is metadata-only; the trailing [OUT/2, 2] -> [OUT] reshape
+    collapses minor-most dims and should be layout-free for packed S4."""
+    i4 = jax.lax.bitcast_convert_type(packed, jnp.int4)
+    return i4.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+@functools.partial(jax.jit, static_argnames=("TI", "TO", "mode"))
+def w4_packed_once(xq, sx, packed, sw, TI=512, TO=512, mode="int8"):
+    return _w4_native_call(xq, sx, unpack4(packed), sw, TI, TO, mode=mode)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "TI", "TO", "mode"))
+def w4_packed_loop(xq, sx, packed, sw, iters, TI=512, TO=512, mode="int8"):
+    # unpack ONCE outside the scan (loop-invariant): if the reshape is a
+    # real copy XLA materializes a full int4 buffer here and the scan
+    # streams that — parity with the `int4` astype route then says the
+    # PERSISTENT form can be packed bytes (the capacity prize) at zero
+    # wall-time cost
+    w4 = unpack4(packed)
+
+    def body(c, _):
+        o = _w4_native_call(xq, sx, w4, sw, TI, TO, mode=mode)
+        return c + o[0, :8], None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), length=iters)
+    return acc
+
+
 def _w4_native_kernel(x_ref, sx_ref, w_ref, sw_ref, o_ref, acc_ref, *,
                       n_in: int, mode: str = "int8"):
     i = pl.program_id(2)
@@ -243,7 +286,8 @@ def main():
     ap.add_argument("--size", type=int, default=4096)
     ap.add_argument("--unpack", default="int32",
                     choices=["int8", "int32", "mask", "float", "int4",
-                             "int4dot", "int4bf16", "int8full"])
+                             "int4dot", "int4bf16", "int8full",
+                             "int4packed"])
     ap.add_argument("--ti", type=int, default=512)
     ap.add_argument("--to", type=int, default=512)
     ap.add_argument("--ab", action="store_true",
@@ -263,15 +307,16 @@ def main():
 
     if args.ab:
         w4dev = jnp.asarray(w4)
+        pairs = jnp.asarray(pack_w4_pairs(w4))
         runs = {
             "int8full": lambda: w8_baseline_probe_loop(
                 xq, sx, w4dev, sw, args.iters, args.ti, args.to),
             "int4": lambda: w4_native_loop(
                 xq, sx, w4dev, sw, args.iters, TI=args.ti, TO=args.to,
                 mode="int8"),
-            "int4bf16": lambda: w4_native_loop(
-                xq, sx, w4dev, sw, args.iters, TI=args.ti, TO=args.to,
-                mode="bf16"),
+            "int4packed": lambda: w4_packed_loop(
+                xq, sx, pairs, sw, args.iters, TI=args.ti, TO=args.to,
+                mode="int8"),
         }
         for name, fn in runs.items():  # compile + warm
             np.asarray(fn())
@@ -291,7 +336,16 @@ def main():
                           "ti": args.ti, "to": args.to, "ab": res}))
         return
 
-    if args.unpack in ("int4", "int4dot", "int4bf16"):
+    if args.unpack == "int4packed":
+        pairs = jnp.asarray(pack_w4_pairs(w4))
+
+        def run_once(xq, sx):
+            return w4_packed_once(xq, sx, pairs, sw, TI=args.ti, TO=args.to)
+
+        def run_loop(xq, sx):
+            return w4_packed_loop(xq, sx, pairs, sw, args.iters,
+                                  TI=args.ti, TO=args.to)
+    elif args.unpack in ("int4", "int4dot", "int4bf16"):
         w4dev = jnp.asarray(w4)  # int8 on device; int4 convert stays in-jit
         mode = {"int4": "int8", "int4dot": "direct",
                 "int4bf16": "bf16"}[args.unpack]

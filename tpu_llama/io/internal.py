@@ -65,8 +65,10 @@ def save_params(path: str | os.PathLike, params: LlamaParams,
             q, s = np.asarray(t.q), np.asarray(t.s)
             np.save(d / f"{name}.q.npy", q)
             np.save(d / f"{name}.s.npy", s)
+            kind = "q8" if isinstance(t, QuantTensor) else (
+                "w4a8" if t.packed4 else "w8a8")
             info = {
-                "kind": "q8" if isinstance(t, QuantTensor) else "w8a8",
+                "kind": kind,
                 "logical_in": t.logical_in,
                 "logical_out": t.logical_out,
             }
@@ -100,15 +102,22 @@ def load_params(path: str | os.PathLike, device_put: bool = True,
 
     def load_one(name: str):
         info = meta["tensors"][name]
-        if info["kind"] in ("q8", "w8a8"):
+        if info["kind"] in ("q8", "w8a8", "w4a8"):
             q = np.load(d / f"{name}.q.npy", mmap_mode="r")
             s = np.load(d / f"{name}.s.npy", mmap_mode="r")
             check(q, info, "sha256_q")
             check(s, info, "sha256_s")
-            cls = QuantTensor if info["kind"] == "q8" else ChannelQuantTensor
-            return cls(
+            if info["kind"] == "q8":
+                return QuantTensor(
+                    q=jnp.asarray(q), s=jnp.asarray(s),
+                    logical_in=info["logical_in"],
+                    logical_out=info["logical_out"],
+                )
+            return ChannelQuantTensor(
                 q=jnp.asarray(q), s=jnp.asarray(s),
-                logical_in=info["logical_in"], logical_out=info["logical_out"],
+                logical_in=info["logical_in"],
+                logical_out=info["logical_out"],
+                packed4=info["kind"] == "w4a8",
             )
         arr = np.load(d / f"{name}.npy", mmap_mode="r")
         check(arr, info, "sha256")

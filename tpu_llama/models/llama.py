@@ -306,6 +306,15 @@ def random_quant_params(
     def qt(in_f, out_f, lead=()):
         counter[0] += 1
         k = jax.random.fold_in(key, counter[0])
+        if mode == "w4a8":
+            # random PACKED bytes: each holds two int4 columns; the -8
+            # nibble (outside quantize_channel4's ±7 range) is harmless
+            # for synthetic benching weights
+            assert out_f % 256 == 0, out_f
+            q = rand_i8(k, (*lead, in_f, out_f // 2))
+            s = jnp.full((*lead, out_f), 3.6e-3, jnp.float32)
+            return ChannelQuantTensor(q=q, s=s, logical_in=in_f,
+                                      logical_out=out_f, packed4=True)
         if mode == "w8a8":
             q = rand_i8(k, (*lead, in_f, out_f))
             s = jnp.full((*lead, out_f), 2e-4, jnp.float32)
@@ -379,12 +388,21 @@ def quantize_params(
 
     mode="q8_0": group-wise weight-only (llama2.c-compatible accuracy;
     dequant in VMEM).  mode="w8a8": per-channel weights + dynamic per-token
-    activation quant on the int8 MXU (the throughput path).  Norm weights,
-    embeddings, and RoPE tables stay floating point."""
+    activation quant on the int8 MXU (the throughput path).  mode="w4a8":
+    per-channel INT4 weights stored PACKED (two columns/byte — halves
+    resident weight HBM; measured wall-time parity with the int8 stream,
+    W4A8_PROBE.json) with the same int8-MXU compute; the capacity mode for
+    page-pool/long-context headroom.  Norm weights, embeddings, and RoPE
+    tables stay floating point."""
 
     if mode == "w8a8":
         def qz(w):
             return quantize_channel(w)
+    elif mode == "w4a8":
+        from tpu_llama.ops.quant import quantize_channel4
+
+        def qz(w):
+            return quantize_channel4(w)
     elif mode == "q8_0":
         def qz(w):
             return quantize_q8(w, group_size)
@@ -1555,6 +1573,169 @@ def forward_prefill_chunked(
     last = jnp.take_along_axis(
         per_chunk, owner[None, :, None], axis=0)[0]  # [B, V]
     return last, cache
+
+
+@partial(jax.jit, static_argnames=("config", "precision", "chunk"),
+         donate_argnums=(1,))
+def forward_prefill_chunked_unrolled(
+    params: LlamaParams,
+    cache,  # batch-matched cache, seq_len >= T
+    tokens: jax.Array,  # [B, T], T divisible by chunk
+    lengths: jax.Array,  # [B]
+    config: ModelConfig,
+    precision: str = "highest",
+    chunk: int = 256,
+):
+    """:func:`forward_prefill_chunked` with the chunk loop UNROLLED inside
+    one jit — no ``lax.scan`` over chunks.
+
+    Exists because the r5 remote toolchain broke the scan form at every
+    fresh geometry (probed tools/compile_probe.py, env_probe7.log): the
+    while-loop body stops aliasing the loop-invariant params and clones
+    all 6.7 GB into program space (b32: "program 6.69G", HBM OOM), and
+    Mosaic's scoped-vmem stack need for the silu+quant kernel grows past
+    its declared limit only inside the while context (b8: 9.48M vs 8.72M).
+    Unrolled, the params are plain shared args and each chunk is ordinary
+    straight-line code — same numerics, one dispatch, n x the program size
+    (fine for n <= 8; compile ~n x the one-shot cost)."""
+    B, T = tokens.shape
+    assert T % chunk == 0, (T, chunk)
+    n = T // chunk
+
+    per_chunk = []
+    for i in range(n):
+        tok_c = jax.lax.slice_in_dim(tokens, i * chunk, (i + 1) * chunk,
+                                     axis=1)
+        start = jnp.full((B,), i * chunk, jnp.int32)
+        len_c = jnp.clip(lengths - i * chunk, 1, chunk)
+        logits_c, cache = forward_prefill(
+            params, cache, tok_c, start, len_c, config,
+            precision=precision, logits_mode="last", max_keys=T)
+        per_chunk.append(logits_c)
+    owner = jnp.clip((lengths - 1) // chunk, 0, n - 1)  # [B]
+    last = jnp.take_along_axis(
+        jnp.stack(per_chunk), owner[None, :, None], axis=0)[0]  # [B, V]
+    return last, cache
+
+
+@partial(jax.jit, static_argnames=("config", "precision", "chunk"),
+         donate_argnums=(1,))
+def forward_prefill_chunked_carry(
+    params: LlamaParams,
+    cache,  # QuantKVCache, seq_len >= T
+    tokens: jax.Array,  # [B, T], T divisible by chunk
+    lengths: jax.Array,  # [B]
+    config: ModelConfig,
+    precision: str = "default",
+    chunk: int = 256,
+):
+    """Chunked prefill with the stacked cache in the layer-scan CARRY and
+    aliased Pallas chunk writes — the decode loop's memory discipline
+    (CLAUDE.md) applied to prefill.
+
+    The scan-xs/ys prefill body charges two extra full-cache HBM temps on
+    the r5 AOT compiler (ys staging no longer aliases the donated input),
+    pushing every b32-dense chunked/continuation compile to 19.3 G > 15.75
+    (b32_full_err.log, env_probe9.log).  Here the cache never leaves the
+    carry: :func:`tpu_llama.ops.attention.kv_cache_write_chunk` lands each
+    chunk's rows in place (start is uniform and 128-aligned by
+    construction), and attention reads a per-layer dynamic slice — an
+    O(cache/L) temp instead of O(cache).
+
+    Requires the fused-W8A8 layout, an int8 QuantKVCache, chunk % 128 == 0
+    and B*chunk <= 4096 (the fused-stage compile envelope); callers gate
+    via :func:`_prefill_chunked_carry_ok`.  Numerics match
+    forward_prefill_chunked exactly (same stage kernels, same order).
+    """
+    from tpu_llama.ops.attention import kv_cache_write_chunk
+    from tpu_llama.ops.matmul import w8a8_matmul, w8a8_matmul_prequant
+    from tpu_llama.ops.quant import (
+        rmsnorm_quantize_pallas,
+        rope_split_quantize_pallas,
+        silu_mul_quantize_pallas,
+    )
+
+    B, T = tokens.shape
+    assert T % chunk == 0, (T, chunk)
+    n = T // chunk
+    D, KVD, H = config.dim, config.kv_dim, config.hidden_dim
+    KVH, hd, NH = config.n_kv_heads, config.head_dim, config.n_heads
+    M = B * chunk
+    S = cache.seq_len
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) \
+        else precision
+    L = params.layers.rms_att.shape[0]
+    layer_ix = jnp.arange(L)
+
+    per_chunk = []
+    carr = (cache.k, cache.v, cache.ks, cache.vs)
+    for i in range(n):
+        tok_c = jax.lax.slice_in_dim(tokens, i * chunk, (i + 1) * chunk,
+                                     axis=1)
+        start_vec = jnp.full((B,), i * chunk, jnp.int32)
+        write_pos = jnp.clip(start_vec[:, None]
+                             + jnp.arange(chunk)[None, :], 0, S - 1)
+        cos = params.rope_cos[write_pos]  # [B, Tc, hd/2]
+        sin = params.rope_sin[write_pos]
+        x = params.tok_emb[tok_c]  # [B, Tc, D]
+
+        def layer_step(carry, scanned, cos=cos, sin=sin,
+                       start_vec=start_vec, i=i):
+            x, ck_, cv_, cks_, cvs_ = carry
+            lp, l = scanned
+            x2 = x.reshape(M, D)
+            xq_, sx_ = rmsnorm_quantize_pallas(x2, lp.rms_att)
+            qkv = w8a8_matmul_prequant(xq_, sx_, lp.wq, out_dtype=x.dtype)[:M]
+            qr, kq, ks, vq, vs = rope_split_quantize_pallas(
+                qkv, cos, sin, D, KVH, hd)
+            q = qr.reshape(B, chunk, NH, hd)
+            kqt = kq.reshape(B, chunk, KVH, hd).transpose(0, 2, 1, 3)
+            vqt = vq.reshape(B, chunk, KVH, hd).transpose(0, 2, 1, 3)
+            kst = ks.reshape(B, chunk, KVH).transpose(0, 2, 1)
+            vst = vs.reshape(B, chunk, KVH).transpose(0, 2, 1)
+            ck_, cv_, cks_, cvs_ = kv_cache_write_chunk(
+                kqt, vqt, kst, vst, jnp.int32(i * chunk), l,
+                ck_, cv_, cks_, cvs_)
+            k_l = jax.lax.dynamic_index_in_dim(ck_, l, 0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(cv_, l, 0, keepdims=False)
+            ks_l = jax.lax.dynamic_index_in_dim(cks_, l, 0, keepdims=False)
+            vs_l = jax.lax.dynamic_index_in_dim(cvs_, l, 0, keepdims=False)
+            att = flash_prefill_attention(
+                q, k_l, v_l, start_vec, ks_l, vs_l,
+                max_keys=T, out_dtype=x.dtype).reshape(M, D)
+            x2 = w8a8_matmul(att, lp.wo, out_dtype=x.dtype, residual=x2)
+            hq, hs = rmsnorm_quantize_pallas(x2, lp.rms_ffn)
+            gu = w8a8_matmul_prequant(hq, hs, lp.w1, out_dtype=x.dtype)[:M]
+            fq, fs = silu_mul_quantize_pallas(gu[:, :H], gu[:, H:])
+            x2 = w8a8_matmul_prequant(fq, fs, lp.w2, out_dtype=x.dtype,
+                                      residual=x2)[:M]
+            return (x2.reshape(B, chunk, D), ck_, cv_, cks_, cvs_), None
+
+        (x, *carr), _ = jax.lax.scan(layer_step, (x, *carr),
+                                     (params.layers, layer_ix))
+        # this chunk's next-token logits at each row's final valid position
+        len_c = jnp.clip(lengths - i * chunk, 1, chunk)
+        xl = jnp.take_along_axis(
+            x, jnp.clip(len_c - 1, 0, chunk - 1)[:, None, None], axis=1)[:, 0]
+        xl = rmsnorm(xl, params.rms_final)
+        per_chunk.append(matmul_any(xl, params.wcls, prec))
+
+    owner = jnp.clip((lengths - 1) // chunk, 0, n - 1)  # [B]
+    last = jnp.take_along_axis(
+        jnp.stack(per_chunk), owner[None, :, None], axis=0)[0]  # [B, V]
+    new_cache = QuantKVCache(k=carr[0], v=carr[1], ks=carr[2], vs=carr[3])
+    return last.astype(jnp.float32), new_cache
+
+
+def _prefill_chunked_carry_ok(params, config: ModelConfig, cache, B: int,
+                              chunk: int) -> bool:
+    """Gate for forward_prefill_chunked_carry: fused-W8A8 stage envelope +
+    int8 dense cache + the write kernel's alignment contract."""
+    return (isinstance(cache, QuantKVCache)
+            and _prefill_w8a8_fast_ok(params, config, B, chunk)
+            and config.head_dim % 128 == 0
+            and chunk % 128 == 0
+            and cache.k.shape[-2] % 128 == 0)
 
 
 def forward_prefill_paged_chunked(

@@ -1498,7 +1498,7 @@ def _flash_prefill_hb_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _flash_prefill_fresh_kernel(q_ref, k_ref, v_ref, o_ref, bias_scr, *,
                                 G: int, TQ: int, TS: int, int8: bool,
-                                ks_ref=None, vs_ref=None):
+                                ks_ref=None, vs_ref=None, tri: int = 1):
     """Prefill-from-zero single-block cell: start == 0 and one S block.
 
     The general kernel pays ~9.5 us/cell of which most is VPU pass count,
@@ -1507,7 +1507,15 @@ def _flash_prefill_fresh_kernel(q_ref, k_ref, v_ref, o_ref, bias_scr, *,
     corr exp, acc rescale) is dead weight, and the causal mask is a
     LAUNCH-CONSTANT [TQ, TS] bias — computed once into a scratch at the
     first cell and applied as one fused multiply-add per cell, replacing
-    the per-cell iota/mod/compare/where chain (~5 wide passes -> 1)."""
+    the per-cell iota/mod/compare/where chain (~5 wide passes -> 1).
+
+    ``tri > 1`` splits the cell into ``tri`` static row strips and clips
+    each strip's key span to its causal bound: strip i of TQ/tri rows
+    touches keys [0, ceil(((i+1)*TQ/tri)/G, 128)) only, cutting the
+    dot/softmax AREA to ~(tri+1)/(2*tri) of the full square (5/8 at
+    tri=4).  The VPU pass count — the measured per-cell floor — scales
+    with area, so this targets exactly the dominant term; the cost is
+    ~tri x the per-op issue count.  A/B'd on-chip before defaulting."""
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _():
         row = jax.lax.broadcasted_iota(jnp.int32, (TQ, TS), 0)
@@ -1516,26 +1524,37 @@ def _flash_prefill_fresh_kernel(q_ref, k_ref, v_ref, o_ref, bias_scr, *,
 
     q = q_ref[0, 0]
     k = k_ref[0, 0]
-    s = jax.lax.dot_general(
-        q.astype(jnp.bfloat16) if int8 else q.astype(jnp.float32),
-        k.astype(jnp.bfloat16) if int8 else k.astype(jnp.float32),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [TQ, TS]
-    if int8:
-        s = s * ks_ref[0, 0] + bias_scr[:]
-    else:
-        s = s + bias_scr[:]
-    s_max = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - s_max)  # masked lanes underflow to exact zeros
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    if int8:
-        p = (p * vs_ref[0, 0]).astype(jnp.bfloat16)
-        v = v_ref[0, 0].astype(jnp.bfloat16)
-    else:
-        p = p.astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-    acc = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    RQ = TQ // tri
+    for i in range(tri):
+        # static strip bounds; key span rounded up to the 128-lane tile
+        r0, r1 = i * RQ, (i + 1) * RQ
+        ts_i = min(TS, -(-(((r1 - 1) // G) + 1) // 128) * 128)
+        qi = q[r0:r1] if tri > 1 else q
+        ki = k[:ts_i] if tri > 1 else k
+        s = jax.lax.dot_general(
+            qi.astype(jnp.bfloat16) if int8 else qi.astype(jnp.float32),
+            ki.astype(jnp.bfloat16) if int8 else ki.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [RQ, ts_i]
+        if int8:
+            s = s * ks_ref[0, 0][:, :ts_i] + bias_scr[r0:r1, :ts_i]
+        else:
+            s = s + bias_scr[r0:r1, :ts_i]
+        s_max = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - s_max)  # masked lanes underflow to exact zeros
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if int8:
+            p = (p * vs_ref[0, 0][:, :ts_i]).astype(jnp.bfloat16)
+            v = v_ref[0, 0][:ts_i].astype(jnp.bfloat16)
+        else:
+            p = p.astype(jnp.float32)
+            v = v_ref[0, 0][:ts_i].astype(jnp.float32)
+        acc = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        out = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if tri > 1:
+            o_ref[0, 0, r0:r1] = out
+        else:
+            o_ref[0, 0] = out
 
 
 def _pick_prefill_hb(KVH: int, TQ: int, TS: int, hd: int, int8: bool,
@@ -1630,7 +1649,8 @@ def _flash_prefill_kernel(start_ref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_s",
                                               "max_keys", "block_h",
-                                              "out_dtype", "assume_fresh"))
+                                              "out_dtype", "assume_fresh",
+                                              "tri"))
 def flash_prefill_attention(
     q: jax.Array,  # [B, T, NH, hd] — raw queries for this chunk
     k_cache: jax.Array,  # [B, KVH, S, hd] fp or int8 (chunk already written)
@@ -1648,6 +1668,9 @@ def flash_prefill_attention(
     assume_fresh: bool = False,  # STATIC promise: start_pos == 0 everywhere
     # — enables the single-pass fresh kernel when the shape also has one
     # q block and one s block (the TTFT / admission shape)
+    tri: int | None = None,  # fresh-kernel triangular strip count (None =
+    # TPU_LLAMA_FRESH_TRI env, default 1); explicit values let the A/B
+    # harness hold both programs in one process
 ) -> jax.Array:
     """Returns [B, T, NH*hd] f32. Causality: key s attends iff
     s <= start_pos[b] + t (matches _attention_prefill's mask).
@@ -1704,8 +1727,14 @@ def flash_prefill_attention(
                                 memory_space=pltpu.VMEM)
         sspec_f = pl.BlockSpec((1, 1, 1, TS), lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM)
+        # triangular strip split (see kernel docstring) — opt-in via env
+        # until the on-chip A/B decides the default (read at TRACE time)
+        if tri is None:
+            tri = int(os.environ.get("TPU_LLAMA_FRESH_TRI", "1"))
+        if tri < 1 or TQ % tri or (TQ // tri) % 8:
+            tri = 1
         kern = functools.partial(_flash_prefill_fresh_kernel, G=G, TQ=TQ,
-                                 TS=TS, int8=int8)
+                                 TS=TS, int8=int8, tri=tri)
         if int8:
             def kern_int8(q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
                           bias_scr):
@@ -2068,6 +2097,93 @@ def paged_flash_prefill_attention(
 
     out = out[:, :, :rows].reshape(B, KVH, Tc, G, hd).transpose(0, 2, 1, 3, 4)
     return out.reshape(B, Tc, NH * hd)
+
+
+def kv_cache_write_chunk(
+    rows_k: jax.Array,  # [B, KVH, Tc, hd] int8 — chunk rows (roped, quant)
+    rows_v: jax.Array,
+    rows_ks: jax.Array,  # [B, KVH, Tc] f32
+    rows_vs: jax.Array,
+    start: jax.Array,  # scalar int32 — uniform absolute write offset
+    layer: jax.Array | None,  # traced scalar for 5-D stacked caches
+    ck: jax.Array,  # [[L,] B, KVH, S, hd] int8 (donated by caller's jit)
+    cv: jax.Array,
+    cks: jax.Array,  # [[L,] B, KVH, S] f32
+    cvs: jax.Array,
+):
+    """Aliased DENSE-cache write of one prefill chunk at one layer — the
+    stacked-cache scan-CARRY companion of :func:`kv_pool_write_chunk`.
+
+    Exists because the r5 AOT compiler stopped aliasing the layer scan's
+    ys-stacked cache outputs into the donated input: the non-fresh prefill
+    body (cache through scan xs/ys + advanced-index set) charges TWO extra
+    full-cache HBM temps, which is exactly the 3.5 GB overshoot that kills
+    every b32-dense chunked/continuation prefill compile
+    (b32_full_err.log, env_probe9.log).  With the cache in the carry and
+    this kernel writing rows [start, start+Tc) of layer ``layer`` in
+    place, the program's cache footprint is the donated buffer alone.
+
+    Caller contract: uniform ``start`` (chunked prefill from zero),
+    start % 128 == 0 and Tc % 128 == 0 (dynamic lane-dim offsets must stay
+    128-aligned for the [*, S] scale arrays — CLAUDE.md Mosaic rules; the
+    int8 sublane S offsets only need 32), and S % sub-block == 0."""
+    B, KVH, Tc, hd = rows_k.shape
+    if ck.ndim == 4:
+        ck, cv = ck[None], cv[None]
+        cks, cvs = cks[None], cvs[None]
+        layer = None
+    L = ck.shape[0]
+    S = ck.shape[3]
+    rp = Tc
+    while KVH * rp * hd > (1 << 20) and rp % 256 == 0:
+        rp //= 2
+    assert S % rp == 0 and Tc % rp == 0, (S, Tc, rp)
+    RS = Tc // rp
+    scal = _decode_scalars(jnp.broadcast_to(start, (1,)), layer)  # [2, 1]
+
+    def cache_index(b, j, s_ref):
+        return (s_ref[1, 0], b, 0, s_ref[0, 0] // rp + j, 0)
+
+    inspec = pl.BlockSpec((1, KVH, rp, hd), lambda b, j, *_: (b, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 1, KVH, rp, hd), cache_index,
+                         memory_space=pltpu.VMEM)
+    insspec = pl.BlockSpec((1, KVH, rp), lambda b, j, *_: (b, 0, j),
+                           memory_space=pltpu.VMEM)
+    csspec = pl.BlockSpec(
+        (1, 1, KVH, rp),
+        lambda b, j, s_ref: cache_index(b, j, s_ref)[:4],
+        memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+
+    def kern(s_ref, ik, iv, iks, ivs, _pk, _pv, _pks, _pvs,
+             ok_ref, ov_ref, oks_ref, ovs_ref):
+        ok_ref[0, 0] = ik[0]
+        ov_ref[0, 0] = iv[0]
+        oks_ref[0, 0] = iks[0]
+        ovs_ref[0, 0] = ivs[0]
+
+    ck, cv, cks, cvs = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, RS),
+            in_specs=[inspec, inspec, insspec, insspec,
+                      anyspec, anyspec, anyspec, anyspec],
+            out_specs=(cspec, cspec, csspec, csspec),
+        ),
+        out_shape=(jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+                   jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+                   jax.ShapeDtypeStruct(cks.shape, cks.dtype),
+                   jax.ShapeDtypeStruct(cvs.shape, cvs.dtype)),
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(scal, rows_k, rows_v, rows_ks, rows_vs, ck, cv, cks, cvs)
+    if layer is None:
+        return ck[0], cv[0], cks[0], cvs[0]
+    return ck, cv, cks, cvs
 
 
 def kv_pool_write_chunk(

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_llama.ops.quant import ChannelQuantTensor, QuantTensor, quantize_activations
+from tpu_llama.ops.quant import (ChannelQuantTensor, QuantTensor,
+                                 quantize_activations, unpack_channel4)
 
 
 def _interpret() -> bool:
@@ -367,8 +368,14 @@ def _w8a8_kernel(x_ref, sx_ref, q_ref, sw_ref, o_ref, acc_ref, *, n_in: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # pure int8 MXU matmul with int32 accumulation — zero VPU dequant work
-    acc_ref[:] += jnp.dot(x_ref[:], q_ref[:], preferred_element_type=jnp.int32)
+    # pure int8 MXU matmul with int32 accumulation — zero VPU dequant work.
+    # W4 storage streams S4 blocks and upcasts in-VMEM (measured wall-time
+    # parity with the int8 stream, W4A8_PROBE.json; mixed int8 x int4 dot
+    # is Mosaic-NYI so the upcast is required)
+    w = q_ref[:]
+    if w.dtype != jnp.int8:
+        w = w.astype(jnp.int8)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
 
     @pl.when(i == n_in - 1)
     def _():
@@ -386,7 +393,10 @@ def _w8a8_res_kernel(x_ref, sx_ref, q_ref, sw_ref, r_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jnp.dot(x_ref[:], q_ref[:], preferred_element_type=jnp.int32)
+    w = q_ref[:]
+    if w.dtype != jnp.int8:
+        w = w.astype(jnp.int8)  # S4 block upcast (see _w8a8_kernel)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.int32)
 
     @pl.when(i == n_in - 1)
     def _():
@@ -411,12 +421,13 @@ def w8a8_matmul_xla(
     copies for the int8 dot that OOM 7B+ models — so this stays opt-in for
     small models and the Pallas kernel is the default (NEXT.md #3)."""
     lead = x.shape[:-1]
-    IN, OUT = w.q.shape
+    IN, OUT = w.q.shape[-2], w.padded_out
+    wq = unpack_channel4(w).astype(jnp.int8) if w.packed4 else w.q
     xb = x.reshape(-1, x.shape[-1])
     if xb.shape[-1] != IN:
         xb = jnp.pad(xb, ((0, 0), (0, IN - xb.shape[-1])))
     xq, sx = quantize_activations(xb)
-    acc = jnp.dot(xq, w.q, preferred_element_type=jnp.int32)
+    acc = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * sx[:, None] * w.s[None, :]
     eff_out = min(w.logical_out, OUT)
     return out[:, :eff_out].reshape(*lead, eff_out).astype(out_dtype)
@@ -435,7 +446,7 @@ def w8a8_matmul(
     contraction runs on the int8 MXU (2x bf16 MACs, 2-4x less HBM traffic,
     no in-path dequant)."""
     lead = x.shape[:-1]
-    IN, OUT = w.q.shape
+    IN, OUT = w.q.shape[-2], w.padded_out
     xb = x.reshape(-1, x.shape[-1])
     if xb.shape[-1] != IN:
         xb = jnp.pad(xb, ((0, 0), (0, IN - xb.shape[-1])))
@@ -486,7 +497,10 @@ def w8a8_matmul_prequant(
     ``residual`` streams a same-shape tensor into the last in-step and
     returns ``residual + xq @ w`` — the prefill residual adds otherwise
     cost a separate XLA pass per matmul (read mm out + read res + write)."""
-    IN, OUT = w.q.shape
+    IN, OUT = w.q.shape[-2], w.padded_out
+    # W4 storage: unpack to an in-jit S4 array (bitcast, layout-free) and
+    # let the kernel upcast each block; tiles/grid are unchanged
+    wq = unpack_channel4(w) if w.packed4 else w.q
     Bp = xq.shape[0]
     res_bytes = (0 if residual is None
                  else residual.dtype.itemsize)
@@ -496,7 +510,7 @@ def w8a8_matmul_prequant(
         TO = block_out or 256
         TI = block_in or IN
     else:
-        if Bp > 256 and _rows_resident_enabled():
+        if Bp > 256 and _rows_resident_enabled() and not w.packed4:
             pr = _pick_rows_resident(Bp, IN, OUT,
                                      jnp.dtype(out_dtype).itemsize,
                                      res_bytes)
@@ -559,7 +573,7 @@ def w8a8_matmul_prequant(
                 transcendentals=0,
             ),
             interpret=_interpret(),
-        )(xq, sx[:, None], w.q, w.s[None, :], residual)
+        )(xq, sx[:, None], wq, w.s[None, :], residual)
 
     kernel = functools.partial(_w8a8_kernel, n_in=n_in)
     # Declared footprint = buffer model + 4 MB headroom, capped just under
@@ -593,4 +607,4 @@ def w8a8_matmul_prequant(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(xq, sx[:, None], w.q, w.s[None, :])
+    )(xq, sx[:, None], wq, w.s[None, :])

@@ -149,6 +149,15 @@ class ChannelQuantTensor:
     s: jax.Array
     logical_in: int
     logical_out: int
+    # W4 storage variant (VERDICT r4 #6 — the w4a8 probe's capacity
+    # dividend): ``q`` holds int8 BYTES [..., in, out/2], each packing two
+    # int4 columns (byte j: col 2j low nibble, col 2j+1 high).  Compute
+    # stays int8-MXU: consumers call :func:`unpack_channel4` INSIDE their
+    # jit (int4 cannot cross a jit boundary through this relay,
+    # W4A8_PROBE.json) and the Pallas kernels upcast the S4 blocks — the
+    # measured-parity "int4 native astype" route.  Halves resident weight
+    # HBM (7B: 6.7 -> 3.4 GB); speed parity per the r4 probe.
+    packed4: bool = False
 
     @property
     def shape(self):
@@ -162,8 +171,13 @@ class ChannelQuantTensor:
     def out_features(self) -> int:
         return self.logical_out
 
+    @property
+    def padded_out(self) -> int:
+        return self.q.shape[-1] * (2 if self.packed4 else 1)
 
-_dataclass_pytree(ChannelQuantTensor, meta=("logical_in", "logical_out"))
+
+_dataclass_pytree(ChannelQuantTensor,
+                  meta=("logical_in", "logical_out", "packed4"))
 
 
 def quantize_channel(w) -> ChannelQuantTensor:
@@ -185,8 +199,56 @@ def quantize_channel(w) -> ChannelQuantTensor:
     return ChannelQuantTensor(q=q, s=s, logical_in=in_f, logical_out=out_f)
 
 
+def pack_channel4(q4: jax.Array) -> jax.Array:
+    """int4-valued int8 [..., in, out] -> packed bytes [..., in, out/2] in
+    bitcast pair order (byte j = col 2j | col 2j+1 << 4) so
+    :func:`unpack_channel4`'s bitcast+reshape recovers column order."""
+    lo = q4[..., 0::2]
+    hi = q4[..., 1::2]
+    return (jnp.bitwise_and(lo, 0xF)
+            | (jnp.bitwise_and(hi, 0xF) << 4)).astype(jnp.int8)
+
+
+def unpack_channel4(t: ChannelQuantTensor) -> jax.Array:
+    """Packed byte storage -> int4 array [..., in, out], INSIDE a jit.
+
+    The bitcast is metadata-only and the trailing [out/2, 2] -> [out]
+    reshape collapses minor-most dims of an S4 layout (layout-free); the
+    result feeds the Pallas kernels, which upcast S4 blocks in-VMEM
+    (tools/w4a8_probe.py int4/int4packed: measured wall-time parity with
+    the int8 stream at every probed shape)."""
+    assert t.packed4, "unpack_channel4 on a non-packed tensor"
+    i4 = jax.lax.bitcast_convert_type(t.q, jnp.int4)  # [..., in, out/2, 2]
+    return i4.reshape(*t.q.shape[:-1], t.q.shape[-1] * 2)
+
+
+def quantize_channel4(w) -> ChannelQuantTensor:
+    """Per-out-channel symmetric absmax INT4 (range ±7), packed two columns
+    per byte; pads in->mult of 32, out->mult of 256 (so out/2 stays
+    lane-aligned to 128)."""
+    w = jnp.asarray(w)
+    in_f, out_f = w.shape[-2:]
+    padded_in = -(-in_f // 32) * 32
+    padded_out = -(-out_f // 256) * 256
+    if (padded_in, padded_out) != (in_f, out_f):
+        pad = [(0, 0)] * (w.ndim - 2) + [
+            (0, padded_in - in_f), (0, padded_out - out_f)]
+        w = jnp.pad(w, pad)
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2)  # [..., out]
+    s = absmax / 7.0
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q4 = jnp.clip(jnp.rint(wf * inv[..., None, :]), -7, 7).astype(jnp.int8)
+    return ChannelQuantTensor(q=pack_channel4(q4), s=s, logical_in=in_f,
+                              logical_out=out_f, packed4=True)
+
+
 def dequantize_channel(t: ChannelQuantTensor, dtype=jnp.float32) -> jax.Array:
-    w = t.q.astype(jnp.float32) * t.s[..., None, :]
+    if t.packed4:
+        q = unpack_channel4(t).astype(jnp.float32)
+    else:
+        q = t.q.astype(jnp.float32)
+    w = q * t.s[..., None, :]
     return w[..., : t.logical_in, : t.logical_out].astype(dtype)
 
 
