@@ -54,7 +54,7 @@ def _build(config, dtype, quant, fuse):
                            + 3 * config.dim * config.hidden_dim),
     ])
     if quant and fp_bytes > 10e9:
-        mode = "w8a8" if quant == "w8a8" else "q8_0"
+        mode = quant if quant in ("w8a8", "w4a8") else "q8_0"
         return jax.block_until_ready(
             random_quant_params(config, mode=mode, fuse=fuse))
     params = random_params(config, dtype=dtype, seed=0)
@@ -63,8 +63,8 @@ def _build(config, dtype, quant, fuse):
         params = fuse_projections(params)
     if quant == "int8":
         params = jax.block_until_ready(quantize_params(params))
-    elif quant == "w8a8":
-        params = jax.block_until_ready(quantize_params(params, mode="w8a8"))
+    elif quant in ("w8a8", "w4a8"):
+        params = jax.block_until_ready(quantize_params(params, mode=quant))
     return params
 
 
@@ -336,7 +336,12 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--config", default="7b", choices=["7b", "13b", "110m", "15m"])
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--quant", default="w8a8", choices=["none", "int8", "w8a8"])
+    ap.add_argument("--quant", default="w8a8",
+                    choices=["none", "int8", "w8a8", "w4a8"],
+                    help="w4a8: packed-int4 weight storage — measured r5: "
+                         "a checkpoint-density format, NOT a runtime mode "
+                         "on this toolchain (XLA materializes byte-expanded "
+                         "unpacks; 9.5x slower than w8a8 — W4A8_PROBE.json)")
     # "auto" resolves to the measured winner per config (models/llama.py):
     # manual-DMA flash_dma everywhere except dense B=1 (389.7 vs 307.4 tok/s
     # on the b8 headline; see kernel_bench --dyn/--fresh/--paged A/Bs)

@@ -72,7 +72,16 @@ def _w4a8_kernel(x_ref, sx_ref, p_ref, sw_ref, o_ref, acc_ref, *, n_in: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     b = p_ref[:]  # [TI, TO/2] packed int8
-    if unpack == "int8":
+    if unpack == "bitcast":
+        # r5: the one unpack route never tried in r4 — Mosaic-side
+        # bitcast to S4 + minor-dim selects.  With the tile-halves pack
+        # layout, byte j of a tile holds (col j, col j + TO/2) as
+        # (lo, hi) nibbles, so elem 0/1 of the bitcast ARE the tile's
+        # column halves — plain lane concat, no interleave reshape.
+        i4 = jax.lax.bitcast_convert_type(b, jnp.int4)  # [TI, TO/2, 2]
+        lo = i4[:, :, 0].astype(jnp.int8)
+        hi = i4[:, :, 1].astype(jnp.int8)
+    elif unpack == "int8":
         # MEASURED r3: Mosaic fails to legalize 'arith.shli' on int8 lanes
         # — kept for re-testing on newer toolchains
         lo = jnp.left_shift(b, 4) >> 4  # arithmetic: sign-extend low nibble
@@ -287,7 +296,7 @@ def main():
     ap.add_argument("--unpack", default="int32",
                     choices=["int8", "int32", "mask", "float", "int4",
                              "int4dot", "int4bf16", "int8full",
-                             "int4packed"])
+                             "int4packed", "bitcast"])
     ap.add_argument("--ti", type=int, default=512)
     ap.add_argument("--to", type=int, default=512)
     ap.add_argument("--ab", action="store_true",

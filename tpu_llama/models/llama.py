@@ -389,11 +389,14 @@ def quantize_params(
     mode="q8_0": group-wise weight-only (llama2.c-compatible accuracy;
     dequant in VMEM).  mode="w8a8": per-channel weights + dynamic per-token
     activation quant on the int8 MXU (the throughput path).  mode="w4a8":
-    per-channel INT4 weights stored PACKED (two columns/byte — halves
-    resident weight HBM; measured wall-time parity with the int8 stream,
-    W4A8_PROBE.json) with the same int8-MXU compute; the capacity mode for
-    page-pool/long-context headroom.  Norm weights, embeddings, and RoPE
-    tables stay floating point."""
+    per-channel INT4 weights stored PACKED (two columns/byte).  CAUTION —
+    measured r5 (W4A8_PROBE.json r5_runtime_reinvestigation): on the
+    current TPU toolchain this is a CHECKPOINT/ARTIFACT density format,
+    not a runtime mode — no in-kernel unpack compiles and XLA
+    materializes byte-expanded copies of every weight at program scale
+    (9.5x slower decode AND more HBM than int8).  Use w8a8 at runtime;
+    w4a8 halves on-disk artifacts (io/internal.py round-trips packed4).
+    Norm weights, embeddings, and RoPE tables stay floating point."""
 
     if mode == "w8a8":
         def qz(w):
@@ -663,11 +666,13 @@ def _fused_path_ok(params: LlamaParams, config: ModelConfig) -> bool:
     if not all(isinstance(w, ChannelQuantTensor)
                for w in (lp.wq, lp.wo, lp.w1, lp.w2)):
         return False
-    if lp.wq.q.shape[-1] != QO or lp.w1.q.shape[-1] != 2 * H:
+    if lp.wq.padded_out != QO or lp.w1.padded_out != 2 * H:
         return False  # requires fuse_projections layouts
-    if any(w.q.shape[-1] != w.logical_out or w.q.shape[-2] != w.logical_in
+    if any(w.padded_out != w.logical_out or w.q.shape[-2] != w.logical_in
            for w in (lp.wq, lp.wo, lp.w1, lp.w2)):
         return False  # padded quant dims — block maps assume exact shapes
+    # W4 storage (packed4) rides the same kernels: the drivers unpack to
+    # S4 stacked arrays in-jit and the kernels upcast blocks (_i8w)
     if D % 128 or H % 128 or QO % 128:
         return False
     from tpu_llama.ops.fused_layer import _pick_fused_blocks
@@ -741,7 +746,9 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
         x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
     h0 = rmsnorm(x0, lp.rms_att[0])
     xq0, sx0 = quantize_activations(h0)
-    qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
+    wqq, woq, w13q, w2q = (_stacked_q(lp.wq), _stacked_q(lp.wo),
+                           _stacked_q(lp.w1), _stacked_q(lp.w2))
+    qkv0 = w8a8_matmul_stacked(xq0, sx0, wqq, lp.wq.s, 0)
     qb = qkv0[:B]
     q0 = apply_rope(
         qb[:, :D].reshape(B, config.n_heads, config.head_dim), cos, sin)
@@ -776,8 +783,8 @@ def _forward_decode_mega2(params, cache, tokens, pos, config: ModelConfig,
         x_n, attq_n, satt_n, kqr, ksr, vqr, vsr = fused_step2_layer(
             x, attq, satt, cache.k, cache.v, cache.ks, cache.vs, pos,
             rc, rsa, rsb, base, dcell, doff, total,
-            lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
-            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L, config.n_heads,
+            woq, lp.wo.s, w13q, lp.w1.s, w2q, lp.w2.s,
+            wqq, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L, config.n_heads,
             block_s=TS)
         return (x_n, attq_n, satt_n), (kqr, ksr, vqr, vsr)
 
@@ -852,7 +859,9 @@ def _forward_decode_mega3(params, cache, tokens, pos, config: ModelConfig,
         x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
     h0 = rmsnorm(x0, lp.rms_att[0])
     xq0, sx0 = quantize_activations(h0)
-    qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
+    wqq, woq, w13q, w2q = (_stacked_q(lp.wq), _stacked_q(lp.wo),
+                           _stacked_q(lp.w1), _stacked_q(lp.w2))
+    qkv0 = w8a8_matmul_stacked(xq0, sx0, wqq, lp.wq.s, 0)
     qb = qkv0[:B]
     q0 = apply_rope(
         qb[:, :D].reshape(B, config.n_heads, config.head_dim), cos, sin)
@@ -884,8 +893,8 @@ def _forward_decode_mega3(params, cache, tokens, pos, config: ModelConfig,
         x_n, attq_n, satt_n, rows = fused_step3_pair(
             x, attq, satt, cache.k, cache.v, cache.ks, cache.vs, pos,
             rc, rsa, rsb, base, dcell, doff, total,
-            lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
-            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l0, L, config.n_heads,
+            woq, lp.wo.s, w13q, lp.w1.s, w2q, lp.w2.s,
+            wqq, lp.wq.s, lp.rms_ffn, lp.rms_att, l0, L, config.n_heads,
             block_s=TS)
         return (x_n, attq_n, satt_n), rows
 
@@ -938,6 +947,15 @@ def _mega_path_ok(params, config: ModelConfig, cache, B: int) -> bool:
         config.group_size, config.head_dim, S) is not None
 
 
+def _stacked_q(w):
+    """Stacked weight array for the fused decode kernels: int8, or the
+    in-jit S4 unpack of W4 packed storage (bitcast — layout-free; the
+    kernels upcast per block, measured parity with the int8 stream)."""
+    from tpu_llama.ops.quant import unpack_channel4
+
+    return unpack_channel4(w) if w.packed4 else w.q
+
+
 def _forward_decode_fused(params, cache, tokens, pos, config: ModelConfig,
                           attn: str, unroll: int, mega: bool = False):
     """Decode step with ONE fused linear Pallas call per layer (plus
@@ -980,7 +998,10 @@ def fused_decode_stack(lp, cache, x0, pos, cos, sin, config: ModelConfig,
         x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
     h0 = rmsnorm(x0, lp.rms_att[0])
     xq0, sx0 = quantize_activations(h0)
-    qkv0 = w8a8_matmul_stacked(xq0, sx0, lp.wq.q, lp.wq.s, 0)
+    # stacked weight arrays once per step (S4 unpack is a free bitcast)
+    wqq, woq, w13q, w2q = (_stacked_q(lp.wq), _stacked_q(lp.wo),
+                           _stacked_q(lp.w1), _stacked_q(lp.w2))
+    qkv0 = w8a8_matmul_stacked(xq0, sx0, wqq, lp.wq.s, 0)
 
     if mega:
         from tpu_llama.ops.attention import kv_cache_flush_rows
@@ -1022,8 +1043,8 @@ def fused_decode_stack(lp, cache, x0, pos, cos, sin, config: ModelConfig,
             x_next, qkv_next = fused_step_layer(
                 xp, qg, kq, vq, ks_, vs_,
                 cache.k, cache.v, cache.ks, cache.vs, pos,
-                lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
-                lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L)
+                woq, lp.wo.s, w13q, lp.w1.s, w2q, lp.w2.s,
+                wqq, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L)
             return (x_next, qkv_next), (kq, ks_, vq, vs_)
         if paged:
             kq, ks_ = quantize_kv(k)
@@ -1049,8 +1070,8 @@ def fused_decode_stack(lp, cache, x0, pos, cos, sin, config: ModelConfig,
         attq, satt = quantize_activations(att2)
         x_next, qkv_next = fused_layer_linear(
             xp, attq, satt,
-            lp.wo.q, lp.wo.s, lp.w1.q, lp.w1.s, lp.w2.q, lp.w2.s,
-            lp.wq.q, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L)
+            woq, lp.wo.s, w13q, lp.w1.s, w2q, lp.w2.s,
+            wqq, lp.wq.s, lp.rms_ffn, lp.rms_att, l, L)
         return (x_next, qkv_next), rows
 
     (xp, _), rows = jax.lax.scan(layer_step, (x0, qkv0), layer_ix,

@@ -44,6 +44,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _i8w(blk):
+    """Weight block for the int8-MXU dot: W4 storage arrives as S4 blocks
+    (unpacked-in-jit bitcast, ops/quant.unpack_channel4) and upcasts
+    in-VMEM — measured wall-time parity with the int8 stream
+    (W4A8_PROBE.json int4packed); mixed int8 x int4 dots are Mosaic-NYI."""
+    return blk if blk.dtype == jnp.int8 else blk.astype(jnp.int8)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -93,7 +101,7 @@ def _fused_layer_kernel(
     @pl.when(o < nA)
     def _phase_a():
         j = o
-        acc = jnp.dot(attq_ref[:], woq_ref[0],
+        acc = jnp.dot(attq_ref[:], _i8w(woq_ref[0]),
                       preferred_element_type=jnp.int32)
         blk = xres_ref[:] + (acc.astype(jnp.float32)
                              * satt_ref[:] * wos_ref[0])
@@ -109,9 +117,9 @@ def _fused_layer_kernel(
     @pl.when(jnp.logical_and(o >= nA, o < nA + nB))
     def _phase_b():
         j = o - nA
-        g = jnp.dot(xq_ref[:], w13g_ref[0],
+        g = jnp.dot(xq_ref[:], _i8w(w13g_ref[0]),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
-        u = jnp.dot(xq_ref[:], w13u_ref[0],
+        u = jnp.dot(xq_ref[:], _i8w(w13u_ref[0]),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
         g = g * sx_ref[:] * w13gs_ref[0]
         u = u * sx_ref[:] * w13us_ref[0]
@@ -126,7 +134,7 @@ def _fused_layer_kernel(
     @pl.when(jnp.logical_and(o >= nA + nB, o < nA + nB + nC))
     def _phase_c():
         j = o - nA - nB
-        acc = jnp.dot(xq3_ref[:], w2q_ref[0],
+        acc = jnp.dot(xq3_ref[:], _i8w(w2q_ref[0]),
                       preferred_element_type=jnp.int32)
         blk = (x2_ref[:, pl.ds(j * TOC, TOC)]
                + acc.astype(jnp.float32) * sx_ref[:] * w2s_ref[0])
@@ -142,7 +150,7 @@ def _fused_layer_kernel(
 
     @pl.when(o >= nA + nB + nC)
     def _phase_d():
-        acc = jnp.dot(xq_ref[:], qkvq_ref[0],
+        acc = jnp.dot(xq_ref[:], _i8w(qkvq_ref[0]),
                       preferred_element_type=jnp.int32)
         qkv_ref[:] = acc.astype(jnp.float32) * sx_ref[:] * qkvs_ref[0]
 
@@ -344,9 +352,9 @@ def _fused_ffn_kernel(
     @pl.when(o < nB)
     def _phase_b():
         j = o
-        g = jnp.dot(xq_ref[:], w13g_ref[0],
+        g = jnp.dot(xq_ref[:], _i8w(w13g_ref[0]),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
-        u = jnp.dot(xq_ref[:], w13u_ref[0],
+        u = jnp.dot(xq_ref[:], _i8w(w13u_ref[0]),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
         g = g * sx_ref[:] * w13gs_ref[0]
         u = u * sx_ref[:] * w13us_ref[0]
@@ -360,7 +368,7 @@ def _fused_ffn_kernel(
 
     @pl.when(o >= nB)
     def _phase_c():
-        acc = jnp.dot(xq3_ref[:], w2q_ref[0],
+        acc = jnp.dot(xq3_ref[:], _i8w(w2q_ref[0]),
                       preferred_element_type=jnp.int32)
         xout_ref[:] = acc.astype(jnp.float32) * sx_ref[:] * w2s_ref[0]
 
@@ -473,7 +481,7 @@ def _rms_qkv_kernel(s_ref, x_ref, rmsa_ref, qkvq_ref, qkvs_ref, o_ref,
         xq_ref[:] = q
         sx_ref[:] = s
 
-    acc = jnp.dot(xq_ref[:], qkvq_ref[0], preferred_element_type=jnp.int32)
+    acc = jnp.dot(xq_ref[:], _i8w(qkvq_ref[0]), preferred_element_type=jnp.int32)
     o_ref[:] = acc.astype(jnp.float32) * sx_ref[:] * qkvs_ref[0]
 
 
@@ -526,7 +534,7 @@ def fused_rms_qkv_stacked(
 
 
 def _stacked_matmul_kernel(s_ref, xq_ref, sx_ref, q_ref, ws_ref, o_ref):
-    acc = jnp.dot(xq_ref[:], q_ref[0], preferred_element_type=jnp.int32)
+    acc = jnp.dot(xq_ref[:], _i8w(q_ref[0]), preferred_element_type=jnp.int32)
     o_ref[:] = acc.astype(jnp.float32) * sx_ref[:] * ws_ref[0]
 
 

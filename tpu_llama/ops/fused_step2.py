@@ -52,6 +52,14 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_llama.ops.fused_layer import _block_candidates, _quant_rows, _rms_rows
 
 
+def _i8w(blk):
+    """Weight block for the int8-MXU dot: W4 storage arrives as S4 blocks
+    (unpacked-in-jit bitcast, ops/quant.unpack_channel4) and upcasts
+    in-VMEM — measured wall-time parity with the int8 stream
+    (W4A8_PROBE.json int4packed); mixed int8 x int4 dots are Mosaic-NYI."""
+    return blk if blk.dtype == jnp.int8 else blk.astype(jnp.int8)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -184,7 +192,7 @@ def _fused_step2_kernel(
     @pl.when(o < nA)
     def _phase_a():
         j = o
-        acc = jnp.dot(attq_ref[:], woq_ref[0],
+        acc = jnp.dot(attq_ref[:], _i8w(woq_ref[0]),
                       preferred_element_type=jnp.int32)
         blk = xres_ref[:] + (acc.astype(jnp.float32)
                              * satt_ref[:] * wos_ref[0])
@@ -200,9 +208,9 @@ def _fused_step2_kernel(
     @pl.when(jnp.logical_and(o >= nA, o < nA + nB))
     def _phase_b():
         j = o - nA
-        g = jnp.dot(xq_ref[:], w13g_ref[0],
+        g = jnp.dot(xq_ref[:], _i8w(w13g_ref[0]),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
-        u = jnp.dot(xq_ref[:], w13u_ref[0],
+        u = jnp.dot(xq_ref[:], _i8w(w13u_ref[0]),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
         g = g * sx_ref[:] * w13gs_ref[0]
         u = u * sx_ref[:] * w13us_ref[0]
@@ -220,7 +228,7 @@ def _fused_step2_kernel(
     @pl.when(jnp.logical_and(o >= nA + nB, o < nA + nB + nC))
     def _phase_c():
         j = o - nA - nB
-        acc = jnp.dot(xq3_ref[:], w2q_ref[0],
+        acc = jnp.dot(xq3_ref[:], _i8w(w2q_ref[0]),
                       preferred_element_type=jnp.int32)
         blk = (x2_ref[:, pl.ds(j * TOC, TOC)]
                + acc.astype(jnp.float32) * sx_ref[:] * w2s_ref[0])
@@ -238,7 +246,7 @@ def _fused_step2_kernel(
     @pl.when(jnp.logical_and(o >= nA + nB + nC, o < B0))
     def _phase_d():
         j = o - nA - nB - nC
-        acc = jnp.dot(xq_ref[:], qkvq_ref[0],
+        acc = jnp.dot(xq_ref[:], _i8w(qkvq_ref[0]),
                       preferred_element_type=jnp.int32)
         val = acc.astype(jnp.float32) * sx_ref[:] * qkvs_ref[0]  # [Bp, TOD]
         nh_blk = TOD // hd

@@ -59,6 +59,12 @@ __all__ = ["fused_step3_pair", "step3_plan", "decode_dma_descs",
            "rope_tables"]
 
 
+def _i8w(blk):
+    """S4 (W4 storage) weight blocks upcast in-VMEM for the int8 MXU dot
+    (see ops/fused_layer._i8w)."""
+    return blk if blk.dtype == jnp.int8 else blk.astype(jnp.int8)
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -198,7 +204,8 @@ def _fused_step3_kernel(
             else:
                 src = attq_sc[:]
                 ssc = satt_sc[:]
-            acc = jnp.dot(src, woq_ref[0], preferred_element_type=jnp.int32)
+            acc = jnp.dot(src, _i8w(woq_ref[0]),
+                          preferred_element_type=jnp.int32)
             wo_out = acc.astype(jnp.float32) * ssc * wos_ref[0]
             if h == 0:
                 blk = xres_ref[:] + wo_out
@@ -217,9 +224,9 @@ def _fused_step3_kernel(
             in_half, jnp.logical_and(oo >= nA, oo < nA + nB)))
         def _phase_b(oo=oo):
             j = oo - nA
-            g = jnp.dot(xq_ref[:], w13g_ref[0],
+            g = jnp.dot(xq_ref[:], _i8w(w13g_ref[0]),
                         preferred_element_type=jnp.int32).astype(jnp.float32)
-            u = jnp.dot(xq_ref[:], w13u_ref[0],
+            u = jnp.dot(xq_ref[:], _i8w(w13u_ref[0]),
                         preferred_element_type=jnp.int32).astype(jnp.float32)
             g = g * sx_ref[:] * w13gs_ref[0]
             u = u * sx_ref[:] * w13us_ref[0]
@@ -236,7 +243,7 @@ def _fused_step3_kernel(
             in_half, jnp.logical_and(oo >= nA + nB, oo < nA + nB + nC)))
         def _phase_c(oo=oo):
             j = oo - nA - nB
-            acc = jnp.dot(xq3_ref[:], w2q_ref[0],
+            acc = jnp.dot(xq3_ref[:], _i8w(w2q_ref[0]),
                           preferred_element_type=jnp.int32)
             blk = (x2_ref[:, pl.ds(j * TOC, TOC)]
                    + acc.astype(jnp.float32) * sx_ref[:] * w2s_ref[0])
@@ -254,7 +261,7 @@ def _fused_step3_kernel(
             in_half, jnp.logical_and(oo >= nA + nB + nC, oo < B0)))
         def _phase_d(h=h, oo=oo):
             j = oo - nA - nB - nC
-            acc = jnp.dot(xq_ref[:], qkvq_ref[0],
+            acc = jnp.dot(xq_ref[:], _i8w(qkvq_ref[0]),
                           preferred_element_type=jnp.int32)
             val = acc.astype(jnp.float32) * sx_ref[:] * qkvs_ref[0]
             nh_blk = TOD // hd
