@@ -206,8 +206,8 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
     while batch * chunk > 4096 and chunk % 2 == 0 and prompt_len % (
             chunk // 2) == 0:
         chunk //= 2
-    chunked = (batch * prompt_len >= 8192 and prompt_len % chunk == 0
-               and batch * chunk <= 4096)
+    chunked = [batch * prompt_len >= 8192 and prompt_len % chunk == 0
+               and batch * chunk <= 4096]
 
     host_chunks = [False]  # flipped on in-jit chunked compile failure
     # ONE cache threaded through every rep via the donation chain: per-rep
@@ -239,7 +239,7 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                 cache_box[0] = make_kv_cache(config, batch=batch,
                                              kv_dtype=kv, seq_len=seq_len)
             cache, cache_box[0] = cache_box[0], None
-            if chunked and _prefill_chunked_carry_ok(
+            if chunked[0] and _prefill_chunked_carry_ok(
                     params, config, cache, batch, chunk) \
                     and not host_chunks[0]:
                 # cache in the layer-scan CARRY + aliased chunk writes: the
@@ -249,7 +249,7 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                 logits, cache = forward_prefill_chunked_carry(
                     params, cache, tokens, lengths, config,
                     precision="default", chunk=chunk)
-            elif chunked and host_chunks[0]:
+            elif chunked[0] and host_chunks[0]:
                 # host-dispatched chunk loop: each chunk is ONE donated
                 # forward_prefill program (its scan-ys cache staging
                 # aliases the donated input).  The in-jit chunk forms keep
@@ -270,7 +270,7 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
                         max_keys=prompt_len)
                 # uniform prompt_len: every row's final token is in the
                 # last chunk, so the final call's logits are the answer
-            elif chunked:
+            elif chunked[0]:
                 from tpu_llama.models.llama import \
                     forward_prefill_chunked_unrolled
 
@@ -296,23 +296,55 @@ def bench_ttft(params, config, batch, prompt_len, dtype, kv_dtype=None,
         cache_box[0] = cache
         return jnp.argmax(logits2, axis=-1)
 
-    retry = False
+    retry = None
     try:
         np.asarray(once())  # warm/compile
     except Exception as e:
-        if not chunked or kv_layout == "paged":
+        if kv_layout == "paged":
             raise
-        # the one-dispatch unrolled chunk program is HBM-infeasible at
-        # b32 dense (n-1 unaliased cache temps, b32_full_err.log); the
-        # per-chunk programs alias their staging into the donated cache
-        # and fit.  The retry runs OUTSIDE this handler: the exception's
-        # traceback pins the failed attempt's frames (and their 6.45 GB
-        # cache) until the handler exits.
-        print(f"bench_ttft: in-jit chunked prefill failed "
-              f"({type(e).__name__}); retrying with host-dispatched "
-              f"chunks", file=sys.stderr)
-        retry = True
+        # Retry ladder, each arm OUTSIDE this handler (the exception's
+        # traceback pins the failed attempt's frames and their multi-GB
+        # cache until the handler exits — b32_ttft_r5b.log):
+        #  * one-shot fresh failed (13B: its cache-wide temps OOM the
+        #    AOT assignment, probe_13b.log) -> carry-chunked, which
+        #    compiles at every probed geometry;
+        #  * in-jit chunked failed (b32 dense: n-1 unaliased cache
+        #    temps, b32_full_err.log) -> host-dispatched per-chunk
+        #    programs (their scan-ys staging aliases the donated cache).
+        retry = "host_chunks" if chunked[0] else "carry"
+        print(f"bench_ttft: prefill warm failed ({type(e).__name__}); "
+              f"retrying via {retry}", file=sys.stderr)
     if retry:
+        import gc
+
+        cache_box[0] = None
+        gc.collect()
+        if retry == "carry":
+            # chunk 256 matches the probed carry geometries
+            # (probe_13b.log, env_probe10.log); fall back to the largest
+            # 128-multiple inside the fused-stage envelope
+            if batch * 256 <= 4096 and prompt_len % 256 == 0:
+                c = 256
+            else:
+                c = max(128, (4096 // batch) // 128 * 128)
+                while prompt_len % c and c > 128:
+                    c -= 128
+            if prompt_len % c == 0 and batch * c <= 4096:
+                chunk = c
+                chunked[0] = True
+        else:
+            host_chunks[0] = True
+        if info is not None:
+            info["ttft_prefill"] = retry
+        try:
+            np.asarray(once())
+        except Exception as e2:
+            if retry != "carry":
+                raise
+            print(f"bench_ttft: carry retry failed ({type(e2).__name__}); "
+                  f"retrying with host-dispatched chunks", file=sys.stderr)
+            retry = "host_chunks"
+    if retry == "host_chunks" and not host_chunks[0]:
         import gc
 
         cache_box[0] = None
@@ -456,21 +488,30 @@ def main():
                         oom = ("resource_exhausted" in emsg
                                or "out of memory" in emsg
                                or "exhausted" in emsg)
-                        if args.kv_layout == "dense" and oom:
-                            try:
-                                ttft_s, _ = bench_ttft(
-                                    params, config, b, args.prompt_len,
-                                    dtype, kv_dtype=args.kv,
-                                    reps=max(3, args.reps - 2),
-                                    seq_len=args.seq_len, kv_layout="paged",
-                                    page_size=args.page_size, info=rec)
-                                rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
-                                rec["ttft_path"] = "paged"
-                                rec["ttft_error_dense"] = rec.pop(
-                                    "ttft_error")
-                            except Exception as e2:
-                                rec["ttft_error_paged"] = (
-                                    f"{type(e2).__name__}: {e2}"[:120])
+                    # the paged retry runs OUTSIDE the except handler: the
+                    # exception's traceback pins the dense attempt's
+                    # frames (and their multi-GB cache) until the handler
+                    # exits — the pinned buffers OOM'd every retry
+                    # (b32_ttft_r5b.log, rows_13b_r5.log)
+                    if "ttft_error" in rec and args.kv_layout == "dense" \
+                            and oom:
+                        import gc
+
+                        gc.collect()
+                        try:
+                            ttft_s, _ = bench_ttft(
+                                params, config, b, args.prompt_len,
+                                dtype, kv_dtype=args.kv,
+                                reps=max(3, args.reps - 2),
+                                seq_len=args.seq_len, kv_layout="paged",
+                                page_size=args.page_size, info=rec)
+                            rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
+                            rec["ttft_path"] = "paged"
+                            rec["ttft_error_dense"] = rec.pop(
+                                "ttft_error")
+                        except Exception as e2:
+                            rec["ttft_error_paged"] = (
+                                f"{type(e2).__name__}: {e2}"[:120])
                 except Exception as e:
                     rec = {"metric": f"sweep_b{b}", "error": f"{type(e).__name__}: {e}"[:200]}
                 print(json.dumps(rec), flush=True)
@@ -504,19 +545,23 @@ def main():
             emsg = str(e).lower()
             oom = ("resource_exhausted" in emsg or "out of memory" in emsg
                    or "exhausted" in emsg)
-            if args.kv_layout == "dense" and oom:
-                try:
-                    ttft_s, _ = bench_ttft(
-                        params, config, args.batch, args.prompt_len, dtype,
-                        kv_dtype=args.kv, reps=args.reps,
-                        seq_len=args.seq_len, kv_layout="paged",
-                        page_size=args.page_size, info=rec)
-                    rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
-                    rec["prompt_len"] = args.prompt_len
-                    rec["ttft_path"] = "paged"
-                    rec["ttft_error_dense"] = rec.pop("ttft_error")
-                except Exception as e2:
-                    rec["ttft_error_paged"] = f"{type(e2).__name__}: {e2}"[:120]
+        # retry outside the except handler — see the sweep-path comment
+        if "ttft_error" in rec and args.kv_layout == "dense" and oom:
+            import gc
+
+            gc.collect()
+            try:
+                ttft_s, _ = bench_ttft(
+                    params, config, args.batch, args.prompt_len, dtype,
+                    kv_dtype=args.kv, reps=args.reps,
+                    seq_len=args.seq_len, kv_layout="paged",
+                    page_size=args.page_size, info=rec)
+                rec["p50_ttft_ms"] = round(ttft_s * 1e3, 1)
+                rec["prompt_len"] = args.prompt_len
+                rec["ttft_path"] = "paged"
+                rec["ttft_error_dense"] = rec.pop("ttft_error")
+            except Exception as e2:
+                rec["ttft_error_paged"] = f"{type(e2).__name__}: {e2}"[:120]
     print(json.dumps(rec))
 
 
