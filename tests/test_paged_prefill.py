@@ -305,3 +305,32 @@ def test_pool_chunked_w8a8_fused_matches_compact():
     assert np.mean(np.abs(ka[0] - kb[0]) <= 1) > 0.995
     # deeper layers compound residual drift in the int8 codes; end-to-end
     # correctness is held by the logits check above
+
+
+def test_pool_chunked_unrolled_matches_scan(tiny_weights, monkeypatch):
+    """The unrolled chunk loop (r5 default, compile-robust) is bit-identical
+    to the scan-over-chunks form it replaced: same logits, same pool rows."""
+    import tpu_llama.models.llama as llama_mod
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T, ps, chunk = 2, 32, 8, 8
+    rng = np.random.default_rng(23)
+    tokens = jnp.asarray(rng.integers(3, c.vocab_size, (B, T)), jnp.int32)
+    lengths = jnp.array([T, 13], jnp.int32)
+    slots = jnp.arange(B, dtype=jnp.int32)
+
+    ca = _make_paged(c, B, ps)
+    last_a, ca = forward_prefill_paged_chunked(
+        params, ca, tokens, lengths, slots, c, chunk=chunk)  # unrolled (n=4)
+
+    monkeypatch.setattr(llama_mod, "_PAGED_UNROLL_CHUNKS", 0)  # force scan
+    cb = _make_paged(c, B, ps)
+    last_b, cb = forward_prefill_paged_chunked(
+        params, cb, tokens, lengths, slots, c, chunk=chunk)
+
+    np.testing.assert_array_equal(np.asarray(last_a), np.asarray(last_b))
+    np.testing.assert_array_equal(np.asarray(ca.k), np.asarray(cb.k))
+    np.testing.assert_array_equal(np.asarray(ca.v), np.asarray(cb.v))
+    np.testing.assert_array_equal(np.asarray(ca.ks), np.asarray(cb.ks))
+    np.testing.assert_array_equal(np.asarray(ca.vs), np.asarray(cb.vs))

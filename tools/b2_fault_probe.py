@@ -8,11 +8,15 @@ for a requested variant/batch on an L=2 model at exactly the 7B layer shape
 (D=4096 H=11008 NH=KVH=32 hd=128 S=2048) so compiles are fast and a worker
 crash poisons little memory.
 
-Usage: python tools/b2_fault_probe.py <variant> <batch> [pos]
+Usage: python tools/b2_fault_probe.py <variant> <batch> [pos] [layers]
   variant in {mega, mega2, true, attn_only}
 Prints "PROBE_OK <variant> b<B> tokens=..." on success; a kernel fault
 crashes the process (driver script records the exit code).
-"""
+
+[layers] (default 2) grows the probe by DEPTH: the r5 finding is that
+mega's L=2 probe passes while the FULL 32-layer 7B b1 decode crashes the
+worker (ab_r5_b1.log) — the trigger is depth/program-size dependent, so
+bisect L in {2,4,8,16,32} to find where it starts (NEXT r5 #2)."""
 import os
 import sys
 import time
@@ -31,14 +35,15 @@ from tpu_llama.config import ModelConfig  # noqa: E402
 def main():
     variant, B = sys.argv[1], int(sys.argv[2])
     pos0 = int(sys.argv[3]) if len(sys.argv) > 3 else 512
-    config = ModelConfig(dim=4096, hidden_dim=11008, n_layers=2, n_heads=32,
+    L = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    config = ModelConfig(dim=4096, hidden_dim=11008, n_layers=L, n_heads=32,
                          n_kv_heads=32, vocab_size=32000, seq_len=2048,
                          shared_weights=False)
     import bench
     t0 = time.time()
     params = bench._build(config, jnp.dtype("bfloat16"), "w8a8", fuse=True)
     cache = bench._make_cache(config, B, "int8", None, "dense", 512)
-    print(f"built L2 model in {time.time()-t0:.1f}s", flush=True)
+    print(f"built L{L} model in {time.time()-t0:.1f}s", flush=True)
     tokens = jnp.zeros((B,), jnp.int32)
     pos = jnp.full((B,), pos0, jnp.int32)
 

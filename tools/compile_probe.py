@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--program", required=True,
                     choices=["prefill_chunked", "prefill_chunked_unrolled",
                              "prefill_chunked_carry", "prefill",
-                             "prefill_cont", "decode"])
+                             "prefill_cont", "decode",
+                             "prefill_paged_chunked"])
     ap.add_argument("--config", default="7b")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=128)
@@ -98,6 +99,21 @@ def main():
                 params, cache, tok_c, vec, vec, config=config,
                 precision=args.precision, logits_mode="last",
                 max_keys=T).compile()
+        elif args.program == "prefill_paged_chunked":
+            # the serving admission program: engine-jitted pool-direct
+            # chunked prefill (chunk loop unrolled since r5 — the scan
+            # form is compile-broken at fresh geometries)
+            from tpu_llama.runtime.engine import _prefill_into_slots
+            ps = 512  # engine default page size
+            mp = -(-S // ps)
+            pcache = jax.eval_shape(
+                lambda: make_kv_cache(config, batch=B, kv_dtype="int8",
+                                      paged=True, num_pages=B * mp + 1,
+                                      page_size=ps, seq_len=S))
+            _prefill_into_slots.lower(
+                params, pcache, tokens2d, vec, vec, config=config,
+                precision=args.precision, logits_mode="last",
+                pool_direct=True).compile()
         else:  # decode
             forward_decode.lower(
                 params, cache, vec, vec, config=config,

@@ -1759,6 +1759,12 @@ def _prefill_chunked_carry_ok(params, config: ModelConfig, cache, B: int,
             and cache.k.shape[-2] % 128 == 0)
 
 
+# Unroll bound for the pool-direct chunk loop: every serving geometry
+# (T <= 4096 at chunk 256) stays unrolled; past it the program-size cost
+# of unrolling outweighs compile-robustness and the scan form is used.
+_PAGED_UNROLL_CHUNKS = 16
+
+
 def forward_prefill_paged_chunked(
     params: LlamaParams,
     cache: PagedKVCache,
@@ -1786,7 +1792,19 @@ def forward_prefill_paged_chunked(
     Numerically identical to the compact path: same quantize-before-
     transpose rows, same online-softmax attention over the same keys.
     Generalizes the reference's teacher-forced prompt loop
-    (llama2.ts:471-474) to batched paged admission."""
+    (llama2.ts:471-474) to batched paged admission.
+
+    Chunk-loop form (r5): the chunk loop is UNROLLED in Python for
+    n <= _PAGED_UNROLL_CHUNKS — the r5 AOT compiler breaks the
+    scan-over-chunks class at fresh geometries (loop-invariant params
+    cloned into program space; silu+quant scoped-vmem growth inside while
+    contexts — see forward_prefill_chunked_unrolled's docstring and
+    env_probe7.log), so serving geometry changes must not depend on stale
+    server-side compile-cache entries.  Each unrolled chunk is the proven
+    carry shape: straight-line stages + ONE top-level layer scan with the
+    pool in the carry.  Longer prompts fall back to the scan form (program
+    size), which on TPU needs a geometry the compile service has already
+    accepted."""
     from tpu_llama.ops.attention import (
         kv_pool_write_chunk,
         paged_flash_prefill_attention,
@@ -1958,7 +1976,14 @@ def forward_prefill_paged_chunked(
         return (ck, cv, cks, cvs), logits_c.astype(jnp.float32)
 
     pool = (cache.k, cache.v, cache.ks, cache.vs)
-    pool, per_chunk = jax.lax.scan(chunk_body, pool, jnp.arange(n))
+    if n <= _PAGED_UNROLL_CHUNKS:
+        per_chunk = []
+        for i in range(n):
+            pool, logits_c = chunk_body(pool, i)
+            per_chunk.append(logits_c)
+        per_chunk = jnp.stack(per_chunk)  # [n, B, V]
+    else:
+        pool, per_chunk = jax.lax.scan(chunk_body, pool, jnp.arange(n))
     owner = jnp.clip((lengths - 1) // chunk, 0, n - 1)  # [B]
     last = jnp.take_along_axis(
         per_chunk, owner[None, :, None], axis=0)[0]  # [B, V]
