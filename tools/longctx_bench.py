@@ -67,8 +67,12 @@ def main():
     assert args.long_fill + args.steps <= args.long_cap, "slot 0 overflows"
     assert args.short_fill + args.steps <= args.short_cap, "short slots overflow"
 
+    t0 = time.time()
+    print("building params...", file=sys.stderr, flush=True)
     params = jax.block_until_ready(
         random_quant_params(config, mode="w8a8", fuse=True))
+    print(f"params built {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
     params = extend_rope(params, args.long_cap)
 
     # heterogeneous reservations: the whole point of the row
@@ -95,9 +99,12 @@ def main():
     pos = jnp.asarray([args.long_fill] + [args.short_fill] * (B - 1),
                       jnp.int32)
 
+    t0 = time.time()
+    print("compiling + warming decode loop...", file=sys.stderr, flush=True)
     out, cache = greedy_decode_loop(params, cache, tokens, pos, args.steps,
                                     config)
     np.asarray(out)  # host readback = real completion (CLAUDE.md)
+    print(f"warm done {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     times = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
