@@ -21,7 +21,13 @@ def main() -> None:
     ap.add_argument("--config", default="110m", choices=["15m", "110m", "7b", "13b"])
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--requests", type=int, default=48)
-    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=128,
+                    help="TOTAL per-request budget INCLUDING the prompt "
+                         "(reference -n semantics, llama2.ts:476-503): a "
+                         "request emits steps - prompt_len - 1 tokens, and "
+                         "steps <= prompt_len teacher-forces then retires "
+                         "with ZERO output — pass prompt_len + decode "
+                         "tokens wanted")
     ap.add_argument("--prompt-len", type=int, default=31)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--kv", default="int8")
