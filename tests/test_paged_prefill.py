@@ -334,3 +334,39 @@ def test_pool_chunked_unrolled_matches_scan(tiny_weights, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ca.v), np.asarray(cb.v))
     np.testing.assert_array_equal(np.asarray(ca.ks), np.asarray(cb.ks))
     np.testing.assert_array_equal(np.asarray(ca.vs), np.asarray(cb.vs))
+
+
+def test_pool_chunked_waved_matches_oneshot(tiny_weights):
+    """Host-dispatched waves through ONE program (traced start0) equal the
+    single-call prefill bit-for-bit: same final logits, same pool rows.
+    This is the long-prompt path: the r5 Mosaic scoped-vmem budget caps a
+    B=1 unrolled program at ~3 chunks, so longer prompts re-dispatch the
+    same compiled program at successive start offsets."""
+    import jax
+    from functools import partial as _partial
+
+    c = tiny_weights.config
+    params = params_from_raw(tiny_weights)
+    B, T, ps, chunk, W = 2, 32, 8, 8, 16  # 2 waves of W=16 (2 chunks each)
+    rng = np.random.default_rng(31)
+    tokens = jnp.asarray(rng.integers(3, c.vocab_size, (B, T)), jnp.int32)
+    lengths = jnp.array([T, 27], jnp.int32)
+    slots = jnp.arange(B, dtype=jnp.int32)
+
+    ca = _make_paged(c, B, ps)
+    last_a, ca = forward_prefill_paged_chunked(
+        params, ca, tokens, lengths, slots, c, chunk=chunk)
+
+    cb = _make_paged(c, B, ps)
+    pf = jax.jit(_partial(forward_prefill_paged_chunked, config=c,
+                          chunk=chunk, max_pos=T), donate_argnums=(1,))
+    last_b = None
+    for w in range(0, T, W):
+        last_b, cb = pf(params, cb, tokens[:, w:w + W], lengths, slots,
+                        start0=jnp.int32(w))
+
+    np.testing.assert_array_equal(np.asarray(last_a), np.asarray(last_b))
+    np.testing.assert_array_equal(np.asarray(ca.k), np.asarray(cb.k))
+    np.testing.assert_array_equal(np.asarray(ca.v), np.asarray(cb.v))
+    np.testing.assert_array_equal(np.asarray(ca.ks), np.asarray(cb.ks))
+    np.testing.assert_array_equal(np.asarray(ca.vs), np.asarray(cb.vs))

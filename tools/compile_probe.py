@@ -34,7 +34,8 @@ def main():
                     choices=["prefill_chunked", "prefill_chunked_unrolled",
                              "prefill_chunked_carry", "prefill",
                              "prefill_cont", "decode",
-                             "prefill_paged_chunked"])
+                             "prefill_paged_chunked",
+                             "prefill_paged_long"])
     ap.add_argument("--config", default="7b")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=128)
@@ -114,6 +115,25 @@ def main():
                 params, pcache, tokens2d, vec, vec, config=config,
                 precision=args.precision, logits_mode="last",
                 pool_direct=True).compile()
+        elif args.program == "prefill_paged_long":
+            # long-prompt single/low-batch pool-direct prefill at a caller
+            # chosen --chunk (the longctx TTFT program: B=1 T=7680 c512
+            # = 15 unrolled fused chunks); donation matters — a dropped
+            # donate double-counts the pool in the AOT memory assignment
+            from functools import partial as _partial
+
+            from tpu_llama.models.llama import forward_prefill_paged_chunked
+            ps = 512
+            mp = -(-S // ps)
+            pcache = jax.eval_shape(
+                lambda: make_kv_cache(config, batch=B, kv_dtype="int8",
+                                      paged=True, num_pages=B * mp + 1,
+                                      page_size=ps, seq_len=S))
+            fn = jax.jit(_partial(forward_prefill_paged_chunked,
+                                  config=config, precision=args.precision,
+                                  chunk=args.chunk),
+                         donate_argnums=(1,))
+            fn.lower(params, pcache, tokens2d, vec, vec).compile()
         else:  # decode
             forward_decode.lower(
                 params, cache, vec, vec, config=config,

@@ -53,6 +53,16 @@ def main():
     ap.add_argument("--short-fill", type=int, default=768)
     ap.add_argument("--record", action="store_true",
                     help="append the row to BENCH_sweep.jsonl")
+    ap.add_argument("--ttft", action="store_true",
+                    help="also measure TTFT of the long prompt: pool-direct "
+                         "prefill of slot 0's long_fill tokens (B=1, "
+                         "unrolled chunk loop) + sampled-token readback")
+    ap.add_argument("--ttft-chunk", type=int, default=512,
+                    help="prefill chunk (must divide page size and "
+                         "long_fill)")
+    ap.add_argument("--wave-chunks", type=int, default=3,
+                    help="chunks per host-dispatched prefill wave (<=3 is "
+                         "the r5 Mosaic scoped-vmem envelope at B=1)")
     args = ap.parse_args()
 
     from tpu_llama.config import LLAMA2_7B, LLAMA2_13B, STORIES110M
@@ -95,6 +105,53 @@ def main():
           f"{dense_bytes / 1e9:.2f} GB (b{B} x {args.long_cap})",
           file=sys.stderr, flush=True)
 
+    ttft_ms = None
+    if args.ttft:
+        from functools import partial
+
+        from tpu_llama.models.llama import forward_prefill_paged_chunked
+
+        # Host-dispatched waves of <= wave_chunks chunks through ONE
+        # compiled program (traced start0): the r5 Mosaic scoped-vmem
+        # budget caps a B=1 unrolled paged-prefill program at ~3 chunks
+        # (compile_probe prefill_paged_long: n<=3 green, n>=4 fails with a
+        # fixed 77.48M scoped alloc at the silu kernel regardless of n).
+        W = args.ttft_chunk * args.wave_chunks
+        assert args.long_fill % args.ttft_chunk == 0
+        if args.long_fill % W:  # tail wave would change program shape
+            W = args.ttft_chunk  # degrade to per-chunk waves
+        pf = jax.jit(partial(forward_prefill_paged_chunked, config=config,
+                             precision="default", chunk=args.ttft_chunk,
+                             max_pos=args.long_fill),
+                     donate_argnums=(1,))
+        tok_p = jnp.zeros((1, args.long_fill), jnp.int32)
+        len_p = jnp.array([args.long_fill], jnp.int32)
+        slot_p = jnp.array([0], jnp.int32)
+
+        def run_prefill(cache):
+            logits = None
+            for w in range(0, args.long_fill, W):
+                logits, cache = pf(params, cache, tok_p[:, w:w + W],
+                                   len_p, slot_p, start0=jnp.int32(w))
+            np.asarray(jnp.argmax(logits, -1))  # sampled-token readback
+            return cache
+
+        t0 = time.time()
+        print(f"compiling + warming long prefill ({W}-token waves)...",
+              file=sys.stderr, flush=True)
+        cache = run_prefill(cache)
+        print(f"prefill warm done {time.time() - t0:.1f}s", file=sys.stderr,
+              flush=True)
+        pf_times = []
+        for _ in range(max(3, args.reps)):
+            t0 = time.perf_counter()
+            cache = run_prefill(cache)
+            pf_times.append(time.perf_counter() - t0)
+        ttft_ms = round(float(np.median(pf_times)) * 1e3, 1)
+        print(f"long-prompt TTFT p50 {ttft_ms} ms "
+              f"(times {[round(t * 1e3, 1) for t in pf_times]})",
+              file=sys.stderr, flush=True)
+
     tokens = jnp.zeros((B,), jnp.int32)
     pos = jnp.asarray([args.long_fill] + [args.short_fill] * (B - 1),
                       jnp.int32)
@@ -128,6 +185,8 @@ def main():
         "note": "heterogeneous per-slot reservation; dense b8 int8 wall is "
                 "~S4800 at 7B (w4_rows_r5.log) — this row needs paged",
     }
+    if ttft_ms is not None:
+        rec["long_prompt_ttft_ms"] = ttft_ms
     line = json.dumps(rec)
     print(line, flush=True)
     if args.record:

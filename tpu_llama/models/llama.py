@@ -1762,18 +1762,28 @@ def _prefill_chunked_carry_ok(params, config: ModelConfig, cache, B: int,
 # Unroll bound for the pool-direct chunk loop: every serving geometry
 # (T <= 4096 at chunk 256) stays unrolled; past it the program-size cost
 # of unrolling outweighs compile-robustness and the scan form is used.
-_PAGED_UNROLL_CHUNKS = 16
+# Env-overridable (trace-time read, like the fused-prefill gates) so
+# compile probes can map the unrolled envelope without code edits.
+import os as _os  # noqa: E402
+
+_PAGED_UNROLL_CHUNKS = int(_os.environ.get("TPU_LLAMA_PAGED_UNROLL", "16"))
 
 
 def forward_prefill_paged_chunked(
     params: LlamaParams,
     cache: PagedKVCache,
-    tokens: jax.Array,  # [B, T] int32 — fresh prompts (start at pos 0)
-    lengths: jax.Array,  # [B]
+    tokens: jax.Array,  # [B, T] int32 — this wave's prompt slice
+    lengths: jax.Array,  # [B] ABSOLUTE prompt lengths (incl. earlier waves)
     slots: jax.Array,  # [B] slot ids (rows of the page table)
     config: ModelConfig,
     precision: str = "default",
     chunk: int = 256,
+    start0: jax.Array | None = None,  # [] int32 — absolute position of
+    # tokens[:, 0]; TRACED so every wave of a host-dispatched long prompt
+    # reuses ONE compiled program.  Must be a multiple of chunk (the pool
+    # write kernel's start % Tc == 0 contract); None = fresh (0).
+    max_pos: int | None = None,  # static bound on start0 + T across all
+    # waves (sizes the past-page walk); None = T (single-wave behavior)
 ):
     """Chunked prefill DIRECTLY INTO the page pool — no compact duplicate
     cache, no dense gather.  Returns (next-token logits [B, V], cache).
@@ -1813,21 +1823,25 @@ def forward_prefill_paged_chunked(
     B, T = tokens.shape
     ps = cache.k.shape[3]
     assert T % chunk == 0 and ps % chunk == 0, (T, chunk, ps)
+    mpos = max_pos if max_pos is not None else T
+    assert mpos >= T, (mpos, T)
+    if start0 is None:
+        start0 = jnp.int32(0)
     # A prompt longer than per-slot capacity would make kv_pool_write_chunk's
     # scalar-prefetch read pt_ref[b, start//ps] PAST the table — an undefined
     # page id corrupting the pool (the compact path maps overflow to the
     # trash page; this path must refuse instead).  Static shapes, zero cost.
-    assert -(-T // ps) <= cache.page_table.shape[1], (
-        f"prompt buckets to {T} positions = {-(-T // ps)} pages/slot, but "
-        f"the page table holds {cache.page_table.shape[1]} — raise seq_len "
-        "or reject the request at admission")
+    assert -(-mpos // ps) <= cache.page_table.shape[1], (
+        f"prompt buckets to {mpos} positions = {-(-mpos // ps)} pages/slot, "
+        f"but the page table holds {cache.page_table.shape[1]} — raise "
+        "seq_len or reject the request at admission")
     n = T // chunk
     prec = (jax.lax.Precision(precision) if isinstance(precision, str)
             else precision)
-    # pages that can hold PAST keys (max start = T - chunk); >=1 column so
-    # the kernel's page-table prefetch stays well-formed
-    past_pages = -(-(T - chunk) // ps)
-    pt = cache.page_table[slots][:, :max(1, -(-T // ps))]  # [B, ceil(T/ps)]
+    # pages that can hold PAST keys (max absolute start = mpos - chunk);
+    # >=1 column so the kernel's page-table prefetch stays well-formed
+    past_pages = -(-(mpos - chunk) // ps)
+    pt = cache.page_table[slots][:, :max(1, -(-mpos // ps))]
     L = config.n_layers
     layer_ix = jnp.arange(L, dtype=jnp.int32)
     H, KVH, hd = config.n_heads, config.n_kv_heads, config.head_dim
@@ -1854,16 +1868,18 @@ def forward_prefill_paged_chunked(
 
     def chunk_body(pool, i):
         ck, cv, cks, cvs = pool
-        start_s = i * chunk  # traced scalar
+        start_s = i * chunk  # wave-relative (indexes THIS wave's tokens)
         tok_c = jax.lax.dynamic_slice(
             tokens, (jnp.int32(0), start_s), (B, chunk))
         x = params.tok_emb[tok_c]  # [B, Tc, D]
-        poss = start_s + jnp.arange(chunk)  # [Tc] — same for every row
+        # absolute positions: rope phases, pool write offsets, and the
+        # attention past-walk all live in start0 + wave-relative space
+        poss = start0 + start_s + jnp.arange(chunk)  # [Tc]
         cos = jnp.broadcast_to(params.rope_cos[poss][None],
                                (B, chunk, hd // 2))
         sin = jnp.broadcast_to(params.rope_sin[poss][None],
                                (B, chunk, hd // 2))
-        start_vec = jnp.full((B,), start_s, jnp.int32)
+        start_vec = jnp.full((B,), start_s, jnp.int32) + start0
 
         def layer_step_w8a8(carry, scanned):
             # fused one-pass stages (same ladder as _forward_prefill_fresh /
@@ -1969,7 +1985,9 @@ def forward_prefill_paged_chunked(
             layer_step_w8a8 if w8a8_fast else layer_step,
             (x, ck, cv, cks, cvs), (params.layers, layer_ix))
         # classifier at each row's last valid position within this chunk
-        own_t = jnp.clip(lengths - 1 - start_s, 0, chunk - 1)
+        # (lengths are absolute; this chunk covers absolute positions
+        # [start0 + start_s, start0 + start_s + chunk))
+        own_t = jnp.clip(lengths - 1 - start0 - start_s, 0, chunk - 1)
         xl = jnp.take_along_axis(x, own_t[:, None, None], axis=1)[:, 0]
         xl = rmsnorm(xl, params.rms_final)
         logits_c = matmul_any(xl, params.wcls, prec)  # [B, V]
@@ -1984,7 +2002,10 @@ def forward_prefill_paged_chunked(
         per_chunk = jnp.stack(per_chunk)  # [n, B, V]
     else:
         pool, per_chunk = jax.lax.scan(chunk_body, pool, jnp.arange(n))
-    owner = jnp.clip((lengths - 1) // chunk, 0, n - 1)  # [B]
+    # which of THIS WAVE's chunks holds each row's final valid token
+    # (clipped, so mid-prompt waves return well-formed junk logits that
+    # the caller discards — only the wave containing lengths-1 matters)
+    owner = jnp.clip((lengths - 1 - start0) // chunk, 0, n - 1)  # [B]
     last = jnp.take_along_axis(
         per_chunk, owner[None, :, None], axis=0)[0]  # [B, V]
     return last, PagedKVCache(*pool, page_table=cache.page_table)
