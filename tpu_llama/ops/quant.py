@@ -300,7 +300,9 @@ def quantize_activations_pallas(x: jax.Array, block_rows: int = 256):
     # against the matmul instead of assuming worst-case overlap — the
     # reason this one-pass quant sat unwired while the XLA chain cost
     # ~0.43 ms per [4096, 4096] call, ~55 ms/prefill.
-    vmem_bytes = BM * per_row + BM * 8 + (2 << 20)
+    vmem_bytes = BM * per_row + BM * 8 + (3 << 20)  # +3 MB: see the
+    # rmsnorm/silu fused stages — r5 Mosaic stack need runs past 2 MB
+    # slack in marginal program contexts
     q, s = pl.pallas_call(
         _quant_rows_kernel,
         grid=(M // BM,),
@@ -354,7 +356,11 @@ def rmsnorm_quantize_pallas(x: jax.Array, w: jax.Array,
     per_row = IN * (2 * x.dtype.itemsize + 2)
     while BM > 8 and (M % BM != 0 or BM * per_row > 4 << 20):
         BM //= 2
-    vmem_bytes = BM * per_row + 2 * IN * w.dtype.itemsize + BM * 8 + (2 << 20)
+    # +3 MB headroom, same rationale as silu_mul_quantize_pallas: the r5
+    # Mosaic stack need runs just past the old (2 << 20) slack in marginal
+    # program contexts (this kernel tipped a 31-page-pool 15-chunk prefill
+    # by 47K where the 17-page-pool twin compiled)
+    vmem_bytes = BM * per_row + 2 * IN * w.dtype.itemsize + BM * 8 + (3 << 20)
     q, s = pl.pallas_call(
         _rmsnorm_quant_kernel,
         grid=(M // BM,),
@@ -405,7 +411,12 @@ def silu_mul_quantize_pallas(gate: jax.Array, up: jax.Array,
     per_row = H * (4 * gate.dtype.itemsize + 2)
     while BM > 8 and (M % BM != 0 or BM * per_row > 8 << 20):
         BM //= 2
-    vmem_bytes = BM * per_row + BM * 8 + (2 << 20)
+    # +3 MB headroom over the window model: the r5 Mosaic stack need for
+    # this kernel runs ~0.8 MB past the old (2 << 20) slack in several
+    # contexts (while-loop bodies, B=4 c512 paged prefill: "9.48M need vs
+    # 8.72M declared"), and the budget model is known to run ~0.7 MB under
+    # reality elsewhere (CLAUDE.md negative-results ledger)
+    vmem_bytes = BM * per_row + BM * 8 + (3 << 20)
     q, s = pl.pallas_call(
         _silu_mul_quant_kernel,
         grid=(M // BM,),
